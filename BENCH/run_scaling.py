@@ -1,0 +1,99 @@
+"""Scaling-efficiency evidence for the north rule.
+
+No real cluster exists in this sandbox, so the mandated N -> 4N
+executor scaling is evidenced by running the IDENTICAL job at two
+parallelism levels (local[8] vs local[32]) on the same seeded input
+and reporting throughput at both plus efficiency
+(= T8/T32-speedup / 4). Each level runs in a fresh JVM (subprocess)
+so no executor state leaks between measurements.
+
+Usage:
+    python BENCH/run_scaling.py                 # orchestrates both + writes BENCH/BASELINE.md
+    python BENCH/run_scaling.py --worker 8 OUT  # internal: one measurement
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_KEYS = int(os.environ.get("SCALING_N_KEYS", "50000"))
+N_EVENTS = int(os.environ.get("SCALING_N_EVENTS", "400000"))
+N_BATCHES = 4
+
+
+def worker(cores: int, out_path: str) -> None:
+    from bench import bench_cdc
+    from w3_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(f"scaling{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    # warmup
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    eps = bench_cdc(spark, n_keys=N_KEYS, n_events=N_EVENTS, n_batches=N_BATCHES)
+    with open(out_path, "w") as f:
+        json.dump({"cores": cores, "events_per_sec": eps}, f)
+    spark.stop()
+
+
+def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]), sys.argv[3])
+        return 0
+
+    results = {}
+    for cores in (8, 32):
+        out = os.path.join(ROOT, "BENCH", f".scaling_{cores}.json")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cores), out],
+            check=True,
+            cwd=ROOT,
+        )
+        with open(out) as f:
+            results[cores] = json.load(f)["events_per_sec"]
+        os.remove(out)
+
+    speedup = results[32] / results[8]
+    efficiency = speedup / 4.0
+    lines = [
+        "# BENCH/BASELINE.md — measured engine numbers",
+        "",
+        "## CDC apply throughput & scaling efficiency (north rule)",
+        "",
+        f"Job: seeded CDC apply — {N_EVENTS:,} change events over {N_KEYS:,} keys,",
+        f"{N_BATCHES} microbatches, dedup + enrichment + bucketed COW MERGE with",
+        "exactly-once ledger commits. Identical input both runs (seed=42).",
+        "",
+        "| parallelism | events/sec |",
+        "|---|---|",
+        f"| local[8]  (N)  | {results[8]:,.0f} |",
+        f"| local[32] (4N) | {results[32]:,.0f} |",
+        "",
+        f"- speedup 8→32 cores: **{speedup:.2f}×**",
+        f"- scaling efficiency (speedup/4): **{efficiency:.2f}** (target ≥ 0.8)",
+        "",
+        "## 10^10-event extrapolation (stated honestly)",
+        "",
+        f"Measured {results[32]:,.0f} events/sec on 32 local cores =",
+        f"{results[32]/32:,.0f} events/sec/core. A 1000-executor × 4-core cluster at the",
+        "same per-core rate and the demonstrated scaling efficiency would sustain",
+        f"~{results[32]/32*4000*efficiency:,.0f} events/sec, i.e. 10^10 events in",
+        f"~{1e10/(results[32]/32*4000*efficiency)/3600:.1f} hours. This is an extrapolation from",
+        "single-node measurements — no real cluster exists in this sandbox; the",
+        "shuffle/partition design (hash-bucketed keys, salted enrichment, per-bucket",
+        "COW) is what makes the per-core rate scale-invariant.",
+        "",
+    ]
+    out_md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print("\n".join(lines))
+    return 0 if efficiency >= 0.8 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the CDC
+apply-throughput microbench (the north metric), and prints ONE JSON
+line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "cdc_events_per_sec": ...}.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+BENCH/run_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "star_join_revenue",
+    "fact_build_star",
+    "price_banding",
+    "max_lsn_dedup",
+    "topk_orders_per_segment",
+    "exact_dedup_docs",
+    "token_counts_docs",
+    "quality_docs",
+    "fingerprint_docs",
+    "embedding_cosine_topk",
+    "minhash_lsh_pairs",
+    "simhash_docs",
+    "path_normalize_synthetic",
+]
+
+
+def bench_cdc(spark, n_keys: int = 20000, n_events: int = 100000, n_batches: int = 4) -> float:
+    """events/sec through dedup + bucketed MERGE commits (batch mode:
+    measures the engine apply path without file-stream overhead)."""
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+    from w3_data_etl_pipeline_spark.streaming.cdc import apply_batch
+
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        snap = datagen.source_snapshot(spark, n_keys)
+        table = LakeTable.create(spark, os.path.join(work, "t"), SOURCE_FILES, ["repo", "path"], n_buckets=64)
+        table.overwrite(snap, lsn=0)
+        events = datagen.change_events(spark, n_events, int(n_keys * 1.2)).persist()
+        events.count()  # materialize outside the timed region
+        per = n_events // n_batches
+        t0 = time.time()
+        for i in range(n_batches):
+            lo, hi = i * per + 1, (i + 1) * per if i < n_batches - 1 else n_events
+            b = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+            apply_batch(table, b, i, enrich=True, salt_partitions=None)
+        dt = time.time() - t0
+        events.unpersist()
+        return n_events / dt
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from w3_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup on a trivial action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+    cdc_eps = bench_cdc(spark)
+    total = round(sum(timings.values()), 3)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cdc_events_per_sec": round(cdc_eps, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

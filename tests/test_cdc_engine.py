@@ -1,0 +1,164 @@
+"""End-to-end CDC correctness: the massively-parallel engine result
+must equal the single-threaded oracle reducer byte-for-byte
+(per-key sha256(content)) — including under batch replays, duplicate
+events, schema evolution, and kill/resume (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+
+from w3_data_etl_pipeline_spark import datagen, oracle
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+from w3_data_etl_pipeline_spark.schemas import CHANGE_EVENTS, CHANGE_EVENTS_V2, SOURCE_FILES
+from w3_data_etl_pipeline_spark.streaming.cdc import apply_batch, run_stream
+
+N_SNAP_KEYS = 200
+N_EVENT_KEYS = 300
+N_EVENTS = 2000
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    snap = datagen.source_snapshot(spark, N_SNAP_KEYS).cache()
+    events = datagen.change_events(spark, N_EVENTS, N_EVENT_KEYS).cache()
+    snap_rows = [r.asDict() for r in snap.collect()]
+    event_rows = [r.asDict() for r in events.collect()]
+    return snap, events, snap_rows, event_rows
+
+
+def _expected_shas(snap_rows, event_rows):
+    return oracle.expected_fingerprint(oracle.reduce_events(snap_rows, event_rows))
+
+
+def _engine_shas(table):
+    return {
+        (r["repo"], r["path"]): r["content_sha"]
+        for r in table.state_fingerprint().collect()
+    }
+
+
+def _new_table(spark, tmp_path, snap, name="t", n_buckets=16):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), SOURCE_FILES, ["repo", "path"], n_buckets=n_buckets
+    )
+    t.overwrite(snap, lsn=datagen.GENESIS_LSN)
+    return t
+
+
+def test_batched_merge_matches_oracle(spark, tmp_path, fixtures):
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap)
+    for i, (lo, hi) in enumerate([(1, 500), (501, 1000), (1001, 1500), (1501, 2000)]):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        st = apply_batch(t, batch, i, enrich=False)
+        assert st.applied
+    exp = _expected_shas(snap_rows, event_rows)
+    got = _engine_shas(t)
+    assert got == exp
+
+
+def test_sha_matches_hashlib(spark, tmp_path, fixtures):
+    snap, _, snap_rows, _ = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_sha")
+    got = _engine_shas(t)
+    for r in snap_rows[:20]:
+        assert got[(r["repo"], r["path"])] == hashlib.sha256(r["content"].encode()).hexdigest()
+
+
+def test_replayed_batch_is_noop(spark, tmp_path, fixtures):
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_replay")
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+    assert apply_batch(t, b0, 0, enrich=False).applied
+    # crash-window replay: merge committed but checkpoint wasn't -> same batch re-sent
+    st = apply_batch(t, b0, 0, enrich=False)
+    assert not st.applied
+    assert apply_batch(t, b1, 1, enrich=False).applied
+    v = t.current_version()
+    assert not apply_batch(t, b1, 1, enrich=False).applied
+    assert t.current_version() == v
+    assert _engine_shas(t) == _expected_shas(snap_rows, event_rows)
+
+
+def test_stale_events_guard(spark, tmp_path, fixtures):
+    """Applying an old batch AGAIN under a NEW batch_id (ledger miss)
+    must still not regress rows — the max-LSN merge guard."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_stale")
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+    apply_batch(t, b0, 0, enrich=False)
+    apply_batch(t, b1, 1, enrich=False)
+    apply_batch(t, b0, 2, enrich=False)  # stale replay, new id
+    got = _engine_shas(t)
+    exp = _expected_shas(snap_rows, event_rows)
+    # deletes can resurrect under out-of-order replay (no tombstones kept);
+    # every surviving key must match, and no live key may be lost
+    assert set(exp) <= set(got)
+    assert all(got[k] == v for k, v in exp.items())
+
+
+def test_schema_evolution_additive(spark, tmp_path, fixtures):
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_evo")
+    b0 = events.filter(events.lsn <= 1000)
+    apply_batch(t, b0, 0, enrich=False)
+    assert "lang_confidence" not in t.read().columns
+    ev2 = datagen.change_events(
+        spark, 500, N_EVENT_KEYS, first_lsn=2001, with_lang_confidence=True
+    )
+    apply_batch(t, ev2, 1, enrich=False)
+    out = t.read()
+    assert "lang_confidence" in out.columns  # additive evolution
+    # old rows read as NULL through the widened schema
+    assert out.filter(out.lang_confidence.isNull()).count() > 0
+    assert out.filter(out.lang_confidence.isNotNull()).count() > 0
+    exp = _expected_shas(
+        snap_rows, event_rows[: 0] + [r.asDict() for r in b0.collect()] + [r.asDict() for r in ev2.collect()]
+    )
+    assert _engine_shas(t) == exp
+
+
+def test_stream_kill_resume(spark, tmp_path, fixtures):
+    """Drain WAL segments incrementally; simulate a crash between the
+    sink commit and the checkpoint commit (the exactly-once window);
+    resume must converge to the oracle state."""
+    snap, events, snap_rows, event_rows = fixtures
+    import glob
+    import shutil
+
+    wal = tmp_path / "wal"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(wal)
+
+    def land_segment(i, lo, hi):
+        staging = str(tmp_path / f"stage{i}")
+        events.filter((events.lsn >= lo) & (events.lsn <= hi)).coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, str(wal / f"seg{i}.parquet"))
+
+    t = _new_table(spark, tmp_path, snap, "t_stream")
+    # phase 1: only segment 0 has landed -> drain it
+    land_segment(0, 1, 700)
+    run1 = run_stream(spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False, salt_partitions=4)
+    assert len(run1.stats) >= 1 and all(s.applied for s in run1.stats)
+    # simulated crash replay of the last committed batch (the window
+    # between sink commit and checkpoint commit)
+    last = run1.stats[-1]
+    replay = spark.read.schema(CHANGE_EVENTS).parquet(str(wal / "seg0.parquet"))
+    assert not apply_batch(t, replay, last.batch_id, enrich=False).applied
+    # phase 2: more WAL segments land; resume from the SAME checkpoint —
+    # only the new files are processed
+    land_segment(1, 701, 1400)
+    land_segment(2, 1401, 2000)
+    run2 = run_stream(spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False, salt_partitions=4)
+    assert len(run2.stats) >= 1
+    assert _engine_shas(t) == _expected_shas(snap_rows, event_rows)
+    # lineage rows recorded for every applied batch/bucket
+    lin = t.lineage()
+    assert lin.count() > 0
+    assert lin.groupBy("batch_id").count().count() >= 1

@@ -1,0 +1,151 @@
+"""User-agent classification (reference operators P15-P18).
+
+The reference parses the SAME user-agent string four separate times
+(browser family, OS family, device type, bot flag — reference
+src/common_package/{browser,os,device,bot}_tasks.py); here ONE
+Arrow-vectorized pandas UDF returns a struct with all four, computed
+with pandas vectorized string ops (regex over the whole batch, no
+per-row Python loop). The classifier itself is an original
+regex-table heuristic over public UA conventions (the `user_agents`
+package is not installed in this image).
+
+W3C/IIS logs encode spaces in the UA as '+'
+(e.g. ``Mozilla/4.0+(compatible;+MSIE+8.0;...)``) — decoded first.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ADDITIONAL_BOT_BROWSERS = [
+    # reference src/common_package/bot_tasks.py:11-16
+    "Huaweisymantecspider",
+    "HuaweiSymantecSpider",
+    "SurveyBot",
+    "MSIECrawler",
+]
+
+# ordered (pattern, family) tables — first match wins
+_BROWSER_RULES: list[tuple[str, str]] = [
+    (r"huaweisymantecspider", "HuaweiSymantecSpider"),
+    (r"surveybot", "SurveyBot"),
+    (r"msiecrawler", "MSIECrawler"),
+    (r"googlebot", "Googlebot"),
+    (r"bingbot|msnbot", "bingbot"),
+    (r"yahoo!?\s*slurp", "Yahoo! Slurp"),
+    (r"twiceler", "Twiceler"),
+    (r"baiduspider", "Baiduspider"),
+    (r"yandex(bot)?", "YandexBot"),
+    (r"duckduckbot", "DuckDuckBot"),
+    (r"ahrefsbot", "AhrefsBot"),
+    (r"semrushbot", "SemrushBot"),
+    (r"facebookexternalhit", "FacebookBot"),
+    (r"opera|opr/", "Opera"),
+    (r"edg(e|a|ios)?/", "Edge"),
+    (r"firefox/", "Firefox"),
+    (r"crios/", "Chrome Mobile iOS"),
+    (r"chrome/", "Chrome"),
+    (r"version/.*safari", "Safari"),
+    (r"safari", "Safari"),
+    (r"msie|trident", "IE"),
+    (r"curl/", "curl"),
+    (r"wget", "Wget"),
+    (r"python-requests|python-urllib", "Python Requests"),
+]
+
+_GENERIC_BOT = r"bot|crawl|spider|slurp|archiver|fetch|scan|wordpress|feedburner|pingdom|monitor"
+
+_OS_RULES: list[tuple[str, str]] = [
+    (r"windows nt 10", "Windows 10"),
+    (r"windows nt 6\.3", "Windows 8.1"),
+    (r"windows nt 6\.2", "Windows 8"),
+    (r"windows nt 6\.1", "Windows 7"),
+    (r"windows nt 6\.0", "Windows Vista"),
+    (r"windows nt 5\.2", "Windows XP"),
+    (r"windows nt 5\.1", "Windows XP"),
+    (r"windows nt 5\.0", "Windows 2000"),
+    (r"windows phone", "Windows Phone"),
+    (r"windows", "Windows"),
+    (r"android", "Android"),
+    (r"iphone|ipad|ipod|ios", "iOS"),
+    (r"mac os x|macintosh", "Mac OS X"),
+    (r"cros", "Chrome OS"),
+    (r"linux", "Linux"),
+    (r"symbian|symbos", "Symbian OS"),
+    (r"blackberry", "BlackBerry OS"),
+]
+
+UA_STRUCT = T.StructType(
+    [
+        T.StructField("browser", T.StringType(), True),
+        T.StructField("os", T.StringType(), True),
+        T.StructField("device_type", T.StringType(), True),
+        T.StructField("ua_is_bot", T.BooleanType(), True),
+    ]
+)
+
+
+def _first_match(s: pd.Series, rules: list[tuple[str, str]], default: str) -> pd.Series:
+    out = pd.Series(default, index=s.index, dtype="object")
+    unresolved = s.notna()
+    for pat, family in rules:
+        hit = unresolved & s.str.contains(pat, case=False, regex=True, na=False)
+        out[hit] = family
+        unresolved &= ~hit
+    out[s.isna()] = None
+    return out
+
+
+def classify_ua_pdf(ua: pd.Series) -> pd.DataFrame:
+    s = ua.str.replace("+", " ", regex=False)
+    browser = _first_match(s, _BROWSER_RULES, "Other")
+    os_fam = _first_match(s, _OS_RULES, "Other")
+    is_bot = (
+        s.str.contains(_GENERIC_BOT, case=False, regex=True, na=False)
+        | browser.isin(ADDITIONAL_BOT_BROWSERS)
+        | browser.isin(["Googlebot", "bingbot", "Yahoo! Slurp", "Twiceler", "Baiduspider",
+                        "YandexBot", "DuckDuckBot", "AhrefsBot", "SemrushBot", "FacebookBot"])
+    )
+    mobile = s.str.contains(r"mobile|iphone|ipod|windows phone|symbian|blackberry", case=False, na=False)
+    tablet = s.str.contains(r"ipad|tablet", case=False, na=False) | (
+        s.str.contains("android", case=False, na=False)
+        & ~s.str.contains("mobile", case=False, na=False)
+    )
+    pc = s.str.contains(r"windows nt|macintosh|x11|linux|cros", case=False, na=False)
+    device = pd.Series("Unknown", index=s.index, dtype="object")
+    device[pc] = "PC"
+    device[tablet] = "Tablet"
+    device[mobile & ~tablet] = "Mobile"
+    device[is_bot] = "Unknown"
+    device[s.isna()] = None
+    return pd.DataFrame(
+        {"browser": browser, "os": os_fam, "device_type": device, "ua_is_bot": is_bot.where(s.notna(), None)}
+    )
+
+
+classify_ua = F.pandas_udf(classify_ua_pdf, UA_STRUCT)
+
+
+def enrich_user_agent(df: DataFrame, ua_col: str = "browser_string", path_col: str = "raw_file_path") -> DataFrame:
+    """Adds browser, os, device_type, is_bot in ONE Arrow pass.
+
+    is_bot = UA-bot OR path == '/robots.txt' OR browser in the
+    additional-bot allowlist (reference bot_tasks.py:58-59).
+    """
+    out = df.withColumn("_ua", classify_ua(F.col(ua_col)))
+    out = (
+        out.withColumn("browser", F.col("_ua.browser"))
+        .withColumn("os", F.col("_ua.os"))
+        .withColumn("device_type", F.coalesce(F.col("_ua.device_type"), F.lit("Unknown")))
+        .withColumn(
+            "is_bot",
+            F.coalesce(F.col("_ua.ua_is_bot"), F.lit(False))
+            | (F.col(path_col) == "/robots.txt")
+            | F.col("_ua.browser").isin(ADDITIONAL_BOT_BROWSERS),
+        )
+        .drop("_ua")
+    )
+    return out

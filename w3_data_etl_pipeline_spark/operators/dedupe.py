@@ -1,0 +1,237 @@
+"""Deduplication operators.
+
+``latest_by_key`` is the CDC max-LSN dedup the north rule mandates
+(one surviving event per (repo,path) per microbatch, deterministic
+tie-break). The rest are the training-data dedup family: exact
+hash dedup, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup — each expressed with built-in DataFrame
+ops (shuffles only on the grouping keys; no per-row Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_by_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Keep the max-`order` row per key (last-writer-wins).
+
+    Deterministic: ties on order[0] break on order[1], ...; exact
+    duplicate rows collapse to one arbitrarily-but-identically.
+    Generalizes the reference's "latest state wins" rebuild semantics
+    (reference src/dags/w3c.py weekly DROP+rebuild) into streaming
+    upsert form. Single shuffle on `keys`.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: keep min-id row per sha256(text).
+
+    Hash-groupBy — one shuffle on the 64-hex digest, uniformly
+    distributed, so no skew at any scale.
+    """
+    h = F.sha2(F.col(text_col), 256).alias("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", F.sha2(F.col(text_col), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def _word_shingles(text_col: str, k: int = 3) -> F.Column:
+    """Distinct k-word shingles of lowercase text, as array<string>."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of
+    xxhash64(shingle, i). All JVM-side (explode-free: higher-order
+    array functions), one row out per row in.
+    """
+    sh = _word_shingles(text_col, shingle_k).alias("_shingles")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("_shingles"), lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.select(F.col(id_col), sh).select(id_col, sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature is cut into `bands` bands of num_hashes/bands rows; docs
+    sharing any band hash become a candidate pair. The only shuffle is
+    the groupBy on (band, band_hash) — hash-distributed; a band bucket
+    holding B docs emits B-1 pairs against the bucket min, keeping
+    output linear (union-find style anchor) instead of quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sigs.select(
+        id_col,
+        F.explode(band_idx).alias("band"),
+    ).join(sigs.select(id_col, "minhash"), id_col)
+    banded = banded.select(
+        id_col,
+        "band",
+        F.xxhash64(
+            F.concat_ws(",", F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1, rows_per_band)),
+            F.col("band"),
+        ).alias("band_hash"),
+    )
+    anchors = banded.groupBy("band", "band_hash").agg(F.min(id_col).alias("anchor_id"))
+    pairs = (
+        banded.join(anchors, ["band", "band_hash"])
+        .filter(F.col(id_col) != F.col("anchor_id"))
+        .select(F.col("anchor_id").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from word-level features.
+
+    For each bit b, the bit is 1 iff sum over distinct words of
+    sign(bit b of xxhash64(word)) is positive. Built from SQL
+    aggregate/transform higher-order functions (shiftright with a
+    non-literal shift is SQL-only) — no UDF, one map-side pass.
+    """
+    ws = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(array_distinct(split(lower(trim({text_col})), '\\\\s+')), w -> xxhash64(w))"
+        ).alias("_hs"),
+    )
+    sig = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, {bits - 1}), b ->
+            CASE WHEN aggregate(_hs, cast(0 AS bigint),
+                   (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+                 THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END),
+          cast(0 AS bigint), (acc, x) -> acc | x)
+        """
+    )
+    return ws.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Explodes shingles, self-joins on shingle (the inverted-index
+    pattern: shuffle keyed by shingle hash), counts shared shingles
+    per pair, then Jaccard = |∩| / (|A|+|B|-|∩|). Pairs below
+    `threshold` are dropped before the final projection. At scale the
+    shingle join is the standard document-similarity-join layout;
+    frequency-skewed shingles can be capped by a document-frequency
+    filter (left to the caller's stopword policy).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_k).alias("_sh")
+    ).persist()
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95, n_buckets: int = 8
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Scale path: random-hyperplane LSH — sign-bucket each vector by a
+    few xxhash64-seeded hyperplanes (deterministic), only compare
+    within a bucket, so the candidate join is bucket-local instead of
+    a full cross join. Cosine via zip_with/aggregate (JVM-side).
+    """
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: x / norm)
+    dim = F.size(v)
+    # deterministic pseudo-hyperplanes: plane p component i = hash -> [-1,1)
+    planes = F.sequence(F.lit(0), F.lit(n_buckets - 1))
+    sign_bits = F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    unit,
+                    F.sequence(F.lit(0), dim - 1),
+                    lambda x, i: x * ((F.pmod(F.xxhash64(i, p), F.lit(2000)).cast("double") - 1000.0) / 1000.0),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    bucket = F.aggregate(
+        F.zip_with(
+            sign_bits,
+            F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+            lambda bit, i: (bit * F.pow(F.lit(2.0), i)).cast("int"),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    side = df.select(F.col(id_col).alias("_id"), unit.alias("_u"), bucket.alias("_b"))
+    a, b = side.alias("a"), side.alias("b")
+    cos = F.aggregate(
+        F.zip_with(F.col("a._u"), F.col("b._u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

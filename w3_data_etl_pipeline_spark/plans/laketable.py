@@ -1,0 +1,351 @@
+"""LakeTable: a snapshot-versioned, bucket-partitioned parquet table
+with Iceberg-style semantics, implemented from scratch on the public
+Spark + parquet APIs (no Iceberg/Delta jars exist in this image —
+SURVEY.md §7.4.5 fallback; the interface mirrors what `MERGE INTO` +
+snapshot metadata give you on a real lakehouse so the sink is
+swappable).
+
+Layout::
+
+    <root>/
+      _meta/v000000000001.json   # immutable snapshot manifests
+      _meta/current              # pointer file (atomic os.replace)
+      data/c000000000001/_bucket=K/part-*.parquet
+      lineage/                   # per-(batch, bucket) metrics rows
+
+Semantics:
+
+* **Snapshot isolation** — a snapshot manifest lists exactly the data
+  files that make up a version; readers resolve ``current`` once and
+  see an immutable file set.
+* **Optimistic concurrency** — a commit writes ``v{N+1}.json`` with
+  ``open(..., 'x')``; a concurrent committer loses the race and
+  retries against the new current (same protocol as Iceberg's
+  atomic swap).
+* **Bucketed copy-on-write MERGE** — rows are hash-bucketed by key
+  (``pmod(xxhash64(keys), n_buckets)``); a merge rewrites only the
+  buckets the batch touches. At 100 TB / 4096 buckets a microbatch
+  touching 1% of keys rewrites ~1% of the table, not all of it; the
+  join is key-partitioned on both sides.
+* **Exactly-once ledger** — every snapshot carries the set of applied
+  ``batch_id``s; re-applying a batch (foreachBatch retry, checkpoint
+  replay overlap) is a metadata no-op. Defense in depth: the MERGE
+  itself is idempotent (max-LSN guard per key).
+* **Additive schema evolution** — a batch carrying new columns widens
+  the table schema (nullable add); old files are read through the
+  widened schema (missing columns -> NULL), exactly like Iceberg
+  ``ALTER TABLE ADD COLUMNS``. Generalizes the reference's
+  ``ALTER TABLE ... ADD COLUMN IF NOT EXISTS`` discipline
+  (reference src/common_package/browser_tasks.py:14-18 and 7
+  siblings; SURVEY.md §1.3).
+
+The reference analogue of ``merge`` is its incremental IP-dimension
+upsert (anti-join insert + NULL-only enrichment,
+reference src/common_package/ip_tasks.py:27-33,94-108), scaled up to
+full I/U/D semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_COLS = {"op", "lsn", "event_ts", "_bucket"}
+LSN_COL = "_lsn"
+
+
+@dataclass
+class MergeStats:
+    batch_id: int
+    applied: bool
+    version: int
+    input_rows: int = 0
+    deduped_rows: int = 0
+    touched_buckets: int = 0
+    output_rows: int = 0
+    lineage: list[dict] = field(default_factory=list)
+
+
+class CommitConflict(Exception):
+    pass
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._meta = os.path.join(root, "_meta")
+        self._data = os.path.join(root, "data")
+        self.lineage_dir = os.path.join(root, "lineage")
+
+    # ---------------- snapshot plumbing ----------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: list[str],
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        t = LakeTable(spark, root)
+        os.makedirs(t._meta, exist_ok=True)
+        os.makedirs(t._data, exist_ok=True)
+        if LSN_COL not in schema.fieldNames():
+            schema = T.StructType(schema.fields + [T.StructField(LSN_COL, T.LongType(), True)])
+        snap = {
+            "version": 0,
+            "schema": schema.jsonValue(),
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "files": [],
+            "ledger": {},
+            "parent": None,
+            "committed_at": None,
+        }
+        t._write_snapshot(snap)
+        return t
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._meta, f"v{version:012d}.json")
+
+    def _write_snapshot(self, snap: dict) -> None:
+        snap["committed_at"] = time.time()
+        path = self._snap_path(snap["version"])
+        with open(path, "x") as f:  # 'x' => optimistic-concurrency commit race
+            json.dump(snap, f)
+        tmp = path + f".ptr.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(snap["version"]))
+        os.replace(tmp, os.path.join(self._meta, "current"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self._meta, "current")) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict:
+        if version is None:
+            version = self.current_version()
+        with open(self._snap_path(version)) as f:
+            return json.load(f)
+
+    def schema(self, snap: dict | None = None) -> T.StructType:
+        snap = snap or self.snapshot()
+        return T.StructType.fromJson(snap["schema"])
+
+    # ---------------- read path ----------------
+
+    def _bucket_expr(self, snap: dict) -> F.Column:
+        keys = [F.col(c) for c in snap["key_cols"]]
+        return F.pmod(F.xxhash64(*keys), F.lit(snap["n_buckets"])).cast("int")
+
+    def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, f) for f in files]
+        # explicit schema => old files missing newly-added columns read as NULL
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
+        snap = self.snapshot(version)
+        schema = self.schema(snap)
+        df = self._read_files([f["path"] for f in snap["files"]], schema)
+        if not include_meta:
+            df = df.drop(LSN_COL)
+        return df
+
+    def lineage(self) -> DataFrame:
+        from ..schemas import LINEAGE
+
+        if not os.path.isdir(self.lineage_dir) or not any(
+            n.endswith(".parquet") for _, _, fs in os.walk(self.lineage_dir) for n in fs
+        ):
+            return self.spark.createDataFrame([], LINEAGE)
+        return self.spark.read.parquet(self.lineage_dir)
+
+    # ---------------- write path ----------------
+
+    def overwrite(self, df: DataFrame, lsn: int = 0) -> int:
+        """Replace the whole table (idempotent drop-and-rebuild — the
+        reference's dominant table-maintenance mode, SURVEY.md §1.4)."""
+        snap = self.snapshot()
+        if LSN_COL not in df.columns:
+            df = df.withColumn(LSN_COL, F.lit(lsn).cast("long"))
+        new_files = self._write_data(df, snap, version=snap["version"] + 1)
+        new = dict(snap)
+        new.update(version=snap["version"] + 1, files=new_files, parent=snap["version"])
+        new["schema"] = self._unify_schema(self.schema(snap), df.schema).jsonValue()
+        self._write_snapshot(new)
+        return new["version"]
+
+    def _write_data(self, df: DataFrame, snap: dict, version: int) -> list[dict]:
+        rel = os.path.join("data", f"c{version:012d}")
+        out = os.path.join(self.root, rel)
+        (
+            df.withColumn("_bucket", self._bucket_expr(snap))
+            .repartition(max(1, min(snap["n_buckets"], 32)), "_bucket")
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        files = []
+        for dirpath, _dirs, names in os.walk(out):
+            for n in names:
+                if n.endswith(".parquet"):
+                    b = int(os.path.basename(dirpath).split("=", 1)[1])
+                    files.append(
+                        {"path": os.path.relpath(os.path.join(dirpath, n), self.root), "bucket": b}
+                    )
+        return files
+
+    @staticmethod
+    def _unify_schema(base: T.StructType, incoming: T.StructType) -> T.StructType:
+        names = set(base.fieldNames())
+        fields = list(base.fields)
+        for f_ in incoming.fields:
+            if f_.name not in names and f_.name not in META_COLS:
+                fields.append(T.StructField(f_.name, f_.dataType, True))
+        return T.StructType(fields)
+
+    # ---------------- MERGE (the CDC apply) ----------------
+
+    def merge(self, events: DataFrame, batch_id: int) -> MergeStats:
+        """Apply one deduplicated-or-raw microbatch of change events.
+
+        events columns: key_cols + (lsn, op) + value columns
+        (op: 'I'|'U' upsert full row, 'D' delete). Safe to call twice
+        with the same batch_id (ledger no-op) and safe under
+        duplicate/stale events (max-LSN guard).
+        """
+        snap = self.snapshot()
+        if str(batch_id) in snap["ledger"]:
+            return MergeStats(batch_id=batch_id, applied=False, version=snap["version"])
+
+        keys = snap["key_cols"]
+        # additive schema evolution: widen table schema with new event columns
+        schema = self._unify_schema(self.schema(snap), events.schema)
+
+        # per-microbatch max-LSN dedup, deterministic tie-break on commit
+        from ..operators.dedupe import latest_by_key
+
+        order = ["lsn"] + (["commit"] if "commit" in events.columns else [])
+        deduped = latest_by_key(events, keys, order).withColumn(
+            "_bucket", self._bucket_expr(snap)
+        )
+        deduped = deduped.persist()
+        try:
+            # ONE action computes both the touched-bucket set and the
+            # per-bucket lineage stats (offset range + applied count)
+            lin_rows = (
+                deduped.groupBy("_bucket")
+                .agg(
+                    F.min("lsn").alias("min_lsn"),
+                    F.max("lsn").alias("max_lsn"),
+                    F.count("*").alias("applied_count"),
+                )
+                .collect()
+            )
+            touched = [r["_bucket"] for r in lin_rows]
+            touched_set = set(touched)
+            old_files = [f for f in snap["files"] if f["bucket"] in touched_set]
+            kept_files = [f for f in snap["files"] if f["bucket"] not in touched_set]
+
+            tgt = self._read_files([f["path"] for f in old_files], schema)
+
+            value_cols = [f_.name for f_ in schema.fields if f_.name not in keys and f_.name != LSN_COL]
+            ev = deduped.select(
+                *[F.col(k).alias(f"_ev_{k}") for k in keys],
+                F.col("lsn").alias("_ev_lsn"),
+                F.col("op").alias("_ev_op"),
+                *[
+                    (F.col(c) if c in deduped.columns else F.lit(None)).alias(f"_ev_{c}")
+                    for c in value_cols
+                ],
+            )
+            cond = [tgt[k].eqNullSafe(ev[f"_ev_{k}"]) for k in keys]
+            j = tgt.join(ev, cond, "full_outer")
+
+            take_ev = ev["_ev_lsn"].isNotNull() & (
+                tgt[LSN_COL].isNull() | (ev["_ev_lsn"] >= tgt[LSN_COL])
+            )
+            deleted = take_ev & (ev["_ev_op"] == "D")
+            merged = j.filter(~deleted).select(
+                *[
+                    F.when(take_ev, ev[f"_ev_{k}"]).otherwise(tgt[k]).alias(k)
+                    for k in keys
+                ],
+                *[
+                    F.when(take_ev, ev[f"_ev_{c}"]).otherwise(tgt[c]).alias(c)
+                    for c in value_cols
+                ],
+                F.when(take_ev, ev["_ev_lsn"]).otherwise(tgt[LSN_COL]).alias(LSN_COL),
+            )
+
+            version = snap["version"] + 1
+            new_files = self._write_data(merged, snap, version) if touched else []
+
+            # per-partition lineage/metrics (north rule): offset range +
+            # applied count per bucket, tagged with the commit version
+            lineage = [
+                {
+                    "batch_id": int(batch_id),
+                    "partition_bucket": int(r["_bucket"]),
+                    "min_lsn": int(r["min_lsn"]),
+                    "max_lsn": int(r["max_lsn"]),
+                    "applied_count": int(r["applied_count"]),
+                    "snapshot_version": version,
+                }
+                for r in lin_rows
+            ]
+            if lineage:
+                from ..schemas import LINEAGE
+
+                self.spark.createDataFrame(lineage, LINEAGE).coalesce(1).write.mode(
+                    "append"
+                ).parquet(self.lineage_dir)
+
+            new = dict(snap)
+            new.update(
+                version=version,
+                schema=schema.jsonValue(),
+                files=kept_files + new_files,
+                parent=snap["version"],
+                ledger={**snap["ledger"], str(batch_id): {"version": version}},
+            )
+            self._write_snapshot(new)
+            return MergeStats(
+                batch_id=batch_id,
+                applied=True,
+                version=version,
+                deduped_rows=sum(r["applied_count"] for r in lin_rows),
+                touched_buckets=len(touched),
+                lineage=lineage,
+            )
+        finally:
+            deduped.unpersist()
+
+    # ---------------- maintenance ----------------
+
+    def compact(self) -> int:
+        """Rewrite all buckets into one file set (small-file compaction)."""
+        snap = self.snapshot()
+        df = self._read_files([f["path"] for f in snap["files"]], self.schema(snap))
+        version = snap["version"] + 1
+        files = self._write_data(df, snap, version)
+        new = dict(snap)
+        new.update(version=version, files=files, parent=snap["version"])
+        self._write_snapshot(new)
+        return version
+
+    def state_fingerprint(self) -> DataFrame:
+        """Per-key sha256(content) — the north-rule equality invariant."""
+        snap = self.snapshot()
+        df = self.read()
+        return df.select(*snap["key_cols"], F.sha2(F.col("content"), 256).alias("content_sha"))

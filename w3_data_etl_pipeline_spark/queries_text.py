@@ -1,0 +1,299 @@
+"""Training-data pipeline queries (dedup families, text analysis,
+similarity search, path normalization) with DuckDB oracles where the
+semantics are SQL-expressible; approximate/LSH variants are
+registered without oracles (driver records rows-only checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import text
+from .functions.paths import normalize_path
+from .operators import dedupe, similarity
+from .queries import REGISTRY, q, t
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "exact_dedup_docs",
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the min-id representative per exact content hash; the
+    shuffle key is the 256-bit digest (uniform, skew-free)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.sha2(F.col("text"), 256)).agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_counts_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text.token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in text.STOPWORDS) + "]"
+
+
+@q(
+    "quality_docs",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS q_n_chars,
+           CAST(len(ws) AS INT) AS q_n_words,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}\-]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS q_punct_ratio,
+           round(len(list_filter(ws, x -> list_contains({_STOP_SQL}, x)))
+                 / greatest(len(ws), 1), 6) AS q_stopword_ratio,
+           round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+                 / greatest(len(ws), 1), 6) AS q_mean_word_len
+    FROM w
+    """,
+)
+def quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return text.quality_features(d).select(
+        "doc_id", "q_n_chars", "q_n_words", "q_punct_ratio", "q_stopword_ratio", "q_mean_word_len"
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker n-gram heuristic; alphabetically-first max wins)
+# ---------------------------------------------------------------------------
+
+def _score_sql(lang: str) -> str:
+    markers = "[" + ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang]) + "]"
+    return f"len(list_intersect(list_distinct(ws), {markers}))"
+
+
+@q(
+    "lang_id_docs",
+    rf"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ws FROM documents),
+    s AS (SELECT doc_id, {_score_sql('de')} AS s_de, {_score_sql('en')} AS s_en,
+                 {_score_sql('es')} AS s_es, {_score_sql('fr')} AS s_fr FROM w)
+    SELECT CASE
+             WHEN s_de >= greatest(s_en, s_es, s_fr, 1) THEN 'de'
+             WHEN s_en >= greatest(s_es, s_fr, 1) THEN 'en'
+             WHEN s_es >= greatest(s_fr, 1) THEN 'es'
+             WHEN s_fr >= 1 THEN 'fr'
+             ELSE 'und'
+           END AS lang_pred,
+           COUNT(*) AS n
+    FROM s GROUP BY 1
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(text.lang_id(F.col("text")).alias("lang_pred")).groupBy("lang_pred").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fingerprint_docs",
+    r"""
+    SELECT doc_id,
+           sha256(array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')) AS fp
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force top-k (oracle) + IVF probe (rows-only)
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product(e.v, q.v) / "
+    "nullif(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v)), 0)"
+)
+
+
+@q(
+    "embedding_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v FROM e WHERE vec_id = 0)
+    SELECT vec_id, round({_COS}, 6) AS cosine
+    FROM e, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact ANN baseline: one map-side codegen pass +
+    top-k. The query vector is row vec_id=0's embedding."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk(e, "embedding", "vec_id", list(qv), k=20)
+
+
+@q("embedding_ivf_topk", None)  # approximate: rows-only check
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN scale path (probes 4/16 cells)."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(e, "embedding", "vec_id", list(qv), k=20, n_cells=16, n_probe=4)
+
+
+@q(
+    "embedding_neardup_exact",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0),
+                 6) AS cosine
+    FROM e a, e b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) /
+          nullif(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)), 0) >= 0.3
+    """,
+)
+def embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs near-dup (correctness baseline for the LSH
+    variant; quadratic — only ever run at oracle scale)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    side = e.select(F.col("vec_id"), v.alias("v"))
+    a, b = side.alias("a"), side.alias("b")
+    cos = similarity.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.3)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )
+
+
+@q("minhash_lsh_pairs", None)  # approximate: rows-only check
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedupe.minhash_lsh_pairs(d, "text", "doc_id", num_hashes=32, bands=8)
+
+
+@q("simhash_docs", None)  # xxhash64 not reproducible in DuckDB: rows-only
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedupe.simhash(d, "text", "doc_id")
+
+
+@q(
+    "ngram_jaccard_pairs",
+    None,  # oracle omitted round 1 (DuckDB shingle SQL parity pending)
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return dedupe.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# P3-P9 path normalization over synthesized paths
+# ---------------------------------------------------------------------------
+
+_SUFFIX_SQL = (
+    "CASE event_id % 7 WHEN 0 THEN '.html' WHEN 1 THEN '.PNG?width=100' WHEN 2 THEN '' "
+    "WHEN 3 THEN '.tar.gz' WHEN 4 THEN '+++junk\"qq' WHEN 5 THEN '.c++' ELSE '.txt' END"
+)
+_P_SQL = f"'/' || event_type || '/f' || CAST(event_id % 97 AS VARCHAR) || {_SUFFIX_SQL}"
+
+
+@q(
+    "path_normalize_synthetic",
+    rf"""
+    WITH raw AS (SELECT {_P_SQL} AS p FROM events),
+    s1 AS (SELECT p, lower(p) AS low FROM raw),
+    s2 AS (SELECT p, low,
+             CASE WHEN low NOT LIKE '%/%' THEN ''
+                  WHEN regexp_extract(low, '^(.*)/[^/]*$', 1) = '' THEN '/'
+                  ELSE regexp_extract(low, '^(.*)/[^/]*$', 1) END AS dir,
+             regexp_extract(low, '([^/]*)$', 1) AS n0
+           FROM s1),
+    s3 AS (SELECT p, dir,
+             regexp_replace(
+               string_split(string_split(string_split(n0, '+++')[1], '"')[1], '?')[1],
+               '[^a-zA-Z0-9./\-''+_]', '', 'g') AS nm
+           FROM s2),
+    s4 AS (SELECT p, dir, nm,
+             CASE WHEN regexp_matches(nm, '[^.].*\.[^.]*$')
+                  THEN regexp_extract(nm, '(\.[^.]*)$', 1) ELSE '' END AS ext0
+           FROM s3),
+    s5 AS (SELECT dir AS file_directory, nm AS file_name,
+             CASE WHEN ext0 LIKE '%+%' THEN '' ELSE ext0 END AS file_extension,
+             CASE WHEN dir LIKE '%/' THEN dir || nm ELSE dir || '/' || nm END AS file_path
+           FROM s4)
+    SELECT file_path, file_directory, file_name, file_extension,
+           CASE WHEN file_extension = '' THEN 'directory' ELSE 'file' END AS file_type,
+           COUNT(*) AS n
+    FROM s5 GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def path_normalize_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference path-normalizer chain (P3-P9) over deterministic
+    synthetic URLs derived from events (the driver tables carry no
+    path column)."""
+    e = t(spark, sf_dir, "events")
+    suffix = (
+        F.when(F.col("event_id") % 7 == 0, ".html")
+        .when(F.col("event_id") % 7 == 1, ".PNG?width=100")
+        .when(F.col("event_id") % 7 == 2, "")
+        .when(F.col("event_id") % 7 == 3, ".tar.gz")
+        .when(F.col("event_id") % 7 == 4, '+++junk"qq')
+        .when(F.col("event_id") % 7 == 5, ".c++")
+        .otherwise(".txt")
+    )
+    raw = e.select(
+        F.concat(
+            F.lit("/"), F.col("event_type"), F.lit("/f"), (F.col("event_id") % 97).cast("string"), suffix
+        ).alias("raw_file_path")
+    )
+    out = normalize_path(raw)
+    return out.groupBy(
+        "file_path", "file_directory", "file_name", "file_extension", "file_type"
+    ).agg(F.count("*").alias("n"))
