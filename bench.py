@@ -39,7 +39,9 @@ HEADLINE = [
 ]
 
 
-def bench_cdc(spark, n_keys: int = 20000, n_events: int = 100000, n_batches: int = 4) -> float:
+def bench_cdc(
+    spark, n_keys: int = 20000, n_events: int = 100000, n_batches: int = 4, mode: str = "cow"
+) -> float:
     """events/sec through dedup + bucketed MERGE commits (batch mode:
     measures the engine apply path without file-stream overhead)."""
     from w3_data_etl_pipeline_spark import datagen
@@ -59,7 +61,7 @@ def bench_cdc(spark, n_keys: int = 20000, n_events: int = 100000, n_batches: int
         for i in range(n_batches):
             lo, hi = i * per + 1, (i + 1) * per if i < n_batches - 1 else n_events
             b = events.filter((events.lsn >= lo) & (events.lsn <= hi))
-            apply_batch(table, b, i, enrich=True, salt_partitions=None)
+            apply_batch(table, b, i, enrich=True, salt_partitions=None, mode=mode)
         dt = time.time() - t0
         events.unpersist()
         return n_events / dt
@@ -88,7 +90,8 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
-    cdc_eps = bench_cdc(spark)
+    cdc_eps = bench_cdc(spark, mode="cow")
+    cdc_eps_mor = bench_cdc(spark, mode="mor")
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     print(
@@ -100,6 +103,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cdc_events_per_sec": round(cdc_eps, 1),
+                "cdc_events_per_sec_mor": round(cdc_eps_mor, 1),
                 "cpus": int(cpus),
             }
         )

@@ -123,6 +123,45 @@ def test_schema_evolution_additive(spark, tmp_path, fixtures):
     assert _engine_shas(t) == exp
 
 
+def test_mor_mode_matches_oracle_and_compacts(spark, tmp_path, fixtures):
+    """Merge-on-read: delta appends + read-time resolution must yield
+    the same state as copy-on-write, before AND after compaction."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_mor")
+    for i, (lo, hi) in enumerate([(1, 700), (701, 1400), (1401, 2000)]):
+        st = apply_batch(
+            t, events.filter((events.lsn >= lo) & (events.lsn <= hi)), i, enrich=False, mode="mor"
+        )
+        assert st.applied
+    exp = _expected_shas(snap_rows, event_rows)
+    assert _engine_shas(t) == exp
+    assert any(f.get("kind") == "delta" for f in t.snapshot()["files"])
+    t.compact()
+    assert all(f.get("kind", "base") == "base" for f in t.snapshot()["files"])
+    assert _engine_shas(t) == exp  # byte-identical after folding
+    # replay a MOR batch under its old id: still a ledger no-op
+    assert not apply_batch(t, events.filter(events.lsn <= 700), 0, enrich=False, mode="mor").applied
+
+
+def test_mor_schema_evolution(spark, tmp_path, fixtures):
+    snap, events, snap_rows, _ = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_mor_evo")
+    apply_batch(t, events.filter(events.lsn <= 1000), 0, enrich=False, mode="mor")
+    ev2 = datagen.change_events(
+        spark, 300, N_EVENT_KEYS, first_lsn=2001, with_lang_confidence=True
+    )
+    apply_batch(t, ev2, 1, enrich=False, mode="mor")
+    out = t.read()
+    assert "lang_confidence" in out.columns
+    assert out.filter(out.lang_confidence.isNotNull()).count() > 0
+    exp = _expected_shas(
+        snap_rows,
+        [r.asDict() for r in events.filter(events.lsn <= 1000).collect()]
+        + [r.asDict() for r in ev2.collect()],
+    )
+    assert _engine_shas(t) == exp
+
+
 def test_stream_kill_resume(spark, tmp_path, fixtures):
     """Drain WAL segments incrementally; simulate a crash between the
     sink commit and the checkpoint commit (the exactly-once window);

@@ -2,7 +2,8 @@
 engine (checkpointed, exactly-once) -> state fingerprint vs the
 single-threaded oracle. This is the engine's primary runtime surface.
 
-Usage: python tools/cdc_demo.py [n_keys] [n_events] [workdir]
+Usage: python tools/cdc_demo.py [n_keys] [n_events] [workdir] [mode]
+mode: cow (default) | mor (append deltas, resolve on read, compact at end)
 """
 
 from __future__ import annotations
@@ -26,7 +27,8 @@ from w3_data_etl_pipeline_spark.streaming.cdc import run_stream  # noqa: E402
 def main() -> int:
     n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
-    work = sys.argv[3] if len(sys.argv) > 3 else tempfile.mkdtemp(prefix="cdc_demo_")
+    work = (sys.argv[3] if len(sys.argv) > 3 else "") or tempfile.mkdtemp(prefix="cdc_demo_")
+    mode = sys.argv[4] if len(sys.argv) > 4 else "cow"
     spark = get_spark("cdc_demo", master="local[8]", shuffle_partitions=8)
 
     snap = datagen.source_snapshot(spark, n_keys)
@@ -49,9 +51,12 @@ def main() -> int:
 
     t0 = time.time()
     run = run_stream(
-        spark, table, wal, os.path.join(work, "ckpt"), CHANGE_EVENTS, enrich=True, salt_partitions=8
+        spark, table, wal, os.path.join(work, "ckpt"), CHANGE_EVENTS,
+        enrich=True, salt_partitions=8, mode=mode,
     )
     dt = time.time() - t0
+    if mode == "mor":
+        table.compact()
     applied = sum(s.deduped_rows for s in run.stats)
     print(f"stream drained: {len(run.stats)} batches, {applied} deduped events applied, {dt:.1f}s")
     print(f"table version: {table.current_version()}  lineage rows: {table.lineage().count()}")

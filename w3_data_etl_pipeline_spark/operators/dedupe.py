@@ -58,17 +58,20 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, i). All JVM-side (explode-free: higher-order
-    array functions), one row out per row in.
+    xxhash64(shingle, i).
+
+    Shape: explode shingles -> num_hashes flat MIN aggregates ->
+    array. Flat column expressions stay inside whole-stage codegen
+    (nested higher-order lambdas are interpreted and ~20x slower),
+    and the mins combine map-side, so the shuffle carries only
+    num_hashes longs per (doc, partition).
     """
-    sh = _word_shingles(text_col, shingle_k).alias("_shingles")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(F.col("_shingles"), lambda s: F.xxhash64(s, i))
-        ),
+    ex = df.select(F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s"))
+    mins = [F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash")
     )
-    return df.select(F.col(id_col), sh).select(id_col, sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -89,18 +92,17 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    # one pass: signature -> array of band hashes -> posexplode. The
+    # signature (the expensive expression) is evaluated exactly once
+    # per row; no self-join.
+    band_hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)), b
+        ),
+    )
     banded = sigs.select(
-        id_col,
-        F.explode(band_idx).alias("band"),
-    ).join(sigs.select(id_col, "minhash"), id_col)
-    banded = banded.select(
-        id_col,
-        "band",
-        F.xxhash64(
-            F.concat_ws(",", F.slice(F.col("minhash"), F.col("band") * rows_per_band + 1, rows_per_band)),
-            F.col("band"),
-        ).alias("band_hash"),
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
     )
     anchors = banded.groupBy("band", "band_hash").agg(F.min(id_col).alias("anchor_id"))
     pairs = (

@@ -3,26 +3,25 @@
 * ``cosine_topk`` — brute-force exact top-k against one query vector:
   a single map-side pass (zip_with dot product in codegen) + a top-k
   sort. At 100 TB this is the correctness baseline / reranker.
-* ``ivf_topk`` — IVF-style scale path: deterministic pseudo-centroid
-  assignment buckets every vector once (map-side); the query probes
-  only its nearest ``n_probe`` buckets, so the scan touches
-  n_probe/n_cells of the data. Centroids here are hash-derived unit
-  vectors (deterministic, no training pass needed in the sandbox);
-  on a real corpus the same operator takes k-means centroids as a
-  broadcast table.
-* ``knn_join_lsh`` — all-pairs approximate neighbor join via the
-  random-hyperplane buckets from operators.dedupe.
+* ``ivf_topk`` — IVF-style scale path: every vector is assigned once
+  to its nearest pseudo-centroid (numpy matmul inside an Arrow
+  pandas UDF — one BLAS call per batch, no per-row Python); the query
+  probes only its nearest ``n_probe`` cells, so the scan touches
+  n_probe/n_cells of the data. Centroids are seeded random unit
+  directions (deterministic; on a real corpus the same operator takes
+  k-means centroids as a broadcast matrix). The cell id is computable
+  at write time and usable as a partition column, turning the probe
+  into partition pruning at scale.
+* ``knn_join_lsh`` near-dup pairs live in operators.dedupe
+  (random-hyperplane buckets).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _unit(v: F.Column) -> F.Column:
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    return F.transform(v, lambda x: x / F.nullif(norm, F.lit(0.0)))
 
 
 def cosine(a: F.Column, b: F.Column) -> F.Column:
@@ -49,24 +48,24 @@ def cosine_topk(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
-def _cell(v: F.Column, n_cells: int, dim: int) -> F.Column:
-    """Deterministic pseudo-centroid assignment: argmax over n_cells
-    hash-derived directions (each component in [-1,1))."""
-    unit = _unit(_as_double(v))
-    cells = F.sequence(F.lit(0), F.lit(n_cells - 1))
-    scores = F.transform(
-        cells,
-        lambda c: F.aggregate(
-            F.zip_with(
-                unit,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x * ((F.pmod(F.xxhash64(i, c, F.lit("ivf")), F.lit(2000)).cast("double") - 1000.0) / 1000.0),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-    )
-    return F.array_position(scores, F.array_max(scores)).cast("int") - 1
+def ivf_directions(n_cells: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic pseudo-centroids: seeded random unit directions."""
+    rng = np.random.RandomState(seed)
+    d = rng.standard_normal((n_cells, dim))
+    return d / np.linalg.norm(d, axis=1, keepdims=True)
+
+
+def assign_cells(df: DataFrame, vec_col: str, dirs: np.ndarray, out_col: str = "_cell") -> DataFrame:
+    """Nearest-centroid assignment: one Arrow batch -> one BLAS matmul."""
+
+    @F.pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        m = np.stack(v.to_numpy())
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return pd.Series(np.argmax((m / norms) @ dirs.T, axis=1).astype("int32"))
+
+    return df.withColumn(out_col, cell(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -77,33 +76,14 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     n_probe: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
-    """IVF-bucketed ANN: scan only the query's n_probe nearest cells.
-
-    The cell column is computable at write time and usable as a
-    partition column, turning the probe into partition pruning at
-    scale (only n_probe/n_cells of files read).
-    """
     dim = len(query_vec)
-    # score the query against every cell direction (tiny n_cells-row job,
-    # same hash formula as _cell for exact parity)
-    spark = df.sparkSession
-    qdf = spark.range(n_cells).select(
-        F.col("id").cast("int").alias("cell"),
-        F.aggregate(
-            F.zip_with(
-                F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>"),
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: x
-                * ((F.pmod(F.xxhash64(i, F.col("id").cast("int"), F.lit("ivf")), F.lit(2000)).cast("double") - 1000.0) / 1000.0),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("score"),
-    )
-    probe = [r["cell"] for r in qdf.orderBy(F.col("score").desc()).limit(n_probe).collect()]
-    bucketed = df.withColumn("_cell", _cell(F.col(vec_col), n_cells, dim))
-    cand = bucketed.filter(F.col("_cell").isin(probe))
+    dirs = ivf_directions(n_cells, dim, seed)
+    qv = np.asarray(query_vec, dtype=float)
+    qn = qv / (np.linalg.norm(qv) or 1.0)
+    probe = [int(c) for c in np.argsort(-(dirs @ qn))[:n_probe]]
+    cand = assign_cells(df, vec_col, dirs).filter(F.col("_cell").isin(probe))
     q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
     return (
         cand.select(

@@ -59,6 +59,7 @@ from pyspark.sql import types as T
 
 META_COLS = {"op", "lsn", "event_ts", "_bucket"}
 LSN_COL = "_lsn"
+OP_COL = "_op"  # persisted only in merge-on-read delta files
 
 
 @dataclass
@@ -153,12 +154,34 @@ class LakeTable:
         # explicit schema => old files missing newly-added columns read as NULL
         return self.spark.read.schema(schema).parquet(*paths)
 
+    def _phys_schema(self, snap: dict) -> T.StructType:
+        """On-disk read schema: table schema + the _op tombstone column
+        (present only in MOR delta files; NULL when read from base)."""
+        s = self.schema(snap)
+        if OP_COL not in s.fieldNames():
+            s = T.StructType(s.fields + [T.StructField(OP_COL, T.StringType(), True)])
+        return s
+
+    def _resolve(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Merge-on-read resolution: last writer (max _lsn, commit
+        tie-break) wins per key; 'D' tombstones drop the key. Exactly
+        the microbatch dedup semantics applied at read time — one
+        shuffle on the key."""
+        from ..operators.dedupe import latest_by_key
+
+        order = [LSN_COL] + (["commit"] if "commit" in df.columns else [])
+        latest = latest_by_key(df, snap["key_cols"], order)
+        return latest.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) != "D"))
+
     def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
         snap = self.snapshot(version)
-        schema = self.schema(snap)
-        df = self._read_files([f["path"] for f in snap["files"]], schema)
+        df = self._read_files([f["path"] for f in snap["files"]], self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in snap["files"]):
+            df = self._resolve(df, snap)
         if not include_meta:
-            df = df.drop(LSN_COL)
+            df = df.drop(LSN_COL, OP_COL)
+        else:
+            df = df.drop(OP_COL)
         return df
 
     def lineage(self) -> DataFrame:
@@ -185,7 +208,7 @@ class LakeTable:
         self._write_snapshot(new)
         return new["version"]
 
-    def _write_data(self, df: DataFrame, snap: dict, version: int) -> list[dict]:
+    def _write_data(self, df: DataFrame, snap: dict, version: int, kind: str = "base") -> list[dict]:
         rel = os.path.join("data", f"c{version:012d}")
         out = os.path.join(self.root, rel)
         (
@@ -201,7 +224,11 @@ class LakeTable:
                 if n.endswith(".parquet"):
                     b = int(os.path.basename(dirpath).split("=", 1)[1])
                     files.append(
-                        {"path": os.path.relpath(os.path.join(dirpath, n), self.root), "bucket": b}
+                        {
+                            "path": os.path.relpath(os.path.join(dirpath, n), self.root),
+                            "bucket": b,
+                            "kind": kind,
+                        }
                     )
         return files
 
@@ -216,13 +243,19 @@ class LakeTable:
 
     # ---------------- MERGE (the CDC apply) ----------------
 
-    def merge(self, events: DataFrame, batch_id: int) -> MergeStats:
+    def merge(self, events: DataFrame, batch_id: int, mode: str = "cow") -> MergeStats:
         """Apply one deduplicated-or-raw microbatch of change events.
 
         events columns: key_cols + (lsn, op) + value columns
         (op: 'I'|'U' upsert full row, 'D' delete). Safe to call twice
         with the same batch_id (ledger no-op) and safe under
         duplicate/stale events (max-LSN guard).
+
+        mode='cow' (copy-on-write): rewrites the touched buckets;
+        read-optimized, write cost ∝ touched-bucket bytes.
+        mode='mor' (merge-on-read): appends the deduped batch as delta
+        files; write cost ∝ batch bytes (the CDC-throughput path),
+        readers pay one max-LSN window until compact() folds deltas.
         """
         snap = self.snapshot()
         if str(batch_id) in snap["ledger"]:
@@ -256,10 +289,32 @@ class LakeTable:
             touched_set = set(touched)
             old_files = [f for f in snap["files"] if f["bucket"] in touched_set]
             kept_files = [f for f in snap["files"] if f["bucket"] not in touched_set]
-
-            tgt = self._read_files([f["path"] for f in old_files], schema)
-
+            version = snap["version"] + 1
             value_cols = [f_.name for f_ in schema.fields if f_.name not in keys and f_.name != LSN_COL]
+
+            if mode == "mor":
+                # merge-on-read: append the deduped batch as delta files
+                # (one sequential write of the batch, no table rewrite);
+                # readers resolve with the max-LSN window, compact() folds.
+                delta = deduped.select(
+                    *[F.col(c) for c in deduped.columns if c in schema.fieldNames()],
+                    F.col("lsn").alias(LSN_COL),
+                    F.col("op").alias(OP_COL),
+                )
+                # schema-missing value columns -> NULL so old+new files align
+                for c in value_cols:
+                    if c not in delta.columns and c != OP_COL:
+                        delta = delta.withColumn(c, F.lit(None).cast(schema[c].dataType))
+                new_files = self._write_data(delta, snap, version, kind="delta") if touched else []
+                return self._commit_merge(
+                    snap, schema, batch_id, version, snap["files"] + new_files, lin_rows, touched
+                )
+
+            phys = T.StructType(schema.fields + [T.StructField(OP_COL, T.StringType(), True)])
+            tgt = self._read_files([f["path"] for f in old_files], phys)
+            if any(f.get("kind", "base") == "delta" for f in old_files):
+                tgt = self._resolve(tgt, snap)
+            tgt = tgt.drop(OP_COL)
             ev = deduped.select(
                 *[F.col(k).alias(f"_ev_{k}") for k in keys],
                 F.col("lsn").alias("_ev_lsn"),
@@ -288,57 +343,73 @@ class LakeTable:
                 F.when(take_ev, ev["_ev_lsn"]).otherwise(tgt[LSN_COL]).alias(LSN_COL),
             )
 
-            version = snap["version"] + 1
             new_files = self._write_data(merged, snap, version) if touched else []
-
-            # per-partition lineage/metrics (north rule): offset range +
-            # applied count per bucket, tagged with the commit version
-            lineage = [
-                {
-                    "batch_id": int(batch_id),
-                    "partition_bucket": int(r["_bucket"]),
-                    "min_lsn": int(r["min_lsn"]),
-                    "max_lsn": int(r["max_lsn"]),
-                    "applied_count": int(r["applied_count"]),
-                    "snapshot_version": version,
-                }
-                for r in lin_rows
-            ]
-            if lineage:
-                from ..schemas import LINEAGE
-
-                self.spark.createDataFrame(lineage, LINEAGE).coalesce(1).write.mode(
-                    "append"
-                ).parquet(self.lineage_dir)
-
-            new = dict(snap)
-            new.update(
-                version=version,
-                schema=schema.jsonValue(),
-                files=kept_files + new_files,
-                parent=snap["version"],
-                ledger={**snap["ledger"], str(batch_id): {"version": version}},
-            )
-            self._write_snapshot(new)
-            return MergeStats(
-                batch_id=batch_id,
-                applied=True,
-                version=version,
-                deduped_rows=sum(r["applied_count"] for r in lin_rows),
-                touched_buckets=len(touched),
-                lineage=lineage,
+            return self._commit_merge(
+                snap, schema, batch_id, version, kept_files + new_files, lin_rows, touched
             )
         finally:
             deduped.unpersist()
 
+    def _commit_merge(
+        self,
+        snap: dict,
+        schema: T.StructType,
+        batch_id: int,
+        version: int,
+        files: list[dict],
+        lin_rows,
+        touched: list[int],
+    ) -> MergeStats:
+        # per-partition lineage/metrics (north rule): offset range +
+        # applied count per bucket, tagged with the commit version
+        lineage = [
+            {
+                "batch_id": int(batch_id),
+                "partition_bucket": int(r["_bucket"]),
+                "min_lsn": int(r["min_lsn"]),
+                "max_lsn": int(r["max_lsn"]),
+                "applied_count": int(r["applied_count"]),
+                "snapshot_version": version,
+            }
+            for r in lin_rows
+        ]
+        if lineage:
+            from ..schemas import LINEAGE
+
+            self.spark.createDataFrame(lineage, LINEAGE).coalesce(1).write.mode(
+                "append"
+            ).parquet(self.lineage_dir)
+
+        new = dict(snap)
+        new.update(
+            version=version,
+            schema=schema.jsonValue(),
+            files=files,
+            parent=snap["version"],
+            ledger={**snap["ledger"], str(batch_id): {"version": version}},
+        )
+        self._write_snapshot(new)
+        return MergeStats(
+            batch_id=batch_id,
+            applied=True,
+            version=version,
+            deduped_rows=sum(r["applied_count"] for r in lin_rows),
+            touched_buckets=len(touched),
+            lineage=lineage,
+        )
+
     # ---------------- maintenance ----------------
 
     def compact(self) -> int:
-        """Rewrite all buckets into one file set (small-file compaction)."""
+        """Fold MOR deltas into base files and collapse small files:
+        resolve once, rewrite every bucket as kind='base'."""
         snap = self.snapshot()
-        df = self._read_files([f["path"] for f in snap["files"]], self.schema(snap))
+        df = self._read_files([f["path"] for f in snap["files"]], self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in snap["files"]):
+            df = self._resolve(df, snap)
+        df = df.drop(OP_COL)
         version = snap["version"] + 1
-        files = self._write_data(df, snap, version)
+        files = self._write_data(df, snap, version, kind="base")
         new = dict(snap)
         new.update(version=version, files=files, parent=snap["version"])
         self._write_snapshot(new)

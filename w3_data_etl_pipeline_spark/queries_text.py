@@ -226,9 +226,28 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "ngram_jaccard_pairs",
-    None,  # oracle omitted round 1 (DuckDB shingle SQL parity pending)
+    r"""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 3
+                  THEN list_distinct([
+                    array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[i+1:i+3], ' ')
+                    FOR i IN range(0, len(regexp_split_to_array(trim(lower(text)), '\s+')) - 2)])
+                  ELSE [array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ')]
+             END AS s
+      FROM documents),
+    ex AS (SELECT id, unnest(s) AS g FROM sh),
+    sizes AS (SELECT id, len(s) AS n FROM sh),
+    inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+              FROM ex a JOIN ex b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+    SELECT id_a, id_b, i / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE i / (sa.n + sb.n - i) >= 0.2
+    """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index similarity join: explode shingles, equi-join on
+    the shingle (the only shuffle), count intersections, Jaccard."""
     d = t(spark, sf_dir, "documents")
     return dedupe.ngram_jaccard_pairs(d, "text", "doc_id", shingle_k=3, threshold=0.2)
 

@@ -39,6 +39,7 @@ def apply_batch(
     batch_id: int,
     enrich: bool = True,
     salt_partitions: int | None = None,
+    mode: str = "cow",
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body."""
@@ -46,7 +47,7 @@ def apply_batch(
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
     if enrich and "lang" in events.columns:
         events = enrich_changes(events)
-    return table.merge(events, batch_id)
+    return table.merge(events, batch_id, mode=mode)
 
 
 def run_stream(
@@ -58,6 +59,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     enrich: bool = True,
     salt_partitions: int | None = None,
+    mode: str = "cow",
 ) -> CdcRun:
     """Drain all currently-available WAL segments through the engine
     (``availableNow`` trigger), then stop. Calling again after more
@@ -72,7 +74,9 @@ def run_stream(
 
     def _sink(df: DataFrame, batch_id: int) -> None:
         run.stats.append(
-            apply_batch(table, df, batch_id, enrich=enrich, salt_partitions=salt_partitions)
+            apply_batch(
+                table, df, batch_id, enrich=enrich, salt_partitions=salt_partitions, mode=mode
+            )
         )
 
     q = (
