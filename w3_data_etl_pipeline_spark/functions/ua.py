@@ -38,13 +38,13 @@ _BROWSER_RULES: list[tuple[str, str]] = [
     (r"yahoo!?\s*slurp", "Yahoo! Slurp"),
     (r"twiceler", "Twiceler"),
     (r"baiduspider", "Baiduspider"),
-    (r"yandex(bot)?", "YandexBot"),
+    (r"yandex(?:bot)?", "YandexBot"),
     (r"duckduckbot", "DuckDuckBot"),
     (r"ahrefsbot", "AhrefsBot"),
     (r"semrushbot", "SemrushBot"),
     (r"facebookexternalhit", "FacebookBot"),
     (r"opera|opr/", "Opera"),
-    (r"edg(e|a|ios)?/", "Edge"),
+    (r"edg(?:e|a|ios)?/", "Edge"),
     (r"firefox/", "Firefox"),
     (r"crios/", "Chrome Mobile iOS"),
     (r"chrome/", "Chrome"),

@@ -53,7 +53,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -208,16 +208,20 @@ class LakeTable:
         self._write_snapshot(new)
         return new["version"]
 
-    def _write_data(self, df: DataFrame, snap: dict, version: int, kind: str = "base") -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, snap: dict, version: int, kind: str = "base", pre_bucketed: bool = False
+    ) -> list[dict]:
         rel = os.path.join("data", f"c{version:012d}")
         out = os.path.join(self.root, rel)
-        (
-            df.withColumn("_bucket", self._bucket_expr(snap))
-            .repartition(max(1, min(snap["n_buckets"], 32)), "_bucket")
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        if not pre_bucketed:
+            # one write task per bucket up to the cluster's parallelism:
+            # small clusters don't pay 4x task overhead, big ones use
+            # every core
+            par = self.spark.sparkContext.defaultParallelism
+            df = df.withColumn("_bucket", self._bucket_expr(snap)).repartition(
+                max(1, min(snap["n_buckets"], par)), "_bucket"
+            )
+        df.write.partitionBy("_bucket").mode("overwrite").parquet(out)
         files = []
         for dirpath, _dirs, names in os.walk(out):
             for n in names:
@@ -243,13 +247,24 @@ class LakeTable:
 
     # ---------------- MERGE (the CDC apply) ----------------
 
-    def merge(self, events: DataFrame, batch_id: int, mode: str = "cow") -> MergeStats:
+    def merge(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        mode: str = "cow",
+        assume_deduped: bool = False,
+    ) -> MergeStats:
         """Apply one deduplicated-or-raw microbatch of change events.
 
         events columns: key_cols + (lsn, op) + value columns
         (op: 'I'|'U' upsert full row, 'D' delete). Safe to call twice
         with the same batch_id (ledger no-op) and safe under
         duplicate/stale events (max-LSN guard).
+
+        assume_deduped=True skips the in-merge max-LSN window (the
+        caller already ran latest_by_key — the apply_batch fast path);
+        the per-key max-LSN guard against the TARGET still holds, so
+        correctness never depends on the flag.
 
         mode='cow' (copy-on-write): rewrites the touched buckets;
         read-optimized, write cost ∝ touched-bucket bytes.
@@ -269,9 +284,8 @@ class LakeTable:
         from ..operators.dedupe import latest_by_key
 
         order = ["lsn"] + (["commit"] if "commit" in events.columns else [])
-        deduped = latest_by_key(events, keys, order).withColumn(
-            "_bucket", self._bucket_expr(snap)
-        )
+        pre = events if assume_deduped else latest_by_key(events, keys, order)
+        deduped = pre.withColumn("_bucket", self._bucket_expr(snap))
         deduped = deduped.persist()
         try:
             # ONE action computes both the touched-bucket set and the
@@ -310,40 +324,57 @@ class LakeTable:
                     snap, schema, batch_id, version, snap["files"] + new_files, lin_rows, touched
                 )
 
+            # COW as ONE bucket-partitioned pass (no join): union the
+            # touched buckets' rows with the batch, repartition by
+            # _bucket (the only shuffle), sort within partitions by
+            # (key asc, _lsn desc, event-before-target, commit desc),
+            # keep the first row per key, drop 'D' winners. The output
+            # is already partitioned by _bucket so the write adds no
+            # further exchange. Replaces the previous full_outer
+            # SortMergeJoin + repartition (3 shuffles -> 1).
             phys = T.StructType(schema.fields + [T.StructField(OP_COL, T.StringType(), True)])
-            tgt = self._read_files([f["path"] for f in old_files], phys)
-            if any(f.get("kind", "base") == "delta" for f in old_files):
-                tgt = self._resolve(tgt, snap)
-            tgt = tgt.drop(OP_COL)
-            ev = deduped.select(
-                *[F.col(k).alias(f"_ev_{k}") for k in keys],
-                F.col("lsn").alias("_ev_lsn"),
-                F.col("op").alias("_ev_op"),
+            tgt = self._read_files([f["path"] for f in old_files], phys).withColumn(
+                "_bucket", self._bucket_expr(snap)
+            ).withColumn("_src", F.lit(0))
+            ev_aligned = deduped.select(
+                *[F.col(k) for k in keys],
                 *[
-                    (F.col(c) if c in deduped.columns else F.lit(None)).alias(f"_ev_{c}")
+                    (
+                        F.col(c) if c in deduped.columns else F.lit(None).cast(schema[c].dataType)
+                    ).alias(c)
                     for c in value_cols
                 ],
+                F.col("lsn").alias(LSN_COL),
+                F.col("op").alias(OP_COL),
+                F.col("_bucket"),
+                F.lit(1).alias("_src"),
             )
-            cond = [tgt[k].eqNullSafe(ev[f"_ev_{k}"]) for k in keys]
-            j = tgt.join(ev, cond, "full_outer")
+            both = tgt.unionByName(ev_aligned)
+            par = self.spark.sparkContext.defaultParallelism
+            part = both.repartition(max(1, min(snap["n_buckets"], par)), "_bucket")
+            order = [F.col(k).asc() for k in keys] + [
+                F.col(LSN_COL).desc_nulls_last(),
+                F.col("_src").desc(),
+            ]
+            if "commit" in value_cols:
+                order.append(F.col("commit").desc_nulls_last())
+            w = (
+                Window.partitionBy("_bucket").orderBy(*order)
+            )
+            prev_same = None
+            for k in keys:
+                e = F.lag(F.col(k)).over(w).eqNullSafe(F.col(k))
+                prev_same = e if prev_same is None else (prev_same & e)
+            is_first = ~F.coalesce(prev_same, F.lit(False))
+            merged = (
+                part.withColumn("_first", is_first)
+                .filter(F.col("_first") & (F.col(OP_COL).isNull() | (F.col(OP_COL) != "D")))
+                .drop("_first", "_src", OP_COL)
+            )
 
-            take_ev = ev["_ev_lsn"].isNotNull() & (
-                tgt[LSN_COL].isNull() | (ev["_ev_lsn"] >= tgt[LSN_COL])
+            new_files = (
+                self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
             )
-            deleted = take_ev & (ev["_ev_op"] == "D")
-            merged = j.filter(~deleted).select(
-                *[
-                    F.when(take_ev, ev[f"_ev_{k}"]).otherwise(tgt[k]).alias(k)
-                    for k in keys
-                ],
-                *[
-                    F.when(take_ev, ev[f"_ev_{c}"]).otherwise(tgt[c]).alias(c)
-                    for c in value_cols
-                ],
-                F.when(take_ev, ev["_ev_lsn"]).otherwise(tgt[LSN_COL]).alias(LSN_COL),
-            )
-
-            new_files = self._write_data(merged, snap, version) if touched else []
             return self._commit_merge(
                 snap, schema, batch_id, version, kept_files + new_files, lin_rows, touched
             )
@@ -374,11 +405,29 @@ class LakeTable:
             for r in lin_rows
         ]
         if lineage:
-            from ..schemas import LINEAGE
+            # driver-side pyarrow write: ~n_buckets tiny rows — spinning
+            # up a Spark job for this cost seconds per microbatch and
+            # anti-scaled with executor threads
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-            self.spark.createDataFrame(lineage, LINEAGE).coalesce(1).write.mode(
-                "append"
-            ).parquet(self.lineage_dir)
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            tbl = pa.Table.from_pylist(
+                lineage,
+                schema=pa.schema(
+                    [
+                        ("batch_id", pa.int64()),
+                        ("partition_bucket", pa.int32()),
+                        ("min_lsn", pa.int64()),
+                        ("max_lsn", pa.int64()),
+                        ("applied_count", pa.int64()),
+                        ("snapshot_version", pa.int64()),
+                    ]
+                ),
+            )
+            pq.write_table(
+                tbl, os.path.join(self.lineage_dir, f"lineage-v{version:012d}.parquet")
+            )
 
         new = dict(snap)
         new.update(

@@ -47,6 +47,15 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ~2KB content strings x the default 10k-row cache batch = ~20MB
+        # arrays: humongous allocations under G1 that serialize all
+        # executor threads. Smaller cache batches + bigger G1 regions
+        # keep cache builds in the young-gen fast path.
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "2000")
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:G1HeapRegionSize=32m"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

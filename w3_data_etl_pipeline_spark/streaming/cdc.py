@@ -42,12 +42,25 @@ def apply_batch(
     mode: str = "cow",
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
-    batch_id (ledger no-op) — this is the foreachBatch body."""
+    batch_id (ledger no-op) — this is the foreachBatch body.
+
+    Order: (salt ->) dedup -> enrich -> merge. Deduping FIRST means
+    the Arrow enrichment UDFs only touch rows that survive — under
+    hot-key skew a large fraction of the batch collapses in the
+    window, and post-dedup partitions are one-row-per-key so the
+    enrichment stage needs no salting at all. Salting still applies
+    to any pre-dedup map work when requested.
+    """
     if salt_partitions:
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
-    if enrich and "lang" in events.columns:
-        events = enrich_changes(events)
-    return table.merge(events, batch_id, mode=mode)
+    from ..operators.dedupe import latest_by_key
+
+    keys = table.snapshot()["key_cols"]
+    order = ["lsn"] + (["commit"] if "commit" in events.columns else [])
+    deduped = latest_by_key(events, keys, order)
+    if enrich and "lang" in deduped.columns:
+        deduped = enrich_changes(deduped)
+    return table.merge(deduped, batch_id, mode=mode, assume_deduped=True)
 
 
 def run_stream(
