@@ -27,6 +27,10 @@ AUDIT = [
     "embedding_cosine_topk",
     "topk_orders_per_segment",
     "path_normalize_synthetic",
+    "ua_enrich_traffic",
+    "ref_region_traffic",
+    "semi_join_discounted_orders",
+    "sessionize_events",
 ]
 
 

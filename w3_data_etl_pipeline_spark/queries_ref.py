@@ -206,3 +206,65 @@ def semi_join_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState custom stateful streaming operator (rows-only:
+# state-store semantics are not SQL-expressible for the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+@q("stateful_running_state", None)
+def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives a REAL Structured Streaming query: events are recast as
+    CDC change events, split into two WAL segments, tailed with
+    availableNow, and folded through the applyInPandasWithState
+    running-key-state operator; returns the final per-key state."""
+    import os
+    import tempfile
+
+    from .schemas import CHANGE_EVENTS
+    from .streaming.stateful import running_key_state
+
+    e = t(spark, sf_dir, "events").limit(4000)
+    ev = e.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.concat(F.lit("org"), (F.col("user_id") % 13).cast("string")).alias("repo"),
+        F.concat(F.lit("p/"), F.col("user_id").cast("string")).alias("path"),
+        F.md5(F.col("event_id").cast("string")).alias("commit"),
+        F.lit("Python").alias("lang"),
+        F.col("props").alias("content"),
+        F.col("ts").alias("event_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="qstateful_")
+    half = 2000
+    ev.filter(F.col("lsn") < half).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, "wal", "seg=0")
+    )
+    ev.filter(F.col("lsn") >= half).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, "wal", "seg=1")
+    )
+    name = "qstateful_out"
+    qy = (
+        running_key_state(
+            spark.readStream.schema(CHANGE_EVENTS)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(work, "wal") + "/*")
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT repo, path, last_lsn, last_op, n_events FROM (
+          SELECT *, row_number() OVER (PARTITION BY repo, path
+                    ORDER BY n_events DESC, last_lsn DESC) AS rn
+          FROM {name}) WHERE rn = 1
+        """
+    )
