@@ -50,7 +50,7 @@ def _bench_workdir() -> str:
 
 
 def bench_cdc(
-    spark, n_keys: int = 20000, n_events: int = 100000, n_batches: int = 4, mode: str = "cow"
+    spark, n_keys: int = 100000, n_events: int = 500000, n_batches: int = 4, mode: str = "cow"
 ) -> float:
     """events/sec through dedup + bucketed MERGE commits (batch mode:
     measures the engine apply path without file-stream overhead)."""
