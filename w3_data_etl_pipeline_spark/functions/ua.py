@@ -100,6 +100,32 @@ def _first_match(s: pd.Series, rules: list[tuple[str, str]], default: str) -> pd
 
 
 def classify_ua_pdf(ua: pd.Series) -> pd.DataFrame:
+    """Classify a UA batch. UA strings are heavily repeated in real
+    traffic (and in the W3C corpus), so classify each DISTINCT value
+    once and broadcast back — the reference's build-the-dimension-
+    from-DISTINCT trick (SURVEY.md §4.1) applied inside the Arrow
+    batch. Falls through to the direct path when values are unique."""
+    uniq = ua.dropna().unique()
+    if 0 < len(uniq) < max(64, len(ua) // 4):
+        lut = _classify_unique(pd.Series(uniq))
+        out = ua.map(lut).apply(
+            lambda v: v if isinstance(v, tuple) else (None, None, None, None)
+        )
+        return pd.DataFrame(
+            out.tolist(), columns=["browser", "os", "device_type", "ua_is_bot"], index=ua.index
+        )
+    return _classify_unique_frame(ua)
+
+
+def _classify_unique(uniq: pd.Series) -> dict:
+    f = _classify_unique_frame(uniq)
+    return {
+        u: (f["browser"].iat[i], f["os"].iat[i], f["device_type"].iat[i], f["ua_is_bot"].iat[i])
+        for i, u in enumerate(uniq)
+    }
+
+
+def _classify_unique_frame(ua: pd.Series) -> pd.DataFrame:
     s = ua.str.replace("+", " ", regex=False)
     browser = _first_match(s, _BROWSER_RULES, "Other")
     os_fam = _first_match(s, _OS_RULES, "Other")
