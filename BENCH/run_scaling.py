@@ -170,7 +170,10 @@ def main() -> int:
         "rate scale-invariant.",
         "",
     ]
-    out_md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    # BASELINE.md is the curated summary (includes cross-variant history
+    # and the host-capacity diagnosis); the harness writes its raw report
+    # next to it and never clobbers the curation.
+    out_md = os.path.join(ROOT, "BENCH", "BASELINE_AUTO.md")
     with open(out_md, "w") as f:
         f.write("\n".join(lines))
     print("\n".join(lines))

@@ -158,3 +158,143 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# range join — events.value against a literal bands table (P14 as a JOIN;
+# the reference implements banding as a scalar chain, SURVEY.md §2.4 notes
+# it is semantically a range join)
+# ---------------------------------------------------------------------------
+
+_RANGE_BANDS = [(float(i * 50), float((i + 1) * 50), f"band{i}") for i in range(10)]
+_RANGE_VALUES = ", ".join(f"({lo}, {hi}, '{lb}')" for lo, hi, lb in _RANGE_BANDS)
+
+
+@q(
+    "range_join_bands",
+    f"""
+    WITH bands(lo, hi, label) AS (VALUES {_RANGE_VALUES})
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY label
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inequality join against a broadcast 10-row bands table: Spark
+    plans BroadcastNestedLoopJoin — correct here because the build side
+    is O(10); at scale a bands table stays tiny so the plan holds."""
+    e = t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_RANGE_BANDS, "lo double, hi double, label string")
+    return (
+        e.join(F.broadcast(bands), (e.value >= bands.lo) & (e.value < bands.hi))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_money("value")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (hierarchical subtotals; complements cube_lineitem)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(_money("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distinct aggregate + approximate twin (exact has the oracle; the HLL
+# sketch is rows-only, its accuracy asserted relative to the exact twin)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregate: Catalyst expands to a two-phase aggregate
+    (partial per (type,user) then per type) — both phases map-side
+    combinable, no row explosion."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q("approx_distinct_users", None)  # HLL sketch: rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ twin of distinct_users_by_type — the 100 TB path
+    (one pass, bounded memory, mergeable sketches)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join — for each purchase, the latest preceding click by the same
+# user (attribution; the canonical CDC/event-time as-of pattern)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "asof_click_attribution",
+    """
+    SELECT p_id, click_id, click_ts FROM (
+      SELECT p.event_id AS p_id, c.event_id AS click_id, c.ts AS click_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+       AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+    ) WHERE rn = 1
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via per-user equi-join + backward inequality + one
+    row_number window (deterministic (ts, event_id) tie-break). At
+    scale the equi-key (user_id) carries the shuffle; the inequality
+    prunes inside each key group — the standard Spark as-of layout."""
+    e = t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    j = p.join(
+        c,
+        (p.p_user == c.c_user)
+        & ((c.click_ts < p.p_ts) | ((c.click_ts == p.p_ts) & (c.click_id < p.p_id))),
+    )
+    w = Window.partitionBy("p_id").orderBy(F.col("click_ts").desc(), F.col("click_id").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_id", "click_id", "click_ts")
+    )
