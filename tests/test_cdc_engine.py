@@ -201,3 +201,43 @@ def test_stream_kill_resume(spark, tmp_path, fixtures):
     lin = t.lineage()
     assert lin.count() > 0
     assert lin.groupBy("batch_id").count().count() >= 1
+
+
+def test_read_keys_bucket_pruning(spark, tmp_path, fixtures):
+    """Point lookups scan only the requested keys' buckets and return
+    exactly the current rows for those keys."""
+    import os
+
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+    from w3_data_etl_pipeline_spark.streaming.cdc import apply_batch
+
+    table = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "pk"), SOURCE_FILES, ["repo", "path"], n_buckets=16
+    )
+    snap = datagen.source_snapshot(spark, 300)
+    table.overwrite(snap, lsn=0)
+    events = datagen.change_events(spark, 1000, 350)
+    apply_batch(table, events, 0)
+
+    full = {(r["repo"], r["path"]): r["commit"] for r in table.read().collect()}
+    some = list(full.keys())[:5]
+    got = table.read_keys(some)
+    rows = got.collect()
+    assert {(r["repo"], r["path"]) for r in rows} == set(some)
+    for r in rows:
+        assert full[(r["repo"], r["path"])] == r["commit"]
+    # pruning actually happened: the scan saw < all buckets' files
+    sc = table.snapshot()
+    n_files_all = len(sc["files"])
+    import pyspark.sql.functions as sf
+
+    b = {
+        r["b"]
+        for r in spark.createDataFrame(some, "repo string, path string")
+        .select(sf.pmod(sf.xxhash64("repo", "path"), sf.lit(sc["n_buckets"])).cast("int").alias("b"))
+        .collect()
+    }
+    n_files_pruned = len([f for f in sc["files"] if f["bucket"] in b])
+    assert n_files_pruned < n_files_all

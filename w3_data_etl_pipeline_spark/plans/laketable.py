@@ -184,6 +184,32 @@ class LakeTable:
             df = df.drop(OP_COL)
         return df
 
+    def read_keys(self, keys: list[tuple], version: int | None = None) -> DataFrame:
+        """Point/batch lookup with BUCKET PRUNING: hash each requested
+        key to its bucket and scan only those buckets' files — at 4096
+        buckets a k-key lookup touches ≤ k/4096 of the table's files,
+        the LakeTable analogue of Iceberg partition pruning. Returns
+        exactly the requested keys' current rows."""
+        snap = self.snapshot(version)
+        key_cols = snap["key_cols"]
+        n = snap["n_buckets"]
+        import pyspark.sql.functions as sf
+
+        want_buckets = set()
+        lookup = self.spark.createDataFrame(
+            [tuple(k) for k in keys], ", ".join(f"{c} string" for c in key_cols)
+        )
+        for r in lookup.select(
+            sf.pmod(sf.xxhash64(*[sf.col(c) for c in key_cols]), sf.lit(n)).cast("int").alias("b")
+        ).distinct().collect():
+            want_buckets.add(r["b"])
+        files = [f for f in snap["files"] if f["bucket"] in want_buckets]
+        df = self._read_files([f["path"] for f in files], self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in files):
+            df = self._resolve(df, snap)
+        df = df.drop(LSN_COL, OP_COL)
+        return df.join(F.broadcast(lookup), key_cols, "left_semi")
+
     def lineage(self) -> DataFrame:
         from ..schemas import LINEAGE
 

@@ -298,3 +298,38 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("p_id", "click_id", "click_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation — batch twin of streaming.aggs
+# (same plan minus the state store; oracle via epoch bucketing)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tumbling_window_counts",
+    """
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+           event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows via F.window — identical plan to the
+    engine's streaming monitor (streaming/aggs.py) without the state
+    store; windowed group keys combine map-side like any other key."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
