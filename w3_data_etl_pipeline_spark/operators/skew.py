@@ -19,5 +19,12 @@ from pyspark.sql import functions as F
 def salted_repartition(
     df: DataFrame, keys: list[str], disperser: str, num_partitions: int
 ) -> DataFrame:
-    salt = F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.col(disperser)), F.lit(num_partitions))
+    # the salt needs MANY more distinct values than partitions:
+    # repartition() hash-partitions the salt, and hashing only
+    # num_partitions distinct values leaves some partitions empty
+    # (pigeonhole through Murmur3 collisions)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys], F.col(disperser)),
+        F.lit(num_partitions * 64),
+    )
     return df.withColumn("_salt", salt).repartition(num_partitions, "_salt").drop("_salt")
