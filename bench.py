@@ -37,6 +37,11 @@ HEADLINE = [
     "simhash_docs",
     "path_normalize_synthetic",
     "ua_enrich_traffic",
+    "range_join_bands",
+    "distinct_users_by_type",
+    "asof_click_attribution",
+    "tumbling_window_counts",
+    "rollup_orders",
 ]
 
 
