@@ -241,3 +241,43 @@ def test_read_keys_bucket_pruning(spark, tmp_path, fixtures):
     }
     n_files_pruned = len([f for f in sc["files"] if f["bucket"] in b])
     assert n_files_pruned < n_files_all
+
+
+def test_ledger_compaction_pure():
+    """Ledger helpers: contiguous ids fold into the high-watermark;
+    out-of-order ids park in `extra` until the gap closes; the legacy
+    full-dict format migrates."""
+    led = {"hwm": -1, "extra": {}}
+    for b in (0, 1, 2):
+        led = LakeTable._ledger_add(led, b)
+    assert led == {"hwm": 2, "extra": {}}
+    led = LakeTable._ledger_add(led, 5)  # gap
+    assert led["hwm"] == 2 and "5" in led["extra"]
+    led = LakeTable._ledger_add(led, 4)
+    led = LakeTable._ledger_add(led, 3)  # gap closes -> full fold
+    assert led == {"hwm": 5, "extra": {}}
+    assert LakeTable._ledger_contains(led, 4)
+    assert not LakeTable._ledger_contains(led, 6)
+    # legacy format
+    old = {"0": {"version": 1}, "1": {"version": 2}, "7": {"version": 3}}
+    assert LakeTable._ledger_contains(old, 1)
+    assert LakeTable._ledger_contains(old, 7)
+    assert not LakeTable._ledger_contains(old, 2)
+    assert LakeTable._ledger_migrate(old) == {"hwm": 1, "extra": {"7": True}}
+
+
+def test_manifest_size_bounded_over_many_merges(spark, tmp_path, fixtures):
+    """Snapshot manifests must stay O(live files): 60 COW merges into a
+    4-bucket table may not grow the manifest JSON (the old O(history)
+    ledger made every commit bigger than the last)."""
+    snap, events, *_ = fixtures
+    t = _new_table(spark, tmp_path, snap, name="bounded", n_buckets=4)
+    sizes = []
+    for i in range(60):
+        lo = i * 30 + 1
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= lo + 29))
+        st = apply_batch(t, batch, i, enrich=False)
+        assert st.applied
+        sizes.append(os.path.getsize(t._snap_path(t.current_version())))
+    # steady state reached early; later manifests are not bigger
+    assert max(sizes[40:]) <= max(sizes[5:15]) * 1.25, sizes

@@ -110,3 +110,32 @@ def test_embedding_neardup_lsh_contains_identicals(spark):
     assert (0, 1) in pairs and abs(pairs[(0, 1)] - 1.0) < 1e-9
     assert (0, 2) in pairs  # same direction -> same LSH bucket, cos=1
     assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingle(spark):
+    """One boilerplate shingle shared by 500 docs must NOT produce
+    ~125k candidate pairs when max_df caps the inverted index: each
+    doc's remaining shingles are unique, so zero pairs survive."""
+    boiler = "copyright acme corp"
+    rows = [Row(doc_id=i, text=f"{boiler} unique{i} tail{i} words{i}") for i in range(500)]
+    df = spark.createDataFrame(rows)
+    capped = dedupe.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01, max_df=10)
+    assert capped.count() == 0
+    # sanity: uncapped, the hot shingle alone creates quadratic pairs
+    uncapped = dedupe.ngram_jaccard_pairs(
+        df.limit(30), "text", "doc_id", threshold=0.01, max_df=None
+    )
+    assert uncapped.count() == 30 * 29 // 2
+
+
+def test_minhash_md5_matches_xxhash_behavior(spark):
+    """The oracle-checkable md5/affine hash family finds the same
+    near-dup structure as the xxhash64 variant on the fixture set."""
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+    for fn in ("md5", "xxhash64"):
+        pairs = {
+            tuple(sorted((r["id_a"], r["id_b"])))
+            for r in dedupe.minhash_lsh_pairs(df, "text", "doc_id", hash_fn=fn).collect()
+        }
+        assert (0, 2) in pairs  # exact dups always collide in every band
+        assert all(3 not in p and 4 not in p for p in pairs if (0 in p or 1 in p or 2 in p))

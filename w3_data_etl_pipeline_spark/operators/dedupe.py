@@ -45,6 +45,35 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# 2^31 - 1 (Mersenne prime): modulus for the universal-hash family
+# h_i(x) = (a_i * H(x) + b_i) mod P over the 60-bit md5-prefix base
+# hash. Both H and the affine family are exactly reproducible in
+# DuckDB ('0x'||substr(md5(x),1,15) cast to BIGINT), which is what
+# makes the MinHash/SimHash oracles possible — xxhash64 is not.
+MINHASH_P = 2_147_483_647
+
+
+def md5_hash60(c: F.Column) -> F.Column:
+    """60-bit integer hash of a string column, dual-implementable:
+    Spark `conv(substr(md5(x),1,15),16,10)` == DuckDB
+    `('0x'||substr(md5(x),1,15))::BIGINT` (verified bit-equal)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) coefficients for the affine hash
+    family, from a fixed-seed LCG — inlined identically into the
+    DuckDB oracle SQL."""
+    params, x = [], 1_234_567
+    for _ in range(num_hashes):
+        x = (1_103_515_245 * x + 12_345) % (1 << 31)
+        a = x % (MINHASH_P - 1) + 1
+        x = (1_103_515_245 * x + 12_345) % (1 << 31)
+        b = x % MINHASH_P
+        params.append((a, b))
+    return params
+
+
 def _word_shingles(text_col: str, k: int = 3) -> F.Column:
     """Distinct k-word shingles of lowercase text, as array<string>."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -55,10 +84,21 @@ def _word_shingles(text_col: str, k: int = 3) -> F.Column:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
-    """MinHash signature per doc: sig[i] = min over shingles of
-    xxhash64(shingle, i).
+    """MinHash signature per doc.
+
+    hash_fn='md5' (default, oracle-checkable): ONE md5-prefix base
+    hash per shingle, then num_hashes affine transforms
+    (a_i*h + b_i) mod P — the classic universal-hash MinHash; cheaper
+    than hashing num_hashes times AND bit-reproducible in DuckDB.
+    hash_fn='xxhash64': sig[i] = min xxhash64(shingle, i) (kept as the
+    raw-throughput variant; not oracle-checkable).
 
     Shape: explode shingles -> num_hashes flat MIN aggregates ->
     array. Flat column expressions stay inside whole-stage codegen
@@ -67,7 +107,16 @@ def minhash_signatures(
     num_hashes longs per (doc, partition).
     """
     ex = df.select(F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s"))
-    mins = [F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    if hash_fn == "md5":
+        ex = ex.withColumn("_h", F.pmod(md5_hash60(F.col("_s")), F.lit(MINHASH_P)))
+        mins = [
+            F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"_h{i}")
+            for i, (a, b) in enumerate(minhash_params(num_hashes))
+        ]
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+        ]
     agg = ex.groupBy(id_col).agg(*mins)
     return agg.select(
         F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("minhash")
@@ -81,6 +130,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 3,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -89,18 +139,28 @@ def minhash_lsh_pairs(
     the groupBy on (band, band_hash) — hash-distributed; a band bucket
     holding B docs emits B-1 pairs against the bucket min, keeping
     output linear (union-find style anchor) instead of quadratic.
+
+    With hash_fn='md5' the band key is the literal joined signature
+    slice (oracle-reproducible); with 'xxhash64' it is hashed down to
+    8 bytes to shrink shuffle rows.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, hash_fn)
     # one pass: signature -> array of band hashes -> posexplode. The
     # signature (the expensive expression) is evaluated exactly once
     # per row; no self-join.
-    band_hashes = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(",", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)), b
-        ),
-    )
+    if hash_fn == "md5":
+        band_hashes = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(",", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)),
+        )
+    else:
+        band_hashes = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.concat_ws(",", F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)), b
+            ),
+        )
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
     )
@@ -114,18 +174,29 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per doc from word-level features.
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, hash_fn: str = "md5"
+) -> DataFrame:
+    """SimHash per doc from word-level features.
 
     For each bit b, the bit is 1 iff sum over distinct words of
-    sign(bit b of xxhash64(word)) is positive. Built from SQL
+    sign(bit b of hash(word)) is positive. Built from SQL
     aggregate/transform higher-order functions (shiftright with a
     non-literal shift is SQL-only) — no UDF, one map-side pass.
+
+    hash_fn='md5' (default): 60-bit md5-prefix word hash, exactly
+    reproducible in the DuckDB oracle (bits capped at 60).
+    hash_fn='xxhash64': full 64-bit variant, not oracle-checkable.
     """
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        word_hash = "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+    else:
+        word_hash = "xxhash64(w)"
     ws = df.select(
         F.col(id_col),
         F.expr(
-            f"transform(array_distinct(split(lower(trim({text_col})), '\\\\s+')), w -> xxhash64(w))"
+            f"transform(array_distinct(split(lower(trim({text_col})), '\\\\s+')), w -> {word_hash})"
         ).alias("_hs"),
     )
     sig = F.expr(
@@ -142,23 +213,43 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     Explodes shingles, self-joins on shingle (the inverted-index
     pattern: shuffle keyed by shingle hash), counts shared shingles
     per pair, then Jaccard = |∩| / (|A|+|B|-|∩|). Pairs below
-    `threshold` are dropped before the final projection. At scale the
-    shingle join is the standard document-similarity-join layout;
-    frequency-skewed shingles can be capped by a document-frequency
-    filter (left to the caller's stopword policy).
+    `threshold` are dropped before the final projection.
+
+    ``max_df`` is the scale guard: a shingle shared by B documents
+    emits B(B-1)/2 join rows, so ONE boilerplate shingle across 1M
+    docs is ~10^12 rows. Shingles with document frequency > max_df are
+    dropped from the inverted index before the self-join (the standard
+    prefix-filter/stopword cap); set sizes in the denominator still
+    count every shingle, so capped Jaccard is a conservative
+    underestimate — deterministic and mirrored exactly in the oracle.
     """
     sh = df.select(
         F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_k).alias("_sh")
     ).persist()
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        rare = (
+            ex.groupBy("_s")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("_s")
+        )
+        # equi-join on the shingle: df counts combine map-side, and the
+        # hot shingles (the skew) are exactly the ones removed
+        ex = ex.join(rare, "_s")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))

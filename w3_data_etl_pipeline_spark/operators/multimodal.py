@@ -120,6 +120,36 @@ def extract_features(df: DataFrame, decoder=fake_decode_media) -> DataFrame:
     return src.mapInPandas(run, FEATURES_OUT)
 
 
+COUNTS_OUT = "media_id long, kind string, n_bytes long, " + ", ".join(
+    f"b{i} long" for i in range(FEATURE_DIM)
+)
+
+
+def extract_feature_counts(df: DataFrame, decoder=fake_decode_media) -> DataFrame:
+    """`extract_features`' histogram as UN-normalized integer bucket
+    counts in FEATURE_DIM scalar columns — the driver-canonicalizable /
+    oracle-checkable projection of the same decode pass (float arrays
+    crash the harness's pandas sort and never hash bit-stably)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        edges = np.linspace(0, 256, FEATURE_DIM + 1)
+        for pdf in batches:
+            hists, nb = [], []
+            for raw, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                arr = decoder(raw, fmt)
+                hist, _ = np.histogram(arr, bins=edges)
+                hists.append(hist.astype(np.int64))
+                nb.append(len(raw))
+            out = {"media_id": pdf["media_id"], "kind": pdf["kind"], "n_bytes": nb}
+            cols = np.array(hists) if hists else np.zeros((0, FEATURE_DIM), dtype=np.int64)
+            for i in range(FEATURE_DIM):
+                out[f"b{i}"] = cols[:, i]
+            yield pd.DataFrame(out)
+
+    src = df.select("media_id", "kind", "bytes", F.col("meta.format").alias("fmt"))
+    return src.mapInPandas(run, COUNTS_OUT)
+
+
 RESIZE_OUT = "media_id long, width int, height int, bytes binary"
 
 

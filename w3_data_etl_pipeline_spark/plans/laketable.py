@@ -30,7 +30,9 @@ Semantics:
 * **Exactly-once ledger** — every snapshot carries the set of applied
   ``batch_id``s; re-applying a batch (foreachBatch retry, checkpoint
   replay overlap) is a metadata no-op. Defense in depth: the MERGE
-  itself is idempotent (max-LSN guard per key).
+  itself is idempotent (max-LSN guard per key). The set is stored as
+  a contiguous-prefix high-watermark + tiny overflow map, so manifest
+  size is O(live files), NOT O(commit history).
 * **Additive schema evolution** — a batch carrying new columns widens
   the table schema (nullable add); old files are read through the
   widened schema (missing columns -> NULL), exactly like Iceberg
@@ -107,12 +109,50 @@ class LakeTable:
             "key_cols": key_cols,
             "n_buckets": n_buckets,
             "files": [],
-            "ledger": {},
+            "ledger": {"hwm": -1, "extra": {}},
             "parent": None,
             "committed_at": None,
         }
         t._write_snapshot(snap)
         return t
+
+    # ---------------- exactly-once ledger ----------------
+    #
+    # The applied-batch set is stored COMPACTED: a contiguous-prefix
+    # high-watermark ("every batch_id <= hwm applied") plus a small
+    # out-of-order overflow map. Streaming batch_ids are consecutive,
+    # so `extra` folds into `hwm` every commit and the manifest's
+    # ledger stays O(1) instead of O(applied batches) — at 10^5
+    # microbatches the old full-dict form rewrote the entire history
+    # as JSON on every commit (a driver-side scale-killer).
+
+    @staticmethod
+    def _ledger_migrate(ledger: dict) -> dict:
+        if "hwm" in ledger and "extra" in ledger:
+            return {"hwm": ledger["hwm"], "extra": dict(ledger["extra"])}
+        # pre-compaction format: {batch_id: {...}} — fold it
+        out = {"hwm": -1, "extra": {k: True for k in ledger}}
+        return LakeTable._ledger_fold(out)
+
+    @staticmethod
+    def _ledger_fold(ledger: dict) -> dict:
+        hwm, extra = ledger["hwm"], ledger["extra"]
+        while str(hwm + 1) in extra:
+            hwm += 1
+            del extra[str(hwm)]
+        return {"hwm": hwm, "extra": extra}
+
+    @staticmethod
+    def _ledger_contains(ledger: dict, batch_id: int) -> bool:
+        led = LakeTable._ledger_migrate(ledger)
+        return batch_id <= led["hwm"] or str(batch_id) in led["extra"]
+
+    @staticmethod
+    def _ledger_add(ledger: dict, batch_id: int) -> dict:
+        led = LakeTable._ledger_migrate(ledger)
+        if batch_id > led["hwm"]:
+            led["extra"][str(batch_id)] = True
+        return LakeTable._ledger_fold(led)
 
     def _snap_path(self, version: int) -> str:
         return os.path.join(self._meta, f"v{version:012d}.json")
@@ -196,9 +236,12 @@ class LakeTable:
         import pyspark.sql.functions as sf
 
         want_buckets = set()
-        lookup = self.spark.createDataFrame(
-            [tuple(k) for k in keys], ", ".join(f"{c} string" for c in key_cols)
-        )
+        # lookup schema uses the table's ACTUAL key-column types: hashing a
+        # string-typed literal where the stored key is e.g. bigint would
+        # xxhash64 to a different bucket and silently prune the right one
+        schema = self.schema(snap)
+        lookup_schema = T.StructType([schema[c] for c in key_cols])
+        lookup = self.spark.createDataFrame([tuple(k) for k in keys], lookup_schema)
         for r in lookup.select(
             sf.pmod(sf.xxhash64(*[sf.col(c) for c in key_cols]), sf.lit(n)).cast("int").alias("b")
         ).distinct().collect():
@@ -299,7 +342,7 @@ class LakeTable:
         readers pay one max-LSN window until compact() folds deltas.
         """
         snap = self.snapshot()
-        if str(batch_id) in snap["ledger"]:
+        if self._ledger_contains(snap["ledger"], batch_id):
             return MergeStats(batch_id=batch_id, applied=False, version=snap["version"])
 
         keys = snap["key_cols"]
@@ -461,7 +504,7 @@ class LakeTable:
             schema=schema.jsonValue(),
             files=files,
             parent=snap["version"],
-            ledger={**snap["ledger"], str(batch_id): {"version": version}},
+            ledger=self._ledger_add(snap["ledger"], batch_id),
         )
         self._write_snapshot(new)
         return MergeStats(

@@ -137,11 +137,31 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("media_features", None)  # binary/multimodal plumbing: rows-only
+_MEDIA_BUCKETS = ",\n           ".join(
+    f"CAST(len(list_filter(bs, b -> b = {i})) AS BIGINT) AS b{i}" for i in range(16)
+)
+
+
+@q(
+    "media_features",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''), x -> ord(x) // 16) AS bs,
+             length(text) AS nb
+      FROM documents)
+    SELECT doc_id AS media_id, 'image' AS kind, CAST(nb AS BIGINT) AS n_bytes,
+           {_MEDIA_BUCKETS}
+    FROM c
+    """,
+)
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path driven from the documents table: text bytes as
-    the opaque binary payload -> mapInPandas feature extraction."""
-    from .operators.multimodal import extract_features
+    the opaque binary payload -> mapInPandas byte-bucket histogram,
+    emitted as 16 integer count columns. The oracle reproduces the
+    histogram in DuckDB from codepoints (documents are ASCII, so
+    codepoint buckets == byte buckets — asserted by the hash match)."""
+    from .operators.multimodal import extract_feature_counts
 
     d = t(spark, sf_dir, "documents")
     media = d.select(
@@ -157,7 +177,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("n_frames"),
         ).alias("meta"),
     )
-    return extract_features(media)
+    return extract_feature_counts(media)
 
 
 # ---------------------------------------------------------------------------
@@ -244,15 +264,34 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("approx_distinct_users", None)  # HLL sketch: rows-only
+HLL_RSD = 0.02
+HLL_MAX_REL_ERR = 5 * HLL_RSD  # 5 sigma: loud failure, negligible flake rate
+
+
+@q("approx_distinct_users", None)  # HLL sketch: rows-only + in-query
+# relative-error assertion against the exact COUNT(DISTINCT) twin
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ twin of distinct_users_by_type — the 100 TB path
-    (one pass, bounded memory, mergeable sketches)."""
+    (one pass, bounded memory, mergeable sketches). Self-checking:
+    per-group relative error vs the exact twin is asserted under
+    5*rsd every run, so the rows-only driver check is backed by a
+    hard accuracy gate."""
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+    out = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", HLL_RSD).alias("n_users_approx"),
         F.count("*").alias("n_events"),
     )
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in out.collect():
+        err = abs(r["n_users_approx"] - exact[r["event_type"]]) / max(exact[r["event_type"]], 1)
+        if err > HLL_MAX_REL_ERR:
+            raise AssertionError(
+                f"HLL drifted: {r['event_type']} rel err {err:.3f} > {HLL_MAX_REL_ERR}"
+            )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +348,7 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "tumbling_window_counts",
     """
-    SELECT CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP) AS window_start,
+    SELECT date_trunc('hour', ts) AS window_start,
            event_type, COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2

@@ -221,6 +221,7 @@ def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow, and folded through the applyInPandasWithState
     running-key-state operator; returns the final per-key state."""
     import os
+    import shutil
     import tempfile
 
     from .schemas import CHANGE_EVENTS
@@ -238,28 +239,33 @@ def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("event_ts"),
     )
     work = tempfile.mkdtemp(prefix="qstateful_")
-    half = 2000
-    ev.filter(F.col("lsn") < half).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(work, "wal", "seg=0")
-    )
-    ev.filter(F.col("lsn") >= half).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(work, "wal", "seg=1")
-    )
-    name = "qstateful_out"
-    qy = (
-        running_key_state(
-            spark.readStream.schema(CHANGE_EVENTS)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(work, "wal") + "/*")
+    try:
+        half = 2000
+        ev.filter(F.col("lsn") < half).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, "wal", "seg=0")
         )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    qy.awaitTermination()
+        ev.filter(F.col("lsn") >= half).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, "wal", "seg=1")
+        )
+        name = "qstateful_out"
+        qy = (
+            running_key_state(
+                spark.readStream.schema(CHANGE_EVENTS)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(work, "wal") + "/*")
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    finally:
+        # availableNow has fully drained; the memory sink holds the rows,
+        # so the WAL segments + checkpoint in /tmp can go
+        shutil.rmtree(work, ignore_errors=True)
     return spark.sql(
         f"""
         SELECT repo, path, last_lsn, last_op, n_events FROM (

@@ -66,11 +66,19 @@ def parse_w3c_lines(raw: DataFrame) -> DataFrame:
     )
     # deterministic surrogate log_id: stable ordering over the natural row
     # identity (the reference uses insert-order SERIAL, which is not
-    # replayable — SURVEY.md §2.6.5)
-    from pyspark.sql import Window
+    # replayable — SURVEY.md §2.6.5). Two-level scheme (range-partition
+    # by the ordering key, per-partition row_number + driver-side
+    # offsets) — a bare Window.orderBy would funnel the whole staging
+    # table through ONE task at scale.
+    from ..operators.dims import surrogate_ids
 
-    w = Window.orderBy("date", "time", "ip", "raw_file_path", "status_code", "time_taken")
-    return out.withColumn("log_id", F.row_number().over(w)).select(
+    out = surrogate_ids(
+        out,
+        ["date", "time", "ip", "raw_file_path", "status_code", "time_taken"],
+        "log_id",
+        scalable=True,
+    )
+    return out.withColumn("log_id", F.col("log_id").cast("int")).select(
         "log_id",
         "date",
         "time",

@@ -48,18 +48,22 @@ def _update_key_state(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     prev_lsn, prev_op, prev_n = state.get if state.exists else (None, None, 0)
-    mx_lsn, mx_op, n = prev_lsn, prev_op, 0
-    regressed = False
+    # fold ALL Arrow chunks of this microbatch first: a key's rows can
+    # arrive as several chunks in arbitrary order, so the replay check
+    # must compare the batch-wide max against the stored state, not
+    # chunk-by-chunk (a low later chunk is not a regression)
+    mx_lsn, mx_op, n = None, None, 0
     for pdf in pdfs:
         n += len(pdf)
         if not len(pdf):
             continue
         i = pdf["lsn"].idxmax()
-        batch_max = int(pdf["lsn"].loc[i])
-        if mx_lsn is not None and batch_max <= mx_lsn:
-            regressed = True  # replay / out-of-order upstream
-        if mx_lsn is None or batch_max > mx_lsn:
-            mx_lsn, mx_op = batch_max, str(pdf["op"].loc[i])
+        chunk_max = int(pdf["lsn"].loc[i])
+        if mx_lsn is None or chunk_max > mx_lsn:
+            mx_lsn, mx_op = chunk_max, str(pdf["op"].loc[i])
+    regressed = prev_lsn is not None and mx_lsn is not None and mx_lsn <= prev_lsn
+    if mx_lsn is None or (prev_lsn is not None and prev_lsn >= mx_lsn):
+        mx_lsn, mx_op = prev_lsn, prev_op
     total = prev_n + n
     state.update((mx_lsn, mx_op, total))
     yield pd.DataFrame(
