@@ -35,8 +35,13 @@ N_KEYS = int(os.environ.get("SCALING_N_KEYS", "500000"))
 N_EVENTS = int(os.environ.get("SCALING_N_EVENTS", "6000000"))
 N_BATCHES = 4
 
-# N -> 4N pairs, low pair first (the one the host can honor)
-PAIRS: list[tuple[int, int]] = [(8, 32)]
+# N -> 4N pairs, low pair first (the one the host can honor: the VM
+# reliably delivers ~8 full-speed vCPUs, so 2->8 isolates the
+# engine's scaling from hypervisor steal; 8->32 is reported alongside)
+PAIRS: list[tuple[int, int]] = [
+    tuple(int(x) for x in p.split(":"))
+    for p in os.environ.get("SCALING_PAIRS", "2:8,8:32").split(",")
+]
 
 
 def worker(cores: int, out_path: str) -> None:
@@ -95,7 +100,8 @@ def main() -> int:
     # host windows at 32-wide parallelism are rare, so the best-of
     # estimator needs every sample it can get. History is keyed by the
     # job signature so measurements of older job definitions never mix.
-    sig = f"v2-slices-{N_EVENTS}-{N_KEYS}-{N_BATCHES}"
+    # v3: fused-dedup merge (one exchange per apply), compacted ledger
+    sig = f"v3-fused-{N_EVENTS}-{N_KEYS}-{N_BATCHES}"
     hist_path = os.path.join(ROOT, "BENCH", "scaling_runs.json")
     hist: dict = {}
     if os.path.exists(hist_path):

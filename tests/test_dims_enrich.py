@@ -72,3 +72,25 @@ def test_canonicalize_content(spark):
 def test_distinct_dim(spark):
     df = spark.createDataFrame([Row(a=1, b="x"), Row(a=1, b="x"), Row(a=2, b="y")])
     assert distinct_dim(df, ["a", "b"]).count() == 2
+
+
+def test_geo_cidr_lookup(spark):
+    """Broadcast CIDR range join: deterministic /8-block mapping, one
+    output row per input IP, NULL geo for unparseable addresses."""
+    from w3_data_etl_pipeline_spark.pipeline import GEO_COUNTRIES, geo_lookup
+
+    ips = spark.createDataFrame(
+        [Row(ip="10.0.0.1"), Row(ip="200.1.2.3"), Row(ip="not-an-ip"), Row(ip="1.2.3.4")]
+    )
+    out = {r["ip"]: r for r in geo_lookup(ips).collect()}
+    assert len(out) == 4
+    # block 10 -> GEO_COUNTRIES[(10*7+3) % 10]
+    cc, cn = GEO_COUNTRIES[(10 * 7 + 3) % len(GEO_COUNTRIES)]
+    assert out["10.0.0.1"]["country_code"] == cc
+    assert out["10.0.0.1"]["country_name"] == cn
+    cc200, _ = GEO_COUNTRIES[(200 * 7 + 3) % len(GEO_COUNTRIES)]
+    assert out["200.1.2.3"]["country_code"] == cc200
+    assert out["not-an-ip"]["country_code"] is None
+    assert out["not-an-ip"]["latitude"] is None
+    assert -90 <= out["1.2.3.4"]["latitude"] <= 90
+    assert -180 <= out["1.2.3.4"]["longitude"] <= 180

@@ -58,7 +58,7 @@ def main() -> int:
     if mode == "mor":
         table.compact()
     applied = sum(s.deduped_rows for s in run.stats)
-    print(f"stream drained: {len(run.stats)} batches, {applied} deduped events applied, {dt:.1f}s")
+    print(f"stream drained: {len(run.stats)} batches, {applied} events consumed, {dt:.1f}s")
     print(f"table version: {table.current_version()}  lineage rows: {table.lineage().count()}")
 
     got = {(r["repo"], r["path"]): r["content_sha"] for r in table.state_fingerprint().collect()}

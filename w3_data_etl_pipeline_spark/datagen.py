@@ -81,6 +81,40 @@ def source_snapshot(
     )
 
 
+def change_event_cols(
+    df: DataFrame,
+    n_keys: int,
+    seed: int = 42,
+    paths_per_repo: int = 50,
+    skew: float = 3.0,
+) -> DataFrame:
+    """Map any DataFrame bearing an ``lsn`` column (batch range, rate
+    source, socket ticks) to full deterministic change-event columns —
+    the single definition shared by the batch generator and the
+    streaming rate source (streaming/cdc.py:rate_source_events)."""
+    u_key = _u("key", seed, F.col("lsn"))
+    key_id = F.least(
+        (F.pow(u_key, F.lit(skew)) * n_keys).cast("long"), F.lit(n_keys - 1)
+    )
+    repo, path, ext = _key_cols(key_id, paths_per_repo)
+    u_op = _u("op", seed, F.col("lsn"))
+    op = F.when(u_op < 0.08, "D").when(u_op < 0.40, "I").otherwise("U")
+    commit = F.md5(F.concat(repo, path, F.col("lsn").cast("string")))
+    lang = F.when(_u("elangnull", seed, F.col("lsn")) < 0.2, F.lit(None)).otherwise(
+        _lang_from_ext(ext)
+    )
+    return df.select(
+        F.col("lsn"),
+        op.alias("op"),
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        F.when(op == "D", F.lit(None)).otherwise(lang).alias("lang"),
+        F.when(op == "D", F.lit(None)).otherwise(_content(repo, path, commit, seed)).alias("content"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn")).alias("event_ts"),
+    )
+
+
 def change_events(
     spark: SparkSession,
     n_events: int,
@@ -102,27 +136,7 @@ def change_events(
       (extra double column) the target must absorb additively.
     """
     df = spark.range(n_events).select((F.col("id") + first_lsn).alias("lsn"))
-    u_key = _u("key", seed, F.col("lsn"))
-    key_id = F.least(
-        (F.pow(u_key, F.lit(skew)) * n_keys).cast("long"), F.lit(n_keys - 1)
-    )
-    repo, path, ext = _key_cols(key_id, paths_per_repo)
-    u_op = _u("op", seed, F.col("lsn"))
-    op = F.when(u_op < 0.08, "D").when(u_op < 0.40, "I").otherwise("U")
-    commit = F.md5(F.concat(repo, path, F.col("lsn").cast("string")))
-    lang = F.when(_u("elangnull", seed, F.col("lsn")) < 0.2, F.lit(None)).otherwise(
-        _lang_from_ext(ext)
-    )
-    ev = df.select(
-        F.col("lsn"),
-        op.alias("op"),
-        repo.alias("repo"),
-        path.alias("path"),
-        commit.alias("commit"),
-        F.when(op == "D", F.lit(None)).otherwise(lang).alias("lang"),
-        F.when(op == "D", F.lit(None)).otherwise(_content(repo, path, commit, seed)).alias("content"),
-        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn")).alias("event_ts"),
-    )
+    ev = change_event_cols(df, n_keys, seed=seed, paths_per_repo=paths_per_repo, skew=skew)
     if with_lang_confidence:
         ev = ev.withColumn(
             "lang_confidence",

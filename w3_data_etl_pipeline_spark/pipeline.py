@@ -49,20 +49,59 @@ GEO_COUNTRIES = [
 ]
 
 
+def ip_to_long(c: F.Column) -> F.Column:
+    """Dotted-quad IPv4 -> 32-bit integer (NULL for malformed/IPv6 —
+    try_cast keeps ANSI mode from throwing on garbage input)."""
+    o = F.split(c, r"\.")
+    return (
+        o[0].try_cast("long") * 16_777_216
+        + o[1].try_cast("long") * 65_536
+        + o[2].try_cast("long") * 256
+        + o[3].try_cast("long")
+    )
+
+
+def geo_ranges(spark: SparkSession) -> DataFrame:
+    """Deterministic CIDR->geo lookup table: one row per IPv4 /8 block
+    with a country + centroid. Stands in for the external provider's
+    database (reference ip_tasks.py:67-91 calls geolocation-db.com per
+    IP over HTTP; no network here) with the REAL production join
+    shape: a broadcast range join against a CIDR table — at scale a
+    full GeoIP CIDR dump is a few MB, comfortably broadcastable."""
+    rows = []
+    for i in range(256):
+        cc, cn = GEO_COUNTRIES[(i * 7 + 3) % len(GEO_COUNTRIES)]
+        rows.append(
+            (
+                i << 24,
+                ((i + 1) << 24) - 1,
+                cc,
+                cn,
+                float(((i * 37) % 180) - 90) + 0.5,
+                float(((i * 73) % 360) - 180) + 0.5,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "lo long, hi long, country_code string, country_name string, "
+        "latitude double, longitude double",
+    )
+
+
 def geo_lookup(ips: DataFrame) -> DataFrame:
-    """Deterministic stand-in for the external geolocation provider
-    (reference ip_tasks.py:67-91 calls geolocation-db.com per IP; no
-    network here). Same join-shape: one row per distinct IP."""
-    h = F.xxhash64(F.col("ip"), F.lit("geo"))
-    cc = F.array(*[F.lit(c) for c, _ in GEO_COUNTRIES])
-    cn = F.array(*[F.lit(n) for _, n in GEO_COUNTRIES])
-    idx = (F.pmod(h, F.lit(len(GEO_COUNTRIES))) + 1).cast("int")
-    return ips.select(
-        "ip",
-        F.element_at(cc, idx).alias("country_code"),
-        F.element_at(cn, idx).alias("country_name"),
-        (F.pmod(F.xxhash64(F.col("ip"), F.lit("lat")), F.lit(180_000)) / 1000.0 - 90.0).alias("latitude"),
-        (F.pmod(F.xxhash64(F.col("ip"), F.lit("lon")), F.lit(360_000)) / 1000.0 - 180.0).alias("longitude"),
+    """Geo enrichment as a broadcast CIDR-range lookup: one row per
+    distinct IP (same join-shape as the reference's per-IP enrichment,
+    minus the 2-network-round-trips-per-row anti-pattern). Left join:
+    unparseable IPs keep NULL geo, like a failed provider lookup."""
+    ranges = geo_ranges(ips.sparkSession)
+    with_long = ips.withColumn("_ipl", ip_to_long(F.col("ip")))
+    joined = with_long.join(
+        F.broadcast(ranges),
+        (F.col("_ipl") >= F.col("lo")) & (F.col("_ipl") <= F.col("hi")),
+        "left",
+    )
+    return joined.select(
+        "ip", "country_code", "country_name", "latitude", "longitude"
     )
 
 

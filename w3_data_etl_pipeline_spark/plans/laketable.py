@@ -70,7 +70,7 @@ class MergeStats:
     applied: bool
     version: int
     input_rows: int = 0
-    deduped_rows: int = 0
+    deduped_rows: int = 0  # events consumed from the batch (pre-dedup count)
     touched_buckets: int = 0
     output_rows: int = 0
     lineage: list[dict] = field(default_factory=list)
@@ -323,17 +323,21 @@ class LakeTable:
         mode: str = "cow",
         assume_deduped: bool = False,
     ) -> MergeStats:
-        """Apply one deduplicated-or-raw microbatch of change events.
+        """Apply one microbatch of change events (raw or pre-deduped).
 
         events columns: key_cols + (lsn, op) + value columns
         (op: 'I'|'U' upsert full row, 'D' delete). Safe to call twice
         with the same batch_id (ledger no-op) and safe under
         duplicate/stale events (max-LSN guard).
 
-        assume_deduped=True skips the in-merge max-LSN window (the
-        caller already ran latest_by_key — the apply_batch fast path);
-        the per-key max-LSN guard against the TARGET still holds, so
-        correctness never depends on the flag.
+        The within-batch max-LSN dedup is FUSED into the single
+        bucket-partitioned pass both modes already make (sort by
+        (key, lsn desc, commit desc) inside each bucket partition,
+        keep the first row per key), so a raw batch costs exactly ONE
+        full-row shuffle — no separate dedup exchange. assume_deduped
+        is kept for API compatibility; it no longer changes the plan
+        (the fused window is the dedup) and correctness never depended
+        on it.
 
         mode='cow' (copy-on-write): rewrites the touched buckets;
         read-optimized, write cost ∝ touched-bucket bytes.
@@ -349,106 +353,124 @@ class LakeTable:
         # additive schema evolution: widen table schema with new event columns
         schema = self._unify_schema(self.schema(snap), events.schema)
 
-        # per-microbatch max-LSN dedup, deterministic tie-break on commit
-        from ..operators.dedupe import latest_by_key
-
-        order = ["lsn"] + (["commit"] if "commit" in events.columns else [])
-        pre = events if assume_deduped else latest_by_key(events, keys, order)
-        deduped = pre.withColumn("_bucket", self._bucket_expr(snap))
-        deduped = deduped.persist()
-        try:
-            # ONE action computes both the touched-bucket set and the
-            # per-bucket lineage stats (offset range + applied count)
-            lin_rows = (
-                deduped.groupBy("_bucket")
-                .agg(
-                    F.min("lsn").alias("min_lsn"),
-                    F.max("lsn").alias("max_lsn"),
-                    F.count("*").alias("applied_count"),
-                )
-                .collect()
+        deduped = events.withColumn("_bucket", self._bucket_expr(snap))
+        # Lineage/touched-bucket pre-pass. Deliberately NOT a
+        # persist-then-collect: the agg needs only (lsn, _bucket),
+        # so Catalyst prunes every other column — including the
+        # enrichment UDF, whose output is unused here — and the
+        # job moves two longs per row instead of materializing the
+        # full batch into the columnar cache (measured ~2s/batch
+        # of serial cache-build at 750k-row batches, the dominant
+        # Amdahl term at high core counts). The write job below
+        # recomputes the batch from its (deterministic) source.
+        lin_rows = (
+            deduped.groupBy("_bucket")
+            .agg(
+                F.min("lsn").alias("min_lsn"),
+                F.max("lsn").alias("max_lsn"),
+                F.count("*").alias("applied_count"),
             )
-            touched = [r["_bucket"] for r in lin_rows]
-            touched_set = set(touched)
-            old_files = [f for f in snap["files"] if f["bucket"] in touched_set]
-            kept_files = [f for f in snap["files"] if f["bucket"] not in touched_set]
-            version = snap["version"] + 1
-            value_cols = [f_.name for f_ in schema.fields if f_.name not in keys and f_.name != LSN_COL]
+            .collect()
+        )
+        touched = [r["_bucket"] for r in lin_rows]
+        touched_set = set(touched)
+        old_files = [f for f in snap["files"] if f["bucket"] in touched_set]
+        kept_files = [f for f in snap["files"] if f["bucket"] not in touched_set]
+        version = snap["version"] + 1
+        value_cols = [f_.name for f_ in schema.fields if f_.name not in keys and f_.name != LSN_COL]
 
-            if mode == "mor":
-                # merge-on-read: append the deduped batch as delta files
-                # (one sequential write of the batch, no table rewrite);
-                # readers resolve with the max-LSN window, compact() folds.
-                delta = deduped.select(
-                    *[F.col(c) for c in deduped.columns if c in schema.fieldNames()],
-                    F.col("lsn").alias(LSN_COL),
-                    F.col("op").alias(OP_COL),
-                )
-                # schema-missing value columns -> NULL so old+new files align
-                for c in value_cols:
-                    if c not in delta.columns and c != OP_COL:
-                        delta = delta.withColumn(c, F.lit(None).cast(schema[c].dataType))
-                new_files = self._write_data(delta, snap, version, kind="delta") if touched else []
-                return self._commit_merge(
-                    snap, schema, batch_id, version, snap["files"] + new_files, lin_rows, touched
-                )
+        par = self.spark.sparkContext.defaultParallelism
+        n_part = max(1, min(snap["n_buckets"], par))
+        tie = [F.col("commit").desc_nulls_last()] if "commit" in value_cols else []
 
-            # COW as ONE bucket-partitioned pass (no join): union the
-            # touched buckets' rows with the batch, repartition by
-            # _bucket (the only shuffle), sort within partitions by
-            # (key asc, _lsn desc, event-before-target, commit desc),
-            # keep the first row per key, drop 'D' winners. The output
-            # is already partitioned by _bucket so the write adds no
-            # further exchange. Replaces the previous full_outer
-            # SortMergeJoin + repartition (3 shuffles -> 1).
-            phys = T.StructType(schema.fields + [T.StructField(OP_COL, T.StringType(), True)])
-            tgt = self._read_files([f["path"] for f in old_files], phys).withColumn(
-                "_bucket", self._bucket_expr(snap)
-            ).withColumn("_src", F.lit(0))
-            ev_aligned = deduped.select(
-                *[F.col(k) for k in keys],
-                *[
-                    (
-                        F.col(c) if c in deduped.columns else F.lit(None).cast(schema[c].dataType)
-                    ).alias(c)
-                    for c in value_cols
-                ],
+        if mode == "mor":
+            # merge-on-read: repartition the batch by _bucket (the
+            # only shuffle), dedup per key inside each bucket
+            # partition via the fused window, append as delta files
+            # — 'D' rows are KEPT as tombstones; readers resolve
+            # with the max-LSN window, compact() folds.
+            delta = deduped.select(
+                *[F.col(c) for c in deduped.columns if c in schema.fieldNames()],
                 F.col("lsn").alias(LSN_COL),
                 F.col("op").alias(OP_COL),
                 F.col("_bucket"),
-                F.lit(1).alias("_src"),
             )
-            both = tgt.unionByName(ev_aligned)
-            par = self.spark.sparkContext.defaultParallelism
-            part = both.repartition(max(1, min(snap["n_buckets"], par)), "_bucket")
-            order = [F.col(k).asc() for k in keys] + [
-                F.col(LSN_COL).desc_nulls_last(),
-                F.col("_src").desc(),
-            ]
-            if "commit" in value_cols:
-                order.append(F.col("commit").desc_nulls_last())
-            w = (
-                Window.partitionBy("_bucket").orderBy(*order)
+            # schema-missing value columns -> NULL so old+new files align
+            for c in value_cols:
+                if c not in delta.columns and c != OP_COL:
+                    delta = delta.withColumn(c, F.lit(None).cast(schema[c].dataType))
+            part = delta.repartition(n_part, "_bucket")
+            delta_dd = self._first_per_key(
+                part, keys, [F.col(LSN_COL).desc_nulls_last()] + tie
             )
-            prev_same = None
-            for k in keys:
-                e = F.lag(F.col(k)).over(w).eqNullSafe(F.col(k))
-                prev_same = e if prev_same is None else (prev_same & e)
-            is_first = ~F.coalesce(prev_same, F.lit(False))
-            merged = (
-                part.withColumn("_first", is_first)
-                .filter(F.col("_first") & (F.col(OP_COL).isNull() | (F.col(OP_COL) != "D")))
-                .drop("_first", "_src", OP_COL)
-            )
-
             new_files = (
-                self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
+                self._write_data(delta_dd, snap, version, kind="delta", pre_bucketed=True)
+                if touched
+                else []
             )
             return self._commit_merge(
-                snap, schema, batch_id, version, kept_files + new_files, lin_rows, touched
+                snap, schema, batch_id, version, snap["files"] + new_files, lin_rows, touched
             )
-        finally:
-            deduped.unpersist()
+
+        # COW as ONE bucket-partitioned pass (no join): union the
+        # touched buckets' rows with the RAW batch, repartition by
+        # _bucket (the only shuffle), sort within partitions by
+        # (key asc, _lsn desc, event-before-target, commit desc),
+        # keep the first row per key, drop 'D' winners. Within-batch
+        # duplicates, stale events, AND the target's previous row
+        # all resolve in this one window — the dedup costs no extra
+        # exchange. The output is already partitioned by _bucket so
+        # the write adds no further exchange.
+        phys = T.StructType(schema.fields + [T.StructField(OP_COL, T.StringType(), True)])
+        tgt = self._read_files([f["path"] for f in old_files], phys).withColumn(
+            "_bucket", self._bucket_expr(snap)
+        ).withColumn("_src", F.lit(0))
+        ev_aligned = deduped.select(
+            *[F.col(k) for k in keys],
+            *[
+                (
+                    F.col(c) if c in deduped.columns else F.lit(None).cast(schema[c].dataType)
+                ).alias(c)
+                for c in value_cols
+            ],
+            F.col("lsn").alias(LSN_COL),
+            F.col("op").alias(OP_COL),
+            F.col("_bucket"),
+            F.lit(1).alias("_src"),
+        )
+        both = tgt.unionByName(ev_aligned)
+        part = both.repartition(n_part, "_bucket")
+        merged = self._first_per_key(
+            part, keys, [F.col(LSN_COL).desc_nulls_last(), F.col("_src").desc()] + tie
+        )
+        merged = merged.filter(
+            F.col(OP_COL).isNull() | (F.col(OP_COL) != "D")
+        ).drop("_src", OP_COL)
+
+        new_files = (
+            self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
+        )
+        return self._commit_merge(
+            snap, schema, batch_id, version, kept_files + new_files, lin_rows, touched
+        )
+
+    @staticmethod
+    def _first_per_key(df: DataFrame, keys: list[str], order: list[F.Column]) -> DataFrame:
+        """Keep the first row per key after sorting each _bucket
+        partition by (keys asc, *order). Valid as a per-key dedup
+        because _bucket is a function of the key: every row of a key
+        lands in the same bucket partition. One sort, no extra
+        exchange beyond the _bucket repartition the caller already
+        paid."""
+        w = Window.partitionBy("_bucket").orderBy(
+            *([F.col(k).asc() for k in keys] + order)
+        )
+        prev_same = None
+        for k in keys:
+            e = F.lag(F.col(k)).over(w).eqNullSafe(F.col(k))
+            prev_same = e if prev_same is None else (prev_same & e)
+        is_first = ~F.coalesce(prev_same, F.lit(False))
+        return df.withColumn("_first", is_first).filter(F.col("_first")).drop("_first")
 
     def _commit_merge(
         self,

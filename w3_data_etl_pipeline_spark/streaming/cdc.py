@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.enrich import enrich_changes
@@ -31,6 +32,7 @@ from ..plans.laketable import LakeTable, MergeStats
 @dataclass
 class CdcRun:
     stats: list[MergeStats] = field(default_factory=list)
+    query: object = None  # the live StreamingQuery when available_now=False
 
 
 def apply_batch(
@@ -44,23 +46,55 @@ def apply_batch(
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body.
 
-    Order: (salt ->) dedup -> enrich -> merge. Deduping FIRST means
-    the Arrow enrichment UDFs only touch rows that survive — under
-    hot-key skew a large fraction of the batch collapses in the
-    window, and post-dedup partitions are one-row-per-key so the
-    enrichment stage needs no salting at all. Salting still applies
-    to any pre-dedup map work when requested.
+    Order: (salt ->) enrich -> merge. Enrichment is a pure map stage
+    whose Arrow hop carries only the UDF's input columns (path, lang
+    — content never crosses into Python), so it runs on the raw batch;
+    the within-batch max-LSN dedup is FUSED into the merge's single
+    bucket-partitioned shuffle (LakeTable.merge) — a raw microbatch
+    costs exactly one full-row exchange end-to-end. Salting applies
+    to pre-merge map work when requested (hot-key skew in upstream
+    transforms); the merge shuffle itself is keyed by _bucket, where
+    a hot KEY is at worst one hot bucket of 4096.
     """
     if salt_partitions:
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
-    from ..operators.dedupe import latest_by_key
+    if enrich and "lang" in events.columns:
+        events = enrich_changes(events)
+    return table.merge(events, batch_id, mode=mode)
 
-    keys = table.snapshot()["key_cols"]
-    order = ["lsn"] + (["commit"] if "commit" in events.columns else [])
-    deduped = latest_by_key(events, keys, order)
-    if enrich and "lang" in deduped.columns:
-        deduped = enrich_changes(deduped)
-    return table.merge(deduped, batch_id, mode=mode, assume_deduped=True)
+
+def run_stream_from(
+    source: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+    enrich: bool = True,
+    salt_partitions: int | None = None,
+    mode: str = "cow",
+    available_now: bool = True,
+) -> CdcRun:
+    """Drive ANY streaming DataFrame of change events through the
+    engine — the foreachBatch body is source-agnostic (file WAL here,
+    Kafka/rate/socket on a cluster are just a different `source`).
+    With ``available_now`` the query drains what exists and stops;
+    calling again after more data lands — or after a kill — resumes
+    from the checkpoint."""
+    run = CdcRun()
+
+    def _sink(df: DataFrame, batch_id: int) -> None:
+        run.stats.append(
+            apply_batch(
+                table, df, batch_id, enrich=enrich, salt_partitions=salt_partitions, mode=mode
+            )
+        )
+
+    w = source.writeStream.foreachBatch(_sink).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        q = w.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        q = w.start()
+        run.query = q
+    return run
 
 
 def run_stream(
@@ -74,29 +108,24 @@ def run_stream(
     salt_partitions: int | None = None,
     mode: str = "cow",
 ) -> CdcRun:
-    """Drain all currently-available WAL segments through the engine
-    (``availableNow`` trigger), then stop. Calling again after more
-    segments land — or after a kill — resumes from the checkpoint.
-    """
-    run = CdcRun()
+    """File-WAL convenience wrapper over ``run_stream_from``: tail
+    parquet WAL segments with ``availableNow``, then stop."""
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
-
-    def _sink(df: DataFrame, batch_id: int) -> None:
-        run.stats.append(
-            apply_batch(
-                table, df, batch_id, enrich=enrich, salt_partitions=salt_partitions, mode=mode
-            )
-        )
-
-    q = (
-        src.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return run_stream_from(
+        src, table, checkpoint_dir, enrich=enrich, salt_partitions=salt_partitions, mode=mode
     )
-    q.awaitTermination()
-    return run
+
+
+def rate_source_events(spark: SparkSession, rows_per_second: int = 1000, n_keys: int = 500) -> DataFrame:
+    """Synthetic change-event stream over Spark's built-in `rate`
+    source — a non-file source shape for exercising the engine: each
+    rate tick becomes one deterministic change event (lsn = tick
+    value), same columns as the WAL schema."""
+    from ..datagen import change_event_cols
+
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return change_event_cols(rate.withColumn("lsn", F.col("value") + 1), n_keys)
