@@ -24,6 +24,7 @@ OUT = os.path.join(ROOT, "BENCH", "scaling_bracketed.jsonl")
 N_KEYS = int(os.environ.get("SCALING_N_KEYS", "125000"))
 N_EVENTS = int(os.environ.get("SCALING_N_EVENTS", "1000000"))
 N_BATCHES = 4
+MODE = os.environ.get("SCALING_MODE", "cow")
 
 WORKER = """
 import sys, json
@@ -35,7 +36,7 @@ extra = {{"spark.local.dir": "/dev/shm/spark-local-br"}}
 spark = get_spark(f"br{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores, extra_conf=extra)
 spark.range(1000000).selectExpr("sum(id)").collect()
-eps = bench_cdc(spark, n_keys={nk}, n_events={ne}, n_batches={nb})
+eps = bench_cdc(spark, n_keys={nk}, n_events={ne}, n_batches={nb}, mode={mode!r})
 print(json.dumps({{"eps": round(eps, 1)}}))
 spark.stop()
 """
@@ -70,7 +71,7 @@ def main() -> int:
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     levels = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")]
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-    code = WORKER.format(root=ROOT, nk=N_KEYS, ne=N_EVENTS, nb=N_BATCHES)
+    code = WORKER.format(root=ROOT, nk=N_KEYS, ne=N_EVENTS, nb=N_BATCHES, mode=MODE)
     for rep in range(repeats):
         for cores in levels:
             cap_b = host_capacity()
@@ -85,7 +86,7 @@ def main() -> int:
             eps = json.loads(lines[-1])["eps"] if lines else None
             rec = {
                 "ts": round(time.time(), 1),
-                "job": f"{N_EVENTS}ev-{N_KEYS}k-{N_BATCHES}b",
+                "job": f"{N_EVENTS}ev-{N_KEYS}k-{N_BATCHES}b-{MODE}",
                 "cores": cores,
                 "eps": eps,
                 "cap_before_M": round(cap_b, 1),

@@ -379,8 +379,11 @@ class LakeTable:
         version = snap["version"] + 1
         value_cols = [f_.name for f_ in schema.fields if f_.name not in keys and f_.name != LSN_COL]
 
+        # 2x cores (capped at n_buckets): two waves of reduce tasks
+        # smooth bucket-size imbalance; one task per core leaves the
+        # slowest bucket as a straggler wave of its own
         par = self.spark.sparkContext.defaultParallelism
-        n_part = max(1, min(snap["n_buckets"], par))
+        n_part = max(1, min(snap["n_buckets"], 2 * par))
         tie = [F.col("commit").desc_nulls_last()] if "commit" in value_cols else []
 
         if mode == "mor":

@@ -55,6 +55,14 @@ def get_spark(
         # executor threads. Smaller cache batches + bigger G1 regions
         # keep cache builds in the young-gen fast path.
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "2000")
+        # scan parallelism: the default 128MB split coalesces a
+        # bucket-partitioned table (64 x ~4MB files) into 2-6 input
+        # splits, capping the map stage at 2-6 tasks no matter how
+        # many cores exist. 32MB splits + low open cost keep scan
+        # task count >= cores (measured: the single biggest scaling
+        # limiter after cache reads; cf. BENCH/BASELINE.md controls).
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(2 * 1024 * 1024))
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:G1HeapRegionSize=32m"),
