@@ -281,3 +281,128 @@ def test_manifest_size_bounded_over_many_merges(spark, tmp_path, fixtures):
         sizes.append(os.path.getsize(t._snap_path(t.current_version())))
     # steady state reached early; later manifests are not bigger
     assert max(sizes[40:]) <= max(sizes[5:15]) * 1.25, sizes
+
+
+def _delta_counts(table):
+    from collections import Counter
+
+    return Counter(
+        f["bucket"]
+        for f in table.snapshot()["files"]
+        if f.get("kind", "base") == "delta"
+    )
+
+
+def test_partial_compaction_folds_only_hot_buckets(spark, tmp_path, fixtures):
+    """compact(min_deltas=k) must fold exactly the buckets whose delta
+    count crossed k, leave cold buckets' files byte-identical, and
+    preserve the state fingerprint — the bounded-read-amplification
+    knob for a long-running MOR stream."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_pcompact", n_buckets=8)
+    for i, (lo, hi) in enumerate([(1, 500), (501, 1000), (1001, 1500), (1501, 2000)]):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        assert apply_batch(t, batch, i, enrich=False, mode="mor").applied
+    before = _engine_shas(t)
+    dc = _delta_counts(t)
+    assert dc and max(dc.values()) >= 3  # 4 MOR batches touch most buckets
+    # threshold above every count -> metadata no-op, no new snapshot
+    v0 = t.current_version()
+    assert t.compact(min_deltas=max(dc.values()) + 1) == v0
+    assert t.current_version() == v0
+    # fold buckets with >= 3 deltas only
+    hot = {b for b, c in dc.items() if c >= 3}
+    cold_files_before = sorted(
+        f["path"] for f in t.snapshot()["files"] if f["bucket"] not in hot
+    )
+    v1 = t.compact(min_deltas=3)
+    assert v1 == v0 + 1
+    dc_after = _delta_counts(t)
+    assert all(b not in dc_after for b in hot)          # hot buckets folded
+    cold_files_after = sorted(
+        f["path"] for f in t.snapshot()["files"] if f["bucket"] not in hot
+    )
+    assert cold_files_after == cold_files_before        # cold untouched
+    assert _engine_shas(t) == before == _expected_shas(snap_rows, event_rows)
+
+
+def test_expire_snapshots_bounds_disk(spark, tmp_path, fixtures):
+    """expire_snapshots(keep_last=k) must delete old manifests and every
+    data file referenced by no retained snapshot, while the current
+    state stays byte-identical — the disk bound for 10^5 microbatches
+    of COW rewrites."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_expire", n_buckets=4)
+    for i, (lo, hi) in enumerate([(1, 500), (501, 1000), (1001, 1500), (1501, 2000)]):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        assert apply_batch(t, batch, i, enrich=False, mode="cow").applied
+    before = _engine_shas(t)
+    old_version = t.current_version() - 2
+    stats = t.expire_snapshots(keep_last=2)
+    assert stats["removed_snapshots"] >= 3  # v0..v2 of 0..5 expire
+    assert stats["removed_files"] > 0       # COW rewrites left orphans
+    # disk now holds exactly the retained snapshots' files
+    on_disk = {
+        os.path.relpath(os.path.join(dp, n), t.root)
+        for dp, _, ns in os.walk(t._data)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    referenced = {f["path"] for f in t.snapshot()["files"]} | {
+        f["path"] for f in t.snapshot(t.current_version() - 1)["files"]
+    }
+    assert on_disk == referenced
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(old_version)
+    assert _engine_shas(t) == before == _expected_shas(snap_rows, event_rows)
+    assert t.lineage().count() > 0  # audit table is never expired
+
+
+def test_stream_with_maintenance_policy(spark, tmp_path, fixtures):
+    """MOR stream with auto_compact_deltas + expire_keep: the final
+    state still equals the oracle, per-bucket delta count stays below
+    the threshold, and disk holds only retained-snapshot files."""
+    import glob
+    import shutil
+
+    snap, events, snap_rows, event_rows = fixtures
+    wal = tmp_path / "wal_maint"
+    ckpt = str(tmp_path / "ckpt_maint")
+    os.makedirs(wal)
+    for i, (lo, hi) in enumerate([(1, 500), (501, 1000), (1001, 1500), (1501, 2000)]):
+        staging = str(tmp_path / f"mstage{i}")
+        events.filter((events.lsn >= lo) & (events.lsn <= hi)).coalesce(1).write.parquet(
+            staging
+        )
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, str(wal / f"seg{i}.parquet"))
+    t = _new_table(spark, tmp_path, snap, "t_maint", n_buckets=8)
+    run = run_stream(
+        spark,
+        t,
+        str(wal),
+        ckpt,
+        CHANGE_EVENTS,
+        enrich=False,
+        mode="mor",
+        auto_compact_deltas=2,
+        expire_keep=2,
+    )
+    assert all(s.applied for s in run.stats)
+    assert _engine_shas(t) == _expected_shas(snap_rows, event_rows)
+    dc = _delta_counts(t)
+    assert not dc or max(dc.values()) < 2  # policy kept deltas bounded
+    on_disk = {
+        os.path.relpath(os.path.join(dp, n), t.root)
+        for dp, _, ns in os.walk(t._data)
+        for n in ns
+        if n.endswith(".parquet")
+    }
+    retained = sorted(
+        int(n[1:-5]) for n in os.listdir(t._meta) if n.startswith("v") and n.endswith(".json")
+    )
+    assert len(retained) <= 3  # keep_last=2 (+1 slack for post-expire commits)
+    referenced = set()
+    for v in retained:
+        referenced.update(f["path"] for f in t.snapshot(v)["files"])
+    assert on_disk == referenced

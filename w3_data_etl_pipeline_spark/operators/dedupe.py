@@ -164,9 +164,14 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "band_hash")
     )
-    anchors = banded.groupBy("band", "band_hash").agg(F.min(id_col).alias("anchor_id"))
+    # anchor = min(id) per band bucket via an unordered window, NOT a
+    # groupBy + self-join: the join form makes Catalyst evaluate the
+    # whole signature subtree (explode + md5 + num_hashes mins) once
+    # per branch — measured 2x the query's cost — while the window
+    # computes signatures once and pays one (band, band_hash) shuffle.
+    w = Window.partitionBy("band", "band_hash")
     pairs = (
-        banded.join(anchors, ["band", "band_hash"])
+        banded.withColumn("anchor_id", F.min(F.col(id_col)).over(w))
         .filter(F.col(id_col) != F.col("anchor_id"))
         .select(F.col("anchor_id").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()

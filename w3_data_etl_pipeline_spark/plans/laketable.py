@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -543,20 +544,90 @@ class LakeTable:
 
     # ---------------- maintenance ----------------
 
-    def compact(self) -> int:
-        """Fold MOR deltas into base files and collapse small files:
-        resolve once, rewrite every bucket as kind='base'."""
+    def compact(self, min_deltas: int | None = None) -> int:
+        """Fold MOR deltas into base files and collapse small files.
+
+        min_deltas=None: full rewrite — resolve once, rewrite every
+        bucket as kind='base' (also collapses small base files).
+
+        min_deltas=k: PARTIAL compaction — rewrite only buckets whose
+        delta-file count is >= k, leave every other file untouched
+        (Iceberg's per-partition rewrite_data_files analogue). This is
+        the knob a long-running MOR stream needs: without it delta
+        count — and so read amplification — grows linearly with
+        microbatch count; with it, cost per compaction is bounded by
+        the hot buckets' bytes, not the table's. Returns the current
+        version unchanged when no bucket crosses the threshold (no
+        empty snapshots)."""
         snap = self.snapshot()
-        df = self._read_files([f["path"] for f in snap["files"]], self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in snap["files"]):
+        if min_deltas is None:
+            fold_files = snap["files"]
+            kept_files: list[dict] = []
+        else:
+            from collections import Counter
+
+            dc = Counter(
+                f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
+            )
+            fold = {b for b, c in dc.items() if c >= min_deltas}
+            if not fold:
+                return snap["version"]
+            fold_files = [f for f in snap["files"] if f["bucket"] in fold]
+            kept_files = [f for f in snap["files"] if f["bucket"] not in fold]
+        # resolving a bucket subset is safe: _bucket is a pure function
+        # of the key, so every row of a key lives in exactly one bucket
+        # and all of that bucket's files are in the fold set
+        df = self._read_files([f["path"] for f in fold_files], self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in fold_files):
             df = self._resolve(df, snap)
         df = df.drop(OP_COL)
         version = snap["version"] + 1
         files = self._write_data(df, snap, version, kind="base")
         new = dict(snap)
-        new.update(version=version, files=files, parent=snap["version"])
+        new.update(version=version, files=kept_files + files, parent=snap["version"])
         self._write_snapshot(new)
         return version
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Drop snapshot manifests older than the newest ``keep_last``
+        and DELETE data files referenced by no retained snapshot —
+        Iceberg's expire_snapshots + orphan-file cleanup. Bounds disk
+        for a long-running stream: without it every COW rewrite's old
+        bucket files live forever (O(history) bytes at 10^5
+        microbatches). Time travel to an expired version raises
+        FileNotFoundError by design. Lineage/metrics rows are never
+        expired (they are the audit table, O(buckets) per batch)."""
+        keep_last = max(1, keep_last)
+        versions = sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._meta)
+            if n.startswith("v") and n.endswith(".json")
+        )
+        cur = self.current_version()
+        retained = set(versions[-keep_last:]) | {cur}
+        referenced: set[str] = set()
+        for v in retained:
+            referenced.update(f["path"] for f in self.snapshot(v)["files"])
+        removed_files = 0
+        for dirpath, _dirs, names in os.walk(self._data, topdown=False):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                if n.endswith(".parquet") and os.path.relpath(p, self.root) not in referenced:
+                    os.remove(p)
+                    removed_files += 1
+        # prune write dirs with no parquet left (only _SUCCESS markers)
+        for entry in os.listdir(self._data):
+            d = os.path.join(self._data, entry)
+            if os.path.isdir(d) and not any(
+                fn.endswith(".parquet") for _, _, fns in os.walk(d) for fn in fns
+            ):
+                shutil.rmtree(d, ignore_errors=True)
+        removed_snaps = 0
+        for v in versions:
+            if v not in retained:
+                os.remove(self._snap_path(v))
+                removed_snaps += 1
+        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
 
     def state_fingerprint(self) -> DataFrame:
         """Per-key sha256(content) — the north-rule equality invariant."""

@@ -42,6 +42,8 @@ def apply_batch(
     enrich: bool = True,
     salt_partitions: int | None = None,
     mode: str = "cow",
+    auto_compact_deltas: int | None = None,
+    expire_keep: int | None = None,
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body.
@@ -60,7 +62,20 @@ def apply_batch(
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
     if enrich and "lang" in events.columns:
         events = enrich_changes(events)
-    return table.merge(events, batch_id, mode=mode)
+    stats = table.merge(events, batch_id, mode=mode)
+    # table maintenance AFTER the ledgered commit: a kill between the
+    # merge commit and either step replays the batch as a ledger no-op
+    # and maintenance simply runs on the next trigger — exactly-once
+    # and the final-state fingerprint are unaffected.
+    if stats.applied and auto_compact_deltas:
+        # bounds MOR read amplification: fold any bucket whose delta
+        # count crossed the threshold (partial, hot-bucket-only)
+        table.compact(min_deltas=auto_compact_deltas)
+    if stats.applied and expire_keep:
+        # bounds disk: old COW bucket files / folded deltas are
+        # unreferenced by the retained snapshots and deleted
+        table.expire_snapshots(keep_last=expire_keep)
+    return stats
 
 
 def run_stream_from(
@@ -71,6 +86,8 @@ def run_stream_from(
     salt_partitions: int | None = None,
     mode: str = "cow",
     available_now: bool = True,
+    auto_compact_deltas: int | None = None,
+    expire_keep: int | None = None,
 ) -> CdcRun:
     """Drive ANY streaming DataFrame of change events through the
     engine — the foreachBatch body is source-agnostic (file WAL here,
@@ -83,7 +100,14 @@ def run_stream_from(
     def _sink(df: DataFrame, batch_id: int) -> None:
         run.stats.append(
             apply_batch(
-                table, df, batch_id, enrich=enrich, salt_partitions=salt_partitions, mode=mode
+                table,
+                df,
+                batch_id,
+                enrich=enrich,
+                salt_partitions=salt_partitions,
+                mode=mode,
+                auto_compact_deltas=auto_compact_deltas,
+                expire_keep=expire_keep,
             )
         )
 
@@ -107,6 +131,8 @@ def run_stream(
     enrich: bool = True,
     salt_partitions: int | None = None,
     mode: str = "cow",
+    auto_compact_deltas: int | None = None,
+    expire_keep: int | None = None,
 ) -> CdcRun:
     """File-WAL convenience wrapper over ``run_stream_from``: tail
     parquet WAL segments with ``availableNow``, then stop."""
@@ -116,7 +142,14 @@ def run_stream(
         .parquet(events_dir)
     )
     return run_stream_from(
-        src, table, checkpoint_dir, enrich=enrich, salt_partitions=salt_partitions, mode=mode
+        src,
+        table,
+        checkpoint_dir,
+        enrich=enrich,
+        salt_partitions=salt_partitions,
+        mode=mode,
+        auto_compact_deltas=auto_compact_deltas,
+        expire_keep=expire_keep,
     )
 
 
