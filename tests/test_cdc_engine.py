@@ -406,3 +406,63 @@ def test_stream_with_maintenance_policy(spark, tmp_path, fixtures):
     for v in retained:
         referenced.update(f["path"] for f in t.snapshot(v)["files"])
     assert on_disk == referenced
+
+
+def test_widening_schema_promotion(spark, tmp_path):
+    """Iceberg-style type promotion: a batch carrying long for a column
+    stored as int widens the table schema; old int files up-cast at
+    scan time; a later narrower (int) batch lands wide. Key columns
+    never promote (their type feeds xxhash64 bucketing)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("size", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "widen"), schema, ["repo", "path"], n_buckets=4)
+    base = spark.createDataFrame([("r", f"f{i}", f"c{i}", i) for i in range(10)], schema)
+    t.overwrite(base, lsn=0)
+
+    ev_schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("size", T.LongType()),  # widened
+        ]
+    )
+    big = 3_000_000_000  # does not fit in int32
+    ev = spark.createDataFrame([("r", "f0", 1, "U", "c0v2", big)], ev_schema)
+    for mode in ("cow", "mor"):
+        tt = LakeTable.create(
+            spark, str(tmp_path / f"widen_{mode}"), schema, ["repo", "path"], n_buckets=4
+        )
+        tt.overwrite(base, lsn=0)
+        assert tt.merge(ev, 0, mode=mode).applied
+        assert tt.schema()["size"].dataType.typeName() == "long"
+        rows = {r["path"]: r for r in tt.read().collect()}
+        assert rows["f0"]["size"] == big and rows["f0"]["content"] == "c0v2"
+        assert rows["f3"]["size"] == 3  # old int file read through long schema
+        # a later narrower batch (int size) lands wide
+        ev2 = spark.createDataFrame(
+            [("r", "f1", 2, "U", "c1v2", 7)],
+            T.StructType(ev_schema.fields[:-1] + [T.StructField("size", T.IntegerType())]),
+        )
+        assert tt.merge(ev2, 1, mode=mode).applied
+        rows = {r["path"]: r for r in tt.read().collect()}
+        assert rows["f1"]["size"] == 7 and rows["f0"]["size"] == big
+
+    # key columns never promote
+    got = LakeTable._unify_schema(
+        T.StructType([T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]),
+        T.StructType([T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]),
+        protect=("k",),
+    )
+    assert got["k"].dataType.typeName() == "integer"
+    assert got["v"].dataType.typeName() == "long"

@@ -100,13 +100,35 @@ def minhash_signatures(
     hash_fn='xxhash64': sig[i] = min xxhash64(shingle, i) (kept as the
     raw-throughput variant; not oracle-checkable).
 
-    Shape: explode shingles -> num_hashes flat MIN aggregates ->
-    array. Flat column expressions stay inside whole-stage codegen
-    (nested higher-order lambdas are interpreted and ~20x slower),
-    and the mins combine map-side, so the shuffle carries only
-    num_hashes longs per (doc, partition).
+    Shape: posexplode words -> window lead() rebuilds each k-shingle
+    -> num_hashes flat MIN aggregates -> array. Shingles via lead()
+    over (doc, pos) instead of a transform() lambda over the split
+    array: higher-order lambdas are interpreted (no codegen) and
+    re-evaluate the split per element — measured 13.1s cold / 4.5s
+    warm vs 4.0s / 3.4s for this form at sf0.1. Duplicate shingles
+    need no array_distinct: they cannot change a MIN. The window's
+    doc shuffle is the same partitioning the final groupBy needs, so
+    the expensive md5 + affine mins run AFTER the exchange, spread
+    across the cluster even when the input is a single split.
     """
-    ex = df.select(F.col(id_col), F.explode(_word_shingles(text_col, shingle_k)).alias("_s"))
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), F.posexplode(words).alias("_p", "_w"), F.size(words).alias("_n")
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    sh = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, shingle_k)]
+    )
+    # valid shingle starts; for docs shorter than k words, position 0's
+    # concat_ws (which skips NULL leads) is exactly the whole text
+    ex = (
+        base.withColumn("_s", sh)
+        .filter(
+            (F.col("_p") <= F.col("_n") - shingle_k)
+            | ((F.col("_n") < shingle_k) & (F.col("_p") == 0))
+        )
+        .select(F.col(id_col), F.col("_s"))
+    )
     if hash_fn == "md5":
         ex = ex.withColumn("_h", F.pmod(md5_hash60(F.col("_s")), F.lit(MINHASH_P)))
         mins = [

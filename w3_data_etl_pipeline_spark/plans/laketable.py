@@ -274,7 +274,9 @@ class LakeTable:
         new_files = self._write_data(df, snap, version=snap["version"] + 1)
         new = dict(snap)
         new.update(version=snap["version"] + 1, files=new_files, parent=snap["version"])
-        new["schema"] = self._unify_schema(self.schema(snap), df.schema).jsonValue()
+        new["schema"] = self._unify_schema(
+            self.schema(snap), df.schema, protect=tuple(snap["key_cols"])
+        ).jsonValue()
         self._write_snapshot(new)
         return new["version"]
 
@@ -306,10 +308,34 @@ class LakeTable:
                     )
         return files
 
-    @staticmethod
-    def _unify_schema(base: T.StructType, incoming: T.StructType) -> T.StructType:
+    # Iceberg's safe widening promotions (spec v2 "promotion"): the
+    # parquet reader up-casts old files at scan time (verified on
+    # Spark 4's vectorized reader), so no rewrite is needed.
+    _PROMOTIONS = {("integer", "long"), ("float", "double")}
+
+    @classmethod
+    def _unify_schema(
+        cls, base: T.StructType, incoming: T.StructType, protect: tuple = ()
+    ) -> T.StructType:
+        """Additive + widening schema evolution: new incoming columns
+        are appended; an existing column whose incoming type is a safe
+        widening of the stored type promotes the table schema. Columns
+        in ``protect`` (the bucketing keys) never promote — xxhash64
+        hashes int and long to different values, so a key-type change
+        would silently re-bucket the table."""
+        inc = {f_.name: f_ for f_ in incoming.fields}
+        fields = []
+        for f_ in base.fields:
+            g = inc.get(f_.name)
+            if (
+                g is not None
+                and f_.name not in protect
+                and (f_.dataType.typeName(), g.dataType.typeName()) in cls._PROMOTIONS
+            ):
+                fields.append(T.StructField(f_.name, g.dataType, True))
+            else:
+                fields.append(f_)
         names = set(base.fieldNames())
-        fields = list(base.fields)
         for f_ in incoming.fields:
             if f_.name not in names and f_.name not in META_COLS:
                 fields.append(T.StructField(f_.name, f_.dataType, True))
@@ -351,8 +377,8 @@ class LakeTable:
             return MergeStats(batch_id=batch_id, applied=False, version=snap["version"])
 
         keys = snap["key_cols"]
-        # additive schema evolution: widen table schema with new event columns
-        schema = self._unify_schema(self.schema(snap), events.schema)
+        # additive + widening schema evolution (keys protected)
+        schema = self._unify_schema(self.schema(snap), events.schema, protect=tuple(keys))
 
         deduped = events.withColumn("_bucket", self._bucket_expr(snap))
         # Lineage/touched-bucket pre-pass. Deliberately NOT a
@@ -394,7 +420,14 @@ class LakeTable:
             # — 'D' rows are KEPT as tombstones; readers resolve
             # with the max-LSN window, compact() folds.
             delta = deduped.select(
-                *[F.col(c) for c in deduped.columns if c in schema.fieldNames()],
+                # cast to the unified schema: a batch narrower than a
+                # promoted column (int event into a long column) must
+                # land wide so delta + base files stay read-compatible
+                *[
+                    F.col(c).cast(schema[c].dataType).alias(c)
+                    for c in deduped.columns
+                    if c in schema.fieldNames()
+                ],
                 F.col("lsn").alias(LSN_COL),
                 F.col("op").alias(OP_COL),
                 F.col("_bucket"),
@@ -433,7 +466,9 @@ class LakeTable:
             *[F.col(k) for k in keys],
             *[
                 (
-                    F.col(c) if c in deduped.columns else F.lit(None).cast(schema[c].dataType)
+                    F.col(c).cast(schema[c].dataType)
+                    if c in deduped.columns
+                    else F.lit(None).cast(schema[c].dataType)
                 ).alias(c)
                 for c in value_cols
             ],
