@@ -405,6 +405,83 @@ def cdc_last_writer_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cdc_mor_compact_roundtrip",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_mor_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MOR lifecycle on the correctness gate: events become
+    change events (lsn = event_id, 'error' = delete tombstone), applied
+    as three OUT-OF-ORDER interleaved MOR batches (event_id % 3), then
+    partially compacted and snapshot-expired — the final table state
+    must equal plain last-writer-wins SQL. Exercises merge, fused
+    dedup, out-of-order batch application, tombstones, compact
+    (min_deltas), and expire_snapshots end-to-end."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_mor_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        for i in range(3):
+            table.merge(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i, mode="mor")
+        table.compact(min_deltas=2)
+        table.expire_snapshots(keep_last=2)
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        )
+        # materialized before the tempdir is removed; per-key state is
+        # O(distinct users), small by construction
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # window top-k (standard OLAP; no reference analogue but judge-relevant)
 # ---------------------------------------------------------------------------
