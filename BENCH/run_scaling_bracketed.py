@@ -25,6 +25,7 @@ N_KEYS = int(os.environ.get("SCALING_N_KEYS", "125000"))
 N_EVENTS = int(os.environ.get("SCALING_N_EVENTS", "1000000"))
 N_BATCHES = 4
 MODE = os.environ.get("SCALING_MODE", "cow")
+CONTENT_MAX = int(os.environ.get("SCALING_CONTENT_MAX", "4096"))
 
 WORKER = """
 import sys, json
@@ -36,7 +37,7 @@ extra = {{"spark.local.dir": "/dev/shm/spark-local-br"}}
 spark = get_spark(f"br{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=cores, extra_conf=extra)
 spark.range(1000000).selectExpr("sum(id)").collect()
-eps = bench_cdc(spark, n_keys={nk}, n_events={ne}, n_batches={nb}, mode={mode!r})
+eps = bench_cdc(spark, n_keys={nk}, n_events={ne}, n_batches={nb}, mode={mode!r}, content_max={cm})
 print(json.dumps({{"eps": round(eps, 1)}}))
 spark.stop()
 """
@@ -71,7 +72,7 @@ def main() -> int:
     repeats = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     levels = [int(x) for x in (sys.argv[2] if len(sys.argv) > 2 else "2,8,32").split(",")]
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-    code = WORKER.format(root=ROOT, nk=N_KEYS, ne=N_EVENTS, nb=N_BATCHES, mode=MODE)
+    code = WORKER.format(root=ROOT, nk=N_KEYS, ne=N_EVENTS, nb=N_BATCHES, mode=MODE, cm=CONTENT_MAX)
     for rep in range(repeats):
         for cores in levels:
             cap_b = host_capacity()
@@ -86,7 +87,7 @@ def main() -> int:
             eps = json.loads(lines[-1])["eps"] if lines else None
             rec = {
                 "ts": round(time.time(), 1),
-                "job": f"{N_EVENTS}ev-{N_KEYS}k-{N_BATCHES}b-{MODE}",
+                "job": f"{N_EVENTS}ev-{N_KEYS}k-{N_BATCHES}b-{MODE}-c{CONTENT_MAX}",
                 "cores": cores,
                 "eps": eps,
                 "cap_before_M": round(cap_b, 1),

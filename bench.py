@@ -55,7 +55,12 @@ def _bench_workdir() -> str:
 
 
 def bench_cdc(
-    spark, n_keys: int = 400000, n_events: int = 2000000, n_batches: int = 4, mode: str = "cow"
+    spark,
+    n_keys: int = 400000,
+    n_events: int = 2000000,
+    n_batches: int = 4,
+    mode: str = "cow",
+    content_max: int = 4096,
 ) -> float:
     """events/sec through enrich + fused-dedup bucketed MERGE commits
     (batch mode: measures the engine apply path without file-stream
@@ -69,7 +74,7 @@ def bench_cdc(
 
     work = _bench_workdir()
     try:
-        snap = datagen.source_snapshot(spark, n_keys)
+        snap = datagen.source_snapshot(spark, n_keys, content_max=content_max)
         table = LakeTable.create(spark, os.path.join(work, "t"), SOURCE_FILES, ["repo", "path"], n_buckets=64)
         table.overwrite(snap, lsn=0)
         # materialize each microbatch slice OUTSIDE the timed region as
@@ -79,7 +84,9 @@ def bench_cdc(
         # 12-18x slowdown at 32 threads vs an identical parquet scan —
         # G1 humongous-allocation churn in cache-batch decompression),
         # which benchmarks the cache, not the engine.
-        events = datagen.change_events(spark, n_events, int(n_keys * 1.2))
+        events = datagen.change_events(
+            spark, n_events, int(n_keys * 1.2), content_max=content_max
+        )
         per = n_events // n_batches
         batches = []
         for i in range(n_batches):

@@ -53,16 +53,29 @@ def _lang_from_ext(ext: F.Column) -> F.Column:
     return m[ext]
 
 
-def _content(repo: F.Column, path: F.Column, commit: F.Column, seed: int) -> F.Column:
-    """Deterministic pseudo-code text, 64..4096 chars, derived from the key."""
+def _content(
+    repo: F.Column, path: F.Column, commit: F.Column, seed: int, max_len: int = 4096
+) -> F.Column:
+    """Deterministic pseudo-code text, 64..max_len chars, derived from
+    the key. max_len=4096 is the canonical shape; smaller values give a
+    CPU-bound variant for isolating engine scaling from the sandbox
+    host's ~2.9 GB/s memory-bandwidth wall (BENCH/BASELINE.md)."""
     base = F.md5(F.concat(repo, F.lit("\x00"), path, F.lit("\x00"), commit))
-    length = (F.pmod(F.xxhash64(base, F.lit("len"), F.lit(seed)), F.lit(4033)) + 64).cast("int")
-    body = F.repeat(F.concat(F.lit("fn "), base, F.lit("() { /* "), F.reverse(base), F.lit(" */ }\n")), 52)
-    return F.substring(body, 1, 4096).substr(F.lit(1), length)
+    span = max(max_len - 63, 1)
+    length = (F.pmod(F.xxhash64(base, F.lit("len"), F.lit(seed)), F.lit(span)) + 64).cast("int")
+    # unit is 81 chars; 52 repeats covers 4096 (kept so the default
+    # output stays byte-identical to the original fixture)
+    reps = 52 if max_len >= 4096 else (max_len // 81 + 1)
+    body = F.repeat(F.concat(F.lit("fn "), base, F.lit("() { /* "), F.reverse(base), F.lit(" */ }\n")), reps)
+    return F.substring(body, 1, max_len).substr(F.lit(1), length)
 
 
 def source_snapshot(
-    spark: SparkSession, n_keys: int, seed: int = 42, paths_per_repo: int = 50
+    spark: SparkSession,
+    n_keys: int,
+    seed: int = 42,
+    paths_per_repo: int = 50,
+    content_max: int = 4096,
 ) -> DataFrame:
     """Initial state of the source-code repo table (FIXTURES.md §F1)."""
     df = spark.range(n_keys).withColumnRenamed("id", "key_id")
@@ -76,7 +89,7 @@ def source_snapshot(
         path.alias("path"),
         commit.alias("commit"),
         lang.alias("lang"),
-        _content(repo, path, commit, seed).alias("content"),
+        _content(repo, path, commit, seed, content_max).alias("content"),
         F.lit(GENESIS_LSN).cast("long").alias("lsn"),
     )
 
@@ -87,6 +100,7 @@ def change_event_cols(
     seed: int = 42,
     paths_per_repo: int = 50,
     skew: float = 3.0,
+    content_max: int = 4096,
 ) -> DataFrame:
     """Map any DataFrame bearing an ``lsn`` column (batch range, rate
     source, socket ticks) to full deterministic change-event columns —
@@ -110,7 +124,9 @@ def change_event_cols(
         path.alias("path"),
         commit.alias("commit"),
         F.when(op == "D", F.lit(None)).otherwise(lang).alias("lang"),
-        F.when(op == "D", F.lit(None)).otherwise(_content(repo, path, commit, seed)).alias("content"),
+        F.when(op == "D", F.lit(None)).otherwise(
+            _content(repo, path, commit, seed, content_max)
+        ).alias("content"),
         F.timestamp_seconds(F.lit(1_700_000_000) + F.col("lsn")).alias("event_ts"),
     )
 
@@ -125,6 +141,7 @@ def change_events(
     skew: float = 3.0,
     dup_every: int = 97,
     with_lang_confidence: bool = False,
+    content_max: int = 4096,
 ) -> DataFrame:
     """A slice of the CDC change stream (FIXTURES.md §F2).
 
@@ -136,7 +153,9 @@ def change_events(
       (extra double column) the target must absorb additively.
     """
     df = spark.range(n_events).select((F.col("id") + first_lsn).alias("lsn"))
-    ev = change_event_cols(df, n_keys, seed=seed, paths_per_repo=paths_per_repo, skew=skew)
+    ev = change_event_cols(
+        df, n_keys, seed=seed, paths_per_repo=paths_per_repo, skew=skew, content_max=content_max
+    )
     if with_lang_confidence:
         ev = ev.withColumn(
             "lang_confidence",
