@@ -1,0 +1,79 @@
+"""End-to-end test of the cluster launch shape: tools/submit.sh packages
+the engine as a --py-files zip and spark-submits jobs/run_cdc.py (north
+rule: "run via spark-submit --py-files"). Covers create-table +
+bootstrap + WAL drain, then checkpoint-resume idempotency (a second
+invocation over the same WAL applies nothing new).
+
+Reference analogue: the Airflow DAG trigger this replaces
+(/root/reference/src/dags/w3c.py:49-54).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _flat_wal(spark, out_dir, n_events, n_keys, segments=2):
+    from w3_data_etl_pipeline_spark import datagen
+
+    ev = datagen.change_events(spark, n_events, n_keys, content_max=256)
+    os.makedirs(out_dir)
+    per = n_events // segments
+    for i in range(segments):
+        lo = i * per + 1
+        hi = (i + 1) * per if i < segments - 1 else n_events
+        tmp = os.path.join(out_dir, f"_seg{i}")
+        ev.filter((ev.lsn >= lo) & (ev.lsn <= hi)).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(out_dir, f"seg{i}.parquet"))
+        shutil.rmtree(tmp)
+
+
+def _submit(*job_args):
+    r = subprocess.run(
+        [os.path.join(ROOT, "tools", "submit.sh"),
+         "--master", "local[2]", "--driver-memory", "2g", "--"]
+        + list(job_args),
+        capture_output=True, text=True, cwd=ROOT, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert lines, r.stdout[-3000:]
+    return json.loads(lines[-1])
+
+
+def test_submit_job_drain_and_resume(spark, tmp_path):
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    n_events, n_keys = 1500, 300
+    boot = str(tmp_path / "bootstrap")
+    datagen.source_snapshot(spark, n_keys, content_max=256).write.parquet(boot)
+    wal = str(tmp_path / "wal")
+    _flat_wal(spark, wal, n_events, int(n_keys * 1.2))
+
+    table = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    out1 = _submit("--table", table, "--events-dir", wal, "--checkpoint", ckpt,
+                   "--bootstrap", boot, "--buckets", "8")
+    # dup_every=97 injects exact-duplicate WAL rows; pre-dedup applied
+    # events therefore exceed n_events by exactly the dup count
+    assert out1["events"] == n_events + n_events // 97
+    assert out1["applied"] >= 1 and out1["batches"] == out1["applied"]
+
+    # resume over a fully-drained WAL: checkpoint says nothing new
+    out2 = _submit("--table", table, "--events-dir", wal, "--checkpoint", ckpt,
+                   "--bootstrap", boot, "--buckets", "8")
+    assert out2["batches"] == 0 and out2["events"] == 0
+
+    # final state is readable in-process and reflects the stream
+    t = LakeTable(spark, table)
+    assert t.current_version() >= 2  # bootstrap + >=1 merge commit
+    assert t.read().count() > 0
