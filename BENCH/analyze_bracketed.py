@@ -57,6 +57,24 @@ def main() -> None:
                     f"- local[{lo}] -> local[{hi}]: speedup {sp:.2f}x, "
                     f"efficiency {sp / (hi / lo):.2f} (best healthy runs)"
                 )
+        # matched-window pairs: a lo-run immediately followed (in wall
+        # time) by a hi-run shares one host-weather window; per-cycle
+        # efficiency is the honest distribution, immune to the
+        # small-level-caught-better-weather artifact.
+        flat = sorted((r for rs in levels.values() for r in rs), key=lambda r: r["ts"])
+        for lo, hi in PAIRS:
+            effs = []
+            for a, b in zip(flat, flat[1:]):
+                if a["cores"] == lo and b["cores"] == hi and b["ts"] - a["ts"] < 900:
+                    effs.append((b["eps"] / a["eps"]) / (hi / lo))
+            if effs:
+                effs.sort()
+                med = effs[len(effs) // 2]
+                print(
+                    f"- matched windows local[{lo}] -> local[{hi}]: n={len(effs)}, "
+                    f"median eff {med:.2f}, best {effs[-1]:.2f}, "
+                    f"all: " + ", ".join(f"{e:.2f}" for e in effs)
+                )
 
 
 if __name__ == "__main__":
