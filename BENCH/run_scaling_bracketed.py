@@ -26,6 +26,11 @@ N_EVENTS = int(os.environ.get("SCALING_N_EVENTS", "1000000"))
 N_BATCHES = 4
 MODE = os.environ.get("SCALING_MODE", "cow")
 CONTENT_MAX = int(os.environ.get("SCALING_CONTENT_MAX", "4096"))
+# Pin each run's entire process tree (JVM GC/JIT/netty threads
+# included) to exactly `cores` CPUs. Without this, a local[1] JVM
+# still burns 32-core GC + compiler cycles, inflating low-core
+# throughput and making honest scaling unmeasurable on one host.
+PIN = os.environ.get("SCALING_PIN", "1") == "1"
 
 WORKER = """
 import sys, json
@@ -77,8 +82,11 @@ def main() -> int:
         for cores in levels:
             cap_b = host_capacity()
             t0 = time.time()
+            cmd = [sys.executable, "-c", code, str(cores)]
+            if PIN:
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             r = subprocess.run(
-                [sys.executable, "-c", code, str(cores)],
+                cmd,
                 capture_output=True, text=True, env=env, cwd=ROOT,
             )
             wall = time.time() - t0
@@ -87,7 +95,8 @@ def main() -> int:
             eps = json.loads(lines[-1])["eps"] if lines else None
             rec = {
                 "ts": round(time.time(), 1),
-                "job": f"{N_EVENTS}ev-{N_KEYS}k-{N_BATCHES}b-{MODE}-c{CONTENT_MAX}",
+                "job": f"{N_EVENTS}ev-{N_KEYS}k-{N_BATCHES}b-{MODE}-c{CONTENT_MAX}"
+                + ("-pin" if PIN else ""),
                 "cores": cores,
                 "eps": eps,
                 "cap_before_M": round(cap_b, 1),

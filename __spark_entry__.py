@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from w3_data_etl_pipeline_spark import queries as _q  # noqa: E402
+from w3_data_etl_pipeline_spark import queries_data as _qd  # noqa: E402,F401  (registers)
 from w3_data_etl_pipeline_spark import queries_olap as _qo  # noqa: E402,F401  (registers)
 from w3_data_etl_pipeline_spark import queries_ref as _qr  # noqa: E402,F401  (registers)
 from w3_data_etl_pipeline_spark import queries_scale as _qs  # noqa: E402,F401  (registers)
