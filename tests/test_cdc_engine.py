@@ -466,3 +466,107 @@ def test_widening_schema_promotion(spark, tmp_path):
     )
     assert got["k"].dataType.typeName() == "integer"
     assert got["v"].dataType.typeName() == "long"
+
+
+def test_change_feed_matches_oracle_diff(spark, tmp_path, fixtures):
+    """changes(v1, v2) must equal the classified diff of the oracle
+    reducer's two states — inserts, updates, and tombstone deletes
+    (which carry the pre-image)."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_cf")
+    v1 = t.current_version()
+    b0_rows = [e for e in event_rows if e["lsn"] <= 1000]
+    apply_batch(t, events.filter(events.lsn <= 1000), 0, enrich=False)
+    v2 = t.current_version()
+
+    s1 = oracle.reduce_events(snap_rows, [])
+    s2 = oracle.reduce_events(snap_rows, b0_rows)
+    vals = lambda r: (r.get("commit"), r.get("lang"), r.get("content"))  # noqa: E731
+    exp = {}
+    for k in set(s1) | set(s2):
+        if k not in s1:
+            exp[k] = ("insert", vals(s2[k]))
+        elif k not in s2:
+            exp[k] = ("delete", vals(s1[k]))  # pre-image
+        elif vals(s1[k]) != vals(s2[k]):
+            exp[k] = ("update", vals(s2[k]))
+    got = {
+        (r["repo"], r["path"]): (r["_change_type"], (r["commit"], r["lang"], r["content"]))
+        for r in t.changes(v1, v2).collect()
+    }
+    assert got == exp
+    assert {ct for ct, _ in exp.values()} == {"insert", "update", "delete"}  # all exercised
+
+
+def test_change_feed_bucket_pruning(spark, tmp_path, fixtures):
+    """A single-key microbatch must diff exactly one bucket — the CDF
+    reads k/n_buckets of the table, not all of it."""
+    snap, events, snap_rows, _ = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_cf_prune", n_buckets=16)
+    v1 = t.current_version()
+    r0 = snap_rows[0]
+    one = spark.createDataFrame(
+        [(9_999, "U", r0["repo"], r0["path"], "newc", r0["lang"], "new content", None)],
+        CHANGE_EVENTS,
+    )
+    apply_batch(t, one, 0, enrich=False, mode="mor")
+    changed = t.changed_buckets(v1)
+    assert len(changed) == 1
+    rows = t.changes(v1).collect()
+    assert len(rows) == 1
+    assert (rows[0]["repo"], rows[0]["path"]) == (r0["repo"], r0["path"])
+    assert rows[0]["_change_type"] == "update" and rows[0]["content"] == "new content"
+
+
+def test_quarantine_dead_letter(spark, tmp_path, fixtures):
+    """apply_batch(quarantine_dir=...): malformed events (NULL key,
+    negative lsn, unknown op) are routed to a per-batch quarantine
+    sink with the violated rule, clean rows apply normally, and a
+    checkpoint replay of the batch rewrites (not duplicates) its dead
+    letters."""
+    from pyspark.sql import functions as F
+
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_quar")
+    qdir = str(tmp_path / "quarantine")
+    corrupted = events.select(
+        F.when(F.col("lsn") % 50 == 0, F.lit(None)).otherwise(F.col("repo")).alias("repo"),
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "event_ts",
+        F.when(F.col("lsn") % 77 == 0, F.lit(-1)).otherwise(F.col("lsn")).cast("long").alias("lsn"),
+        F.when(F.col("lsn") % 91 == 0, F.lit("X")).otherwise(F.col("op")).alias("op"),
+    )
+    st = apply_batch(t, corrupted, 0, enrich=False, quarantine_dir=qdir)
+    assert st.applied
+
+    def reason(e):
+        if e["lsn"] % 50 == 0:
+            return "null_key"
+        if e["lsn"] % 77 == 0:
+            return "bad_lsn"
+        if e["lsn"] % 91 == 0:
+            return "bad_op"
+        return None
+
+    exp_bad = {e["lsn"]: r for e in event_rows if (r := reason(e))}
+    clean_rows = [e for e in event_rows if reason(e) is None]
+    assert _engine_shas(t) == _expected_shas(snap_rows, clean_rows)
+
+    got_bad = spark.read.parquet(qdir).collect()
+    # null_key rows lost their repo; match on the surviving lsn where possible
+    assert len(got_bad) == len(exp_bad)
+    by_reason_exp = {}
+    for v in exp_bad.values():
+        by_reason_exp[v] = by_reason_exp.get(v, 0) + 1
+    by_reason_got = {}
+    for r in got_bad:
+        by_reason_got[r["_reject_reason"]] = by_reason_got.get(r["_reject_reason"], 0) + 1
+    assert by_reason_got == by_reason_exp
+
+    # replay: ledger no-ops the merge, quarantine is overwritten not appended
+    st2 = apply_batch(t, corrupted, 0, enrich=False, quarantine_dir=qdir)
+    assert not st2.applied
+    assert len(spark.read.parquet(qdir).collect()) == len(exp_bad)

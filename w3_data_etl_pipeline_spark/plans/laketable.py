@@ -254,6 +254,75 @@ class LakeTable:
         df = df.drop(LSN_COL, OP_COL)
         return df.join(F.broadcast(lookup), key_cols, "left_semi")
 
+    @staticmethod
+    def _files_by_bucket(snap: dict) -> dict[int, tuple[str, ...]]:
+        by: dict[int, list[str]] = {}
+        for f in snap["files"]:
+            by.setdefault(f["bucket"], []).append(f["path"])
+        return {b: tuple(sorted(ps)) for b, ps in by.items()}
+
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> set[int]:
+        """Buckets whose file sets differ between the two snapshots —
+        the pruning unit for the change feed. O(file metadata), no
+        data read."""
+        a = self._files_by_bucket(self.snapshot(from_version))
+        b = self._files_by_bucket(self.snapshot(to_version))
+        return {k for k in (set(a) | set(b)) if a.get(k) != b.get(k)}
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change-data-feed between two snapshots (Iceberg/Delta CDF
+        analogue): one row per key whose stored state differs, with
+        ``_change_type`` in {'insert','update','delete'}. Deletes carry
+        the pre-image values, inserts/updates the post-image.
+
+        Scale path: only buckets whose FILE SETS changed between the
+        versions are read on either side (``changed_buckets``) — a
+        microbatch that touched k of 4096 buckets diffs k/4096 of the
+        table, and the per-key compare is a key-equi full-outer join
+        of two identically-bucketed sides (AQE plans it; both inputs
+        are pre-hashed subsets, never the whole table)."""
+        snap_a = self.snapshot(from_version)
+        snap_b = self.snapshot(to_version)
+        keys = snap_b["key_cols"]
+        changed = self.changed_buckets(from_version, to_version)
+        phys = self._phys_schema(snap_b)  # widened schema reads both sides
+        value_cols = [
+            f.name for f in self.schema(snap_b).fields
+            if f.name not in keys and f.name != LSN_COL
+        ]
+
+        def _side(snap: dict) -> DataFrame:
+            files = [f for f in snap["files"] if f["bucket"] in changed]
+            df = self._read_files([f["path"] for f in files], phys)
+            if any(f.get("kind", "base") == "delta" for f in files):
+                df = self._resolve(df, snap)
+            else:
+                df = df.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) != "D"))
+            return df.select(*keys, F.struct(*value_cols).alias("_vals"))
+
+        a = _side(snap_a).withColumnRenamed("_vals", "_old")
+        b = _side(snap_b).withColumnRenamed("_vals", "_new")
+        j = a.join(b, on=keys, how="full_outer")
+        img = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(F.col("_new"))
+        return (
+            j.withColumn(
+                "_change_type",
+                F.when(F.col("_old").isNull(), F.lit("insert"))
+                .when(F.col("_new").isNull(), F.lit("delete"))
+                .otherwise(F.lit("update")),
+            )
+            .filter(
+                F.col("_old").isNull()
+                | F.col("_new").isNull()
+                | ~F.col("_old").eqNullSafe(F.col("_new"))
+            )
+            .select(
+                *keys,
+                *[img.getField(c).alias(c) for c in value_cols],
+                "_change_type",
+            )
+        )
+
     def lineage(self) -> DataFrame:
         from ..schemas import LINEAGE
 

@@ -482,6 +482,124 @@ def cdc_mor_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@q(
+    "cdc_change_feed",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_id <= (SELECT CAST(FLOOR(AVG(event_id)) AS BIGINT) FROM events)
+      ) WHERE rn = 1 AND event_type <> 'error'
+    ),
+    s2 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+           CASE WHEN s2.user_id IS NULL THEN s1.event_type ELSE s2.event_type END AS event_type,
+           CASE WHEN s2.user_id IS NULL THEN s1.value ELSE s2.value END AS value,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS _change_type
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.event_type IS DISTINCT FROM s2.event_type
+       OR s1.value IS DISTINCT FROM s2.value
+    """,
+)
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed (Iceberg/Delta CDF analogue) on the oracle
+    gate: the events stream becomes two lsn-ordered microbatches
+    (split at the mean event_id), applied via MERGE; the feed between
+    the two resulting snapshots must equal the SQL diff of the two
+    last-writer-wins states — inserts, value-updates, and
+    tombstone-deletes (pre-image) all exercised. Scale path: the diff
+    reads only buckets whose file sets changed (LakeTable.changes)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(F.floor(F.avg("event_id")).cast("long").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="cdc_cf_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid), 0)
+        v1 = table.current_version()
+        table.merge(ev.filter(F.col("lsn") > mid), 1)
+        v2 = table.current_version()
+        out_schema = T.StructType(
+            schema.fields + [T.StructField("_change_type", T.StringType())]
+        )
+        rows = table.changes(v1, v2).collect()  # O(changed keys), small
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_quarantine",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 97 = 0 THEN 'null_key'
+                WHEN event_id % 101 = 0 THEN 'bad_lsn'
+                WHEN event_type = 'purchase' THEN 'bad_op'
+           END AS _reject_reason
+    FROM events
+    WHERE user_id % 97 = 0 OR event_id % 101 = 0 OR event_type = 'purchase'
+    """,
+)
+def cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter gate on the oracle gate: events deterministically
+    corrupted three ways (NULL key, negative lsn, unknown op code)
+    must be routed to quarantine with the FIRST violated rule — the
+    same codegen CASE chain apply_batch(quarantine_dir=...) runs
+    before every merge. No shuffle, no Python."""
+    from .operators.validate import REASON_COL, split_events
+
+    e = t(spark, sf_dir, "events")
+    ev = e.select(
+        F.when(F.col("user_id") % 97 == 0, F.lit(None))
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        "event_id",
+        F.when(F.col("event_id") % 101 == 0, F.lit(-1))
+        .otherwise(F.col("event_id"))
+        .cast("long")
+        .alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "purchase", F.lit("X"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    _clean, bad = split_events(ev, ["user_id"])
+    return bad.select("event_id", REASON_COL)
+
+
 # ---------------------------------------------------------------------------
 # window top-k (standard OLAP; no reference analogue but judge-relevant)
 # ---------------------------------------------------------------------------

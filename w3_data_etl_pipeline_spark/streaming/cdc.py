@@ -18,6 +18,7 @@ Replaces the reference's weekly Airflow batch trigger
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,6 +27,7 @@ from pyspark.sql import types as T
 
 from ..functions.enrich import enrich_changes
 from ..operators.skew import salted_repartition
+from ..operators.validate import split_events
 from ..plans.laketable import LakeTable, MergeStats
 
 
@@ -44,6 +46,7 @@ def apply_batch(
     mode: str = "cow",
     auto_compact_deltas: int | None = None,
     expire_keep: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body.
@@ -58,6 +61,17 @@ def apply_batch(
     transforms); the merge shuffle itself is keyed by _bucket, where
     a hot KEY is at worst one hot bucket of 4096.
     """
+    if quarantine_dir:
+        # dead-letter gate BEFORE any keyed work: a NULL key would
+        # hash to one poisoned bucket and shadow real rows forever.
+        # The quarantine write is partitioned by batch_id and written
+        # with overwrite, so a checkpoint replay of this batch
+        # rewrites (not duplicates) its dead letters — the quarantine
+        # sink inherits the ledger's exactly-once semantics.
+        events, bad = split_events(events, table.snapshot()["key_cols"])
+        bad.write.mode("overwrite").parquet(
+            os.path.join(quarantine_dir, f"batch_id={batch_id}")
+        )
     if salt_partitions:
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
     if enrich and "lang" in events.columns:
