@@ -56,16 +56,17 @@ def _bench_workdir() -> str:
 
 def bench_cdc(
     spark,
-    n_keys: int = 400000,
-    n_events: int = 2000000,
+    n_keys: int = 500000,
+    n_events: int = 4000000,
     n_batches: int = 4,
     mode: str = "cow",
     content_max: int = 4096,
+    enrich: bool = True,
 ) -> float:
     """events/sec through enrich + fused-dedup bucketed MERGE commits
     (batch mode: measures the engine apply path without file-stream
     overhead). Sized so the ~1s/batch fixed term (driver plan build +
-    job scheduling + snapshot commit) is <10% of wall — 500k events
+    job scheduling + snapshot commit) is <5% of wall — 1M events
     per microbatch, the regime a real binlog tailer runs in."""
     from w3_data_etl_pipeline_spark import datagen
     from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
@@ -98,7 +99,7 @@ def bench_cdc(
             batches.append(spark.read.parquet(seg))
         t0 = time.time()
         for i, b in enumerate(batches):
-            apply_batch(table, b, i, enrich=True, salt_partitions=None, mode=mode)
+            apply_batch(table, b, i, enrich=enrich, salt_partitions=None, mode=mode)
         dt = time.time() - t0
         return n_events / dt
     finally:
