@@ -49,6 +49,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--auto-compact", type=int, default=None, help="fold buckets crossing N deltas (mor)")
     p.add_argument("--expire-keep", type=int, default=None, help="retain only last N snapshots")
     p.add_argument("--no-enrich", action="store_true")
+    p.add_argument("--quarantine-dir", default=None,
+                   help="dead-letter sink for malformed events (per-batch overwrite)")
     args = p.parse_args(argv)
 
     # master/deploy-mode/executors come from spark-submit (its
@@ -75,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
             mode=args.mode,
             auto_compact_deltas=args.auto_compact,
             expire_keep=args.expire_keep,
+            quarantine_dir=args.quarantine_dir,
         )
         applied = sum(1 for s in run.stats if s.applied)
         out = {

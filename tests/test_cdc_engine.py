@@ -570,3 +570,52 @@ def test_quarantine_dead_letter(spark, tmp_path, fixtures):
     st2 = apply_batch(t, corrupted, 0, enrich=False, quarantine_dir=qdir)
     assert not st2.applied
     assert len(spark.read.parquet(qdir).collect()) == len(exp_bad)
+
+
+def test_stream_quarantine_end_to_end(spark, tmp_path, fixtures):
+    """The dead-letter gate through the REAL streaming path: a WAL
+    segment with malformed rows drains via run_stream(quarantine_dir);
+    clean rows reach the table, dead letters land per-batch with
+    reasons, and the final state equals the oracle over clean rows."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    snap, events, snap_rows, event_rows = fixtures
+    corrupted = events.select(
+        F.when(F.col("lsn") % 50 == 0, F.lit(None)).otherwise(F.col("repo")).alias("repo"),
+        "path",
+        "commit",
+        "lang",
+        "content",
+        "event_ts",
+        F.when(F.col("lsn") % 77 == 0, F.lit(-1)).otherwise(F.col("lsn")).cast("long").alias("lsn"),
+        F.when(F.col("lsn") % 91 == 0, F.lit("X")).otherwise(F.col("op")).alias("op"),
+    ).select("lsn", "op", "repo", "path", "commit", "lang", "content", "event_ts")
+
+    wal = tmp_path / "wal_q"
+    os.makedirs(wal)
+    staging = str(tmp_path / "stage_q")
+    corrupted.coalesce(1).write.parquet(staging)
+    part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+    shutil.move(part, str(wal / "seg0.parquet"))
+
+    t = _new_table(spark, tmp_path, snap, "t_stream_q")
+    qdir = str(tmp_path / "quar_stream")
+    run = run_stream(
+        spark, t, str(wal), str(tmp_path / "ckpt_q"), CHANGE_EVENTS,
+        enrich=False, quarantine_dir=qdir,
+    )
+    assert all(s.applied for s in run.stats)
+
+    def bad(e):
+        return e["lsn"] % 50 == 0 or e["lsn"] % 77 == 0 or e["lsn"] % 91 == 0
+
+    clean_rows = [e for e in event_rows if not bad(e)]
+    assert _engine_shas(t) == _expected_shas(snap_rows, clean_rows)
+    got_bad = spark.read.parquet(qdir)
+    assert got_bad.count() == sum(1 for e in event_rows if bad(e))
+    assert set(
+        r["_reject_reason"] for r in got_bad.select("_reject_reason").distinct().collect()
+    ) == {"null_key", "bad_lsn", "bad_op"}

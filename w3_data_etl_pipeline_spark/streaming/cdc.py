@@ -102,6 +102,7 @@ def run_stream_from(
     available_now: bool = True,
     auto_compact_deltas: int | None = None,
     expire_keep: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> CdcRun:
     """Drive ANY streaming DataFrame of change events through the
     engine — the foreachBatch body is source-agnostic (file WAL here,
@@ -122,6 +123,7 @@ def run_stream_from(
                 mode=mode,
                 auto_compact_deltas=auto_compact_deltas,
                 expire_keep=expire_keep,
+                quarantine_dir=quarantine_dir,
             )
         )
 
@@ -147,6 +149,7 @@ def run_stream(
     mode: str = "cow",
     auto_compact_deltas: int | None = None,
     expire_keep: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> CdcRun:
     """File-WAL convenience wrapper over ``run_stream_from``: tail
     parquet WAL segments with ``availableNow``, then stop."""
@@ -164,6 +167,7 @@ def run_stream(
         mode=mode,
         auto_compact_deltas=auto_compact_deltas,
         expire_keep=expire_keep,
+        quarantine_dir=quarantine_dir,
     )
 
 
