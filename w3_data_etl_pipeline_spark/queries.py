@@ -562,6 +562,61 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "time_travel_read",
+    """
+    SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_id <= (SELECT CAST(FLOOR(AVG(event_id)) AS BIGINT) FROM events)
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel on the oracle gate: after TWO
+    merges advance the table, reading the FIRST post-merge version
+    must return exactly the LWW state of the first batch — later
+    commits are invisible to a pinned version (the Iceberg
+    `VERSION AS OF` analogue; every LakeTable snapshot is immutable
+    and readable until expire_snapshots drops it)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(F.floor(F.avg("event_id")).cast("long").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="cdc_tt_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid), 0)
+        v1 = table.current_version()
+        table.merge(ev.filter(F.col("lsn") > mid), 1)  # must NOT appear at v1
+        rows = table.read(version=v1).select("user_id", "event_type", "value").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_quarantine",
     """
     SELECT event_id,
