@@ -619,3 +619,44 @@ def test_stream_quarantine_end_to_end(spark, tmp_path, fixtures):
     assert set(
         r["_reject_reason"] for r in got_bad.select("_reject_reason").distinct().collect()
     ) == {"null_key", "bad_lsn", "bad_op"}
+
+
+def test_change_feed_preimages(spark, tmp_path, fixtures):
+    """include_preimage: an updated key emits update_preimage (old
+    values) + update_postimage (new values); inserts/deletes emit one
+    row; and the signed feed retracts exactly (sum of +post/-pre
+    contributions equals the direct state diff) — the IVM contract."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_cf_pre")
+    v1 = t.current_version()
+    b0_rows = [e for e in event_rows if e["lsn"] <= 1000]
+    apply_batch(t, events.filter(events.lsn <= 1000), 0, enrich=False)
+    v2 = t.current_version()
+
+    s1 = oracle.reduce_events(snap_rows, [])
+    s2 = oracle.reduce_events(snap_rows, b0_rows)
+    feed = t.changes(v1, v2, include_preimage=True).collect()
+    by_type: dict[str, int] = {}
+    for r in feed:
+        by_type[r["_change_type"]] = by_type.get(r["_change_type"], 0) + 1
+    vals = lambda r: (r.get("commit"), r.get("lang"), r.get("content"))  # noqa: E731
+    n_upd = sum(
+        1 for k in set(s1) & set(s2) if vals(s1[k]) != vals(s2[k])
+    )
+    assert by_type.get("update_preimage", 0) == n_upd
+    assert by_type.get("update_postimage", 0) == n_upd
+    assert by_type.get("insert", 0) == len(set(s2) - set(s1))
+    assert by_type.get("delete", 0) == len(set(s1) - set(s2))
+    # per-key: preimage carries OLD values, postimage NEW
+    pre = {(r["repo"], r["path"]): r for r in feed if r["_change_type"] == "update_preimage"}
+    post = {(r["repo"], r["path"]): r for r in feed if r["_change_type"] == "update_postimage"}
+    assert set(pre) == set(post)
+    for k in pre:
+        assert (pre[k]["commit"], pre[k]["lang"], pre[k]["content"]) == vals(s1[k])
+        assert (post[k]["commit"], post[k]["lang"], post[k]["content"]) == vals(s2[k])
+    # signed row-count retraction: sum over feed of (+1 post/insert,
+    # -1 pre/delete) must equal the state-size delta
+    signed = sum(
+        1 if r["_change_type"] in ("insert", "update_postimage") else -1 for r in feed
+    )
+    assert signed == len(s2) - len(s1)

@@ -269,11 +269,21 @@ class LakeTable:
         b = self._files_by_bucket(self.snapshot(to_version))
         return {k for k in (set(a) | set(b)) if a.get(k) != b.get(k)}
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimage: bool = False,
+    ) -> DataFrame:
         """Change-data-feed between two snapshots (Iceberg/Delta CDF
         analogue): one row per key whose stored state differs, with
         ``_change_type`` in {'insert','update','delete'}. Deletes carry
-        the pre-image values, inserts/updates the post-image.
+        the pre-image values, inserts/updates the post-image. With
+        ``include_preimage`` an updated key emits TWO rows —
+        'update_preimage' (old values) and 'update_postimage' (new) —
+        the Delta CDF row shape that downstream incremental view
+        maintenance needs to retract the old contribution (a pure
+        explode over the same single-join plan, no second pass).
 
         Scale path: only buckets whose FILE SETS changed between the
         versions are read on either side (``changed_buckets``) — a
@@ -302,25 +312,41 @@ class LakeTable:
 
         a = _side(snap_a).withColumnRenamed("_vals", "_old")
         b = _side(snap_b).withColumnRenamed("_vals", "_new")
-        j = a.join(b, on=keys, how="full_outer")
-        img = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(F.col("_new"))
-        return (
-            j.withColumn(
+        j = a.join(b, on=keys, how="full_outer").filter(
+            F.col("_old").isNull()
+            | F.col("_new").isNull()
+            | ~F.col("_old").eqNullSafe(F.col("_new"))
+        )
+        if not include_preimage:
+            img = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(F.col("_new"))
+            return j.withColumn(
                 "_change_type",
                 F.when(F.col("_old").isNull(), F.lit("insert"))
                 .when(F.col("_new").isNull(), F.lit("delete"))
                 .otherwise(F.lit("update")),
-            )
-            .filter(
-                F.col("_old").isNull()
-                | F.col("_new").isNull()
-                | ~F.col("_old").eqNullSafe(F.col("_new"))
-            )
-            .select(
+            ).select(
                 *keys,
                 *[img.getField(c).alias(c) for c in value_cols],
                 "_change_type",
             )
+        row = lambda ct, img: F.struct(  # noqa: E731
+            F.lit(ct).alias("_change_type"), img.alias("_img")
+        )
+        rows = (
+            F.when(F.col("_old").isNull(), F.array(row("insert", F.col("_new"))))
+            .when(F.col("_new").isNull(), F.array(row("delete", F.col("_old"))))
+            .otherwise(
+                F.array(
+                    row("update_preimage", F.col("_old")),
+                    row("update_postimage", F.col("_new")),
+                )
+            )
+        )
+        ex = j.select(*keys, F.explode(rows).alias("_r"))
+        return ex.select(
+            *keys,
+            *[F.col("_r._img").getField(c).alias(c) for c in value_cols],
+            F.col("_r._change_type").alias("_change_type"),
         )
 
     def lineage(self) -> DataFrame:

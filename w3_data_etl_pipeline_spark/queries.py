@@ -562,6 +562,99 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_incremental_view",
+    """
+    WITH s2 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM s2 GROUP BY event_type
+    """,
+)
+def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed — the
+    canonical CDF consumer: a per-group aggregate materialized at v1
+    is advanced to v2 using ONLY the feed (insert adds, delete
+    retracts the pre-image, update retracts pre + adds post), in
+    exact DECIMAL arithmetic; the oracle computes the v2 aggregate
+    from scratch. At scale the view never rescans the table — it
+    reads k/4096 changed buckets per refresh."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(F.floor(F.avg("event_id")).cast("long").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="cdc_ivm_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid), 0)
+        v1 = table.current_version()
+        table.merge(ev.filter(F.col("lsn") > mid), 1)
+        v2 = table.current_version()
+
+        base = table.read(version=v1).groupBy("event_type").agg(
+            F.count("*").alias("bn"),
+            F.sum(_money("value")).alias("bv"),
+        )
+        feed = table.changes(v1, v2, include_preimage=True)
+        sign = F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = feed.groupBy("event_type").agg(
+            F.sum(sign).alias("dn"),
+            F.sum(_money("value") * sign).alias("dv"),
+        )
+        zero = F.lit(0).cast("decimal(28,2)")
+        view = (
+            base.join(delta, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (F.coalesce(F.col("bn"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_rows"),
+                (F.coalesce(F.col("bv"), zero) + F.coalesce(F.col("dv"), zero))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("total_value", T.DoubleType()),
+            ]
+        )
+        rows = view.collect()  # O(groups), tiny
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "time_travel_read",
     """
     SELECT user_id, event_type, value FROM (
