@@ -660,3 +660,78 @@ def test_change_feed_preimages(spark, tmp_path, fixtures):
         1 if r["_change_type"] in ("insert", "update_postimage") else -1 for r in feed
     )
     assert signed == len(s2) - len(s1)
+
+
+def test_commit_conflict_rebase(spark, tmp_path, fixtures):
+    """Optimistic-concurrency resolution: when another writer claims
+    our snapshot version first, (a) a MOR delta append rebases onto
+    the winner automatically, (b) a COW rewrite rebases when the
+    winner left our rewritten buckets untouched, (c) a COW rewrite
+    whose buckets the winner modified raises CommitConflictError, and
+    (d) losing the race to a replay of our OWN batch is a no-op."""
+    import pytest as _pytest
+
+    from w3_data_etl_pipeline_spark.plans.laketable import CommitConflictError
+
+    snap, events, snap_rows, event_rows = fixtures
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+
+    def make_racer(t, mutate_bucket=None, ledger_batch=777):
+        """Patch t._write_snapshot so the FIRST commit attempt loses
+        the race to an injected competitor commit."""
+        orig = t._write_snapshot
+        state = {"raced": False}
+
+        def racy(s):
+            if not state["raced"]:
+                state["raced"] = True
+                comp = dict(t.snapshot())
+                comp["version"] = s["version"]
+                comp["parent"] = comp["version"] - 1
+                comp["ledger"] = t._ledger_add(comp["ledger"], ledger_batch)
+                if mutate_bucket is not None:
+                    comp["files"] = [
+                        dict(f, path=f["path"]) if f["bucket"] != mutate_bucket
+                        else dict(f, path=f["path"] + ".moved")
+                        for f in comp["files"]
+                    ]
+                orig(comp)
+            orig(s)
+
+        t._write_snapshot = racy
+        return state
+
+    # (a) MOR delta append rebases
+    t1 = _new_table(spark, tmp_path, snap, "t_race_mor")
+    apply_batch(t1, b0, 0, enrich=False, mode="mor")
+    make_racer(t1)
+    st = apply_batch(t1, b1, 1, enrich=False, mode="mor")
+    assert st.applied
+    cur = t1.snapshot()
+    assert t1._ledger_contains(cur["ledger"], 1)
+    assert t1._ledger_contains(cur["ledger"], 777)  # winner's commit preserved
+    assert _engine_shas(t1) == _expected_shas(snap_rows, event_rows)
+
+    # (b) COW rebases when the competitor touched nothing we rewrote
+    t2 = _new_table(spark, tmp_path, snap, "t_race_cow")
+    apply_batch(t2, b0, 0, enrich=False)
+    make_racer(t2)  # competitor = metadata-only commit
+    st = apply_batch(t2, b1, 1, enrich=False)
+    assert st.applied
+    assert _engine_shas(t2) == _expected_shas(snap_rows, event_rows)
+
+    # (c) competitor modified a bucket we rewrote -> typed conflict
+    t3 = _new_table(spark, tmp_path, snap, "t_race_conflict")
+    apply_batch(t3, b0, 0, enrich=False)
+    touched_bucket = t3.snapshot()["files"][0]["bucket"]
+    make_racer(t3, mutate_bucket=touched_bucket)
+    with _pytest.raises(CommitConflictError):
+        apply_batch(t3, b1, 1, enrich=False)  # b1 touches ~every bucket
+
+    # (d) losing to a replay of our own batch_id is a no-op
+    t4 = _new_table(spark, tmp_path, snap, "t_race_self")
+    apply_batch(t4, b0, 0, enrich=False, mode="mor")
+    make_racer(t4, ledger_batch=1)  # competitor commits OUR batch id
+    st = apply_batch(t4, b1, 1, enrich=False, mode="mor")
+    assert not st.applied

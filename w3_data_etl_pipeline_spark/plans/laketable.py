@@ -65,6 +65,12 @@ LSN_COL = "_lsn"
 OP_COL = "_op"  # persisted only in merge-on-read delta files
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent COW commit rewrote buckets this merge also
+    rewrote — the merge must be re-run against the current snapshot
+    (delta appends never raise this; they rebase automatically)."""
+
+
 @dataclass
 class MergeStats:
     batch_id: int
@@ -75,10 +81,6 @@ class MergeStats:
     touched_buckets: int = 0
     output_rows: int = 0
     lineage: list[dict] = field(default_factory=list)
-
-
-class CommitConflict(Exception):
-    pass
 
 
 class LakeTable:
@@ -541,7 +543,7 @@ class LakeTable:
                 else []
             )
             return self._commit_merge(
-                snap, schema, batch_id, version, snap["files"] + new_files, lin_rows, touched
+                snap, schema, batch_id, version, new_files, lin_rows, touched, kind="delta"
             )
 
         # COW as ONE bucket-partitioned pass (no join): union the
@@ -585,7 +587,7 @@ class LakeTable:
             self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
         )
         return self._commit_merge(
-            snap, schema, batch_id, version, kept_files + new_files, lin_rows, touched
+            snap, schema, batch_id, version, new_files, lin_rows, touched, kind="base"
         )
 
     @staticmethod
@@ -606,63 +608,115 @@ class LakeTable:
         is_first = ~F.coalesce(prev_same, F.lit(False))
         return df.withColumn("_first", is_first).filter(F.col("_first")).drop("_first")
 
+    def _write_lineage(self, lineage: list[dict], version: int) -> None:
+        # driver-side pyarrow write: ~n_buckets tiny rows — spinning
+        # up a Spark job for this cost seconds per microbatch and
+        # anti-scaled with executor threads
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        tbl = pa.Table.from_pylist(
+            lineage,
+            schema=pa.schema(
+                [
+                    ("batch_id", pa.int64()),
+                    ("partition_bucket", pa.int32()),
+                    ("min_lsn", pa.int64()),
+                    ("max_lsn", pa.int64()),
+                    ("applied_count", pa.int64()),
+                    ("snapshot_version", pa.int64()),
+                ]
+            ),
+        )
+        pq.write_table(
+            tbl, os.path.join(self.lineage_dir, f"lineage-v{version:012d}.parquet")
+        )
+
     def _commit_merge(
         self,
         snap: dict,
         schema: T.StructType,
         batch_id: int,
         version: int,
-        files: list[dict],
+        new_files: list[dict],
         lin_rows,
         touched: list[int],
+        kind: str = "base",
     ) -> MergeStats:
-        # per-partition lineage/metrics (north rule): offset range +
-        # applied count per bucket, tagged with the commit version
-        lineage = [
-            {
-                "batch_id": int(batch_id),
-                "partition_bucket": int(r["_bucket"]),
-                "min_lsn": int(r["min_lsn"]),
-                "max_lsn": int(r["max_lsn"]),
-                "applied_count": int(r["applied_count"]),
-                "snapshot_version": version,
-            }
-            for r in lin_rows
-        ]
-        if lineage:
-            # driver-side pyarrow write: ~n_buckets tiny rows — spinning
-            # up a Spark job for this cost seconds per microbatch and
-            # anti-scaled with executor threads
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            os.makedirs(self.lineage_dir, exist_ok=True)
-            tbl = pa.Table.from_pylist(
-                lineage,
-                schema=pa.schema(
-                    [
-                        ("batch_id", pa.int64()),
-                        ("partition_bucket", pa.int32()),
-                        ("min_lsn", pa.int64()),
-                        ("max_lsn", pa.int64()),
-                        ("applied_count", pa.int64()),
-                        ("snapshot_version", pa.int64()),
-                    ]
-                ),
+        """Ledgered snapshot commit with Iceberg-style OPTIMISTIC
+        retry: the data files are already durable; if another writer
+        claims our version number first (`_write_snapshot`'s 'x' open
+        loses the race), re-read the winner and rebase the manifest —
+        a delta append ('kind=delta') always commutes (read resolution
+        is by _lsn, order-free); a COW rewrite rebases only if the
+        winner left every bucket we rewrote untouched, else the data
+        we read is stale and ``CommitConflictError`` tells the caller
+        to re-run the merge. Retry cost is manifest arithmetic — no
+        data is rewritten."""
+        orig_touched = self._files_by_bucket(snap)
+        touched_set = set(touched)
+        base = snap
+        for _ in range(10):
+            if kind == "delta":
+                files = base["files"] + new_files
+            else:
+                files = [
+                    f for f in base["files"] if f["bucket"] not in touched_set
+                ] + new_files
+            # per-partition lineage/metrics (north rule): offset range +
+            # applied count per bucket, tagged with the commit version
+            lineage = [
+                {
+                    "batch_id": int(batch_id),
+                    "partition_bucket": int(r["_bucket"]),
+                    "min_lsn": int(r["min_lsn"]),
+                    "max_lsn": int(r["max_lsn"]),
+                    "applied_count": int(r["applied_count"]),
+                    "snapshot_version": version,
+                }
+                for r in lin_rows
+            ]
+            if lineage:
+                self._write_lineage(lineage, version)
+            new = dict(base)
+            new.update(
+                version=version,
+                schema=schema.jsonValue(),
+                files=files,
+                parent=base["version"],
+                ledger=self._ledger_add(base["ledger"], batch_id),
             )
-            pq.write_table(
-                tbl, os.path.join(self.lineage_dir, f"lineage-v{version:012d}.parquet")
-            )
-
-        new = dict(snap)
-        new.update(
-            version=version,
-            schema=schema.jsonValue(),
-            files=files,
-            parent=snap["version"],
-            ledger=self._ledger_add(snap["ledger"], batch_id),
-        )
-        self._write_snapshot(new)
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                # lost the race: drop this attempt's lineage file and rebase
+                stale = os.path.join(self.lineage_dir, f"lineage-v{version:012d}.parquet")
+                if lineage and os.path.exists(stale):
+                    os.remove(stale)
+                cur = self.snapshot()
+                if self._ledger_contains(cur["ledger"], batch_id):
+                    # the winner WAS our batch (duplicate replay race)
+                    return MergeStats(batch_id=batch_id, applied=False, version=cur["version"])
+                if kind != "delta":
+                    cur_by_bucket = self._files_by_bucket(cur)
+                    if any(
+                        cur_by_bucket.get(b) != orig_touched.get(b) for b in touched_set
+                    ):
+                        raise CommitConflictError(
+                            f"batch {batch_id}: concurrent commit modified "
+                            f"rewritten buckets; re-run the merge against the "
+                            f"current snapshot v{cur['version']}"
+                        ) from None
+                schema = self._unify_schema(
+                    self.schema(cur), schema, protect=tuple(cur["key_cols"])
+                )
+                base = cur
+                version = cur["version"] + 1
+                continue
+            break
+        else:
+            raise CommitConflictError(f"batch {batch_id}: commit retries exhausted")
         return MergeStats(
             batch_id=batch_id,
             applied=True,
