@@ -721,13 +721,28 @@ def test_commit_conflict_rebase(spark, tmp_path, fixtures):
     assert st.applied
     assert _engine_shas(t2) == _expected_shas(snap_rows, event_rows)
 
-    # (c) competitor modified a bucket we rewrote -> typed conflict
+    # (c) competitor modified a bucket we rewrote: table.merge raises
+    # the typed conflict; apply_batch resolves it by re-running the
+    # merge against the winner's snapshot
     t3 = _new_table(spark, tmp_path, snap, "t_race_conflict")
     apply_batch(t3, b0, 0, enrich=False)
     touched_bucket = t3.snapshot()["files"][0]["bucket"]
     make_racer(t3, mutate_bucket=touched_bucket)
     with _pytest.raises(CommitConflictError):
-        apply_batch(t3, b1, 1, enrich=False)  # b1 touches ~every bucket
+        t3.merge(events.filter(events.lsn > 1000), 1)  # touches ~every bucket
+
+    t3b = _new_table(spark, tmp_path, snap, "t_race_conflict_retry")
+    apply_batch(t3b, b0, 0, enrich=False)
+    # competitor "modifies" a bucket by renaming a file entry; point it
+    # at a real copy so the re-run merge can still read the bucket
+    f0 = t3b.snapshot()["files"][0]
+    import shutil as _sh
+    src = os.path.join(t3b.root, f0["path"])
+    _sh.copyfile(src, src + ".moved")
+    make_racer(t3b, mutate_bucket=f0["bucket"])
+    st = apply_batch(t3b, b1, 1, enrich=False)  # internal conflict re-run
+    assert st.applied
+    assert t3b._ledger_contains(t3b.snapshot()["ledger"], 1)
 
     # (d) losing to a replay of our own batch_id is a no-op
     t4 = _new_table(spark, tmp_path, snap, "t_race_self")

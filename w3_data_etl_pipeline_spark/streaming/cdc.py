@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from ..functions.enrich import enrich_changes
 from ..operators.skew import salted_repartition
 from ..operators.validate import split_events
-from ..plans.laketable import LakeTable, MergeStats
+from ..plans.laketable import CommitConflictError, LakeTable, MergeStats
 
 
 @dataclass
@@ -76,7 +76,14 @@ def apply_batch(
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
     if enrich and "lang" in events.columns:
         events = enrich_changes(events)
-    stats = table.merge(events, batch_id, mode=mode)
+    try:
+        stats = table.merge(events, batch_id, mode=mode)
+    except CommitConflictError:
+        # a concurrent COW commit rewrote buckets this merge also
+        # rewrote; merge() re-reads the current snapshot, so one
+        # re-run resolves against the winner's files (delta appends
+        # rebase inside the commit and never reach here)
+        stats = table.merge(events, batch_id, mode=mode)
     # table maintenance AFTER the ledgered commit: a kill between the
     # merge commit and either step replays the batch as a ledger no-op
     # and maintenance simply runs on the next trigger — exactly-once
