@@ -96,8 +96,9 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, source,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN u < pct THEN 1 ELSE 0 END) AS n_sampled,
-           COALESCE(SUM(CASE WHEN u < pct THEN doc_id END), 0) AS sampled_id_sum
+           CAST(SUM(CASE WHEN u < pct THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(COALESCE(SUM(CASE WHEN u < pct THEN doc_id END), 0) AS BIGINT)
+               AS sampled_id_sum
     FROM d
     GROUP BY lang, source
     """,
@@ -213,8 +214,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            COUNT(*) AS n_kept,
-           SUM(n_chars) AS chars_kept,
-           SUM(doc_id) AS kept_id_sum
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum
     FROM ranked
     WHERE cum_chars <= 4000
     GROUP BY source
