@@ -750,3 +750,64 @@ def test_commit_conflict_rebase(spark, tmp_path, fixtures):
     make_racer(t4, ledger_batch=1)  # competitor commits OUR batch id
     st = apply_batch(t4, b1, 1, enrich=False, mode="mor")
     assert not st.applied
+
+
+def test_null_op_is_quarantined(spark):
+    """A NULL op code must classify as bad_op, not slip through the
+    gate as clean (NULL `NOT IN (...)` is NULL, which when-chains skip
+    — the silent-upsert bug ADVICE r2 flagged)."""
+    from w3_data_etl_pipeline_spark.operators.validate import REASON_COL, split_events
+
+    rows = [
+        ("r1", "a", 1, "U"),
+        ("r1", "b", 2, None),   # NULL op -> bad_op
+        ("r1", "c", 3, "X"),    # unknown op -> bad_op
+        (None, "d", 4, None),   # null key wins (rule order)
+    ]
+    df = spark.createDataFrame(rows, "repo string, path string, lsn long, op string")
+    clean, bad = split_events(df, ["repo", "path"])
+    assert [r["path"] for r in clean.collect()] == ["a"]
+    got = {r["path"]: r[REASON_COL] for r in bad.collect()}
+    assert got == {"b": "bad_op", "c": "bad_op", "d": "null_key"}
+
+
+def test_concurrent_data_writes_never_clobber(spark, tmp_path, fixtures):
+    """Two writers racing for the same version number write DATA as
+    well as metadata: the loser's mode('overwrite') write must never
+    delete the winner's committed part files (write-once uuid dirs).
+    Interleaving: writer B computes against v_base, then — before B's
+    data write happens — writer A lands a full real merge claiming
+    v_base+1; B then writes data, loses the snapshot race, rebases its
+    MOR delta append and commits v_base+2. Every file referenced by
+    the final manifest must exist, and the state must equal the oracle
+    with BOTH batches applied."""
+    snap, events, snap_rows, event_rows = fixtures
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+
+    tA = _new_table(spark, tmp_path, snap, "t_dataclobber")
+    tB = LakeTable(spark, tA.root)
+
+    orig_write = tB._write_data
+    state = {"raced": False}
+
+    def interleaved(df, snap_, version, kind="base", pre_bucketed=False):
+        if not state["raced"]:
+            state["raced"] = True
+            st_a = tA.merge(b0, 0, mode="mor")  # winner claims `version`
+            assert st_a.applied and st_a.version == version
+        return orig_write(df, snap_, version, kind=kind, pre_bucketed=pre_bucketed)
+
+    tB._write_data = interleaved
+    st_b = tB.merge(b1, 1, mode="mor")  # loser: rebases, commits version+1
+    assert st_b.applied and st_b.version == tA.current_version()
+
+    final = tA.snapshot()
+    missing = [
+        f["path"] for f in final["files"]
+        if not os.path.exists(os.path.join(tA.root, f["path"]))
+    ]
+    assert missing == []  # the pre-fix layout deleted the winner's files here
+    assert tA._ledger_contains(final["ledger"], 0)
+    assert tA._ledger_contains(final["ledger"], 1)
+    assert _engine_shas(tA) == _expected_shas(snap_rows, event_rows)

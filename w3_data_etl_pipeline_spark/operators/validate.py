@@ -40,7 +40,10 @@ def with_reject_reason(
     reason = (
         F.when(null_key, F.lit("null_key"))
         .when(F.col(lsn_col).isNull() | (F.col(lsn_col) < 0), F.lit("bad_lsn"))
-        .when(~F.col(op_col).isin(*VALID_OPS), F.lit("bad_op"))
+        .when(
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*VALID_OPS),
+            F.lit("bad_op"),
+        )
     )
     return events.withColumn(REASON_COL, reason)
 

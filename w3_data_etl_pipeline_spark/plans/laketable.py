@@ -10,7 +10,7 @@ Layout::
     <root>/
       _meta/v000000000001.json   # immutable snapshot manifests
       _meta/current              # pointer file (atomic os.replace)
-      data/c000000000001/_bucket=K/part-*.parquet
+      data/c000000000001-<uuid>/_bucket=K/part-*.parquet  # write-once dirs
       lineage/                   # per-(batch, bucket) metrics rows
 
 Semantics:
@@ -293,6 +293,11 @@ class LakeTable:
         table, and the per-key compare is a key-equi full-outer join
         of two identically-bucketed sides (AQE plans it; both inputs
         are pre-hashed subsets, never the whole table)."""
+        # pin 'current' ONCE: resolving it separately for snapshot() and
+        # changed_buckets() lets a commit land in between, making the
+        # bucket-prune set disagree with snap_b and silently mis-diff
+        if to_version is None:
+            to_version = self.current_version()
         snap_a = self.snapshot(from_version)
         snap_b = self.snapshot(to_version)
         keys = snap_b["key_cols"]
@@ -380,7 +385,14 @@ class LakeTable:
     def _write_data(
         self, df: DataFrame, snap: dict, version: int, kind: str = "base", pre_bucketed: bool = False
     ) -> list[dict]:
-        rel = os.path.join("data", f"c{version:012d}")
+        # write-once, collision-free: two optimistic writers racing for
+        # the same version number must NEVER target the same directory —
+        # with a shared data/c{version} path the loser's mode('overwrite')
+        # would delete the winner's already-committed part files. The
+        # uuid suffix makes every write attempt its own directory; the
+        # manifest references files by path, so losers are mere orphans
+        # that expire_snapshots collects.
+        rel = os.path.join("data", f"c{version:012d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel)
         if not pre_bucketed:
             # one write task per bucket up to the cluster's parallelism:
@@ -608,7 +620,7 @@ class LakeTable:
         is_first = ~F.coalesce(prev_same, F.lit(False))
         return df.withColumn("_first", is_first).filter(F.col("_first")).drop("_first")
 
-    def _write_lineage(self, lineage: list[dict], version: int) -> None:
+    def _write_lineage(self, lineage: list[dict], version: int, batch_id: int) -> str:
         # driver-side pyarrow write: ~n_buckets tiny rows — spinning
         # up a Spark job for this cost seconds per microbatch and
         # anti-scaled with executor threads
@@ -629,9 +641,17 @@ class LakeTable:
                 ]
             ),
         )
-        pq.write_table(
-            tbl, os.path.join(self.lineage_dir, f"lineage-v{version:012d}.parquet")
+        # collision-free name: a concurrent winner racing for the same
+        # version must not share our path (its committed lineage would be
+        # silently overwritten, then deleted by our race-loss cleanup).
+        # Returning the exact path lets the caller remove ONLY the file
+        # this attempt wrote.
+        path = os.path.join(
+            self.lineage_dir,
+            f"lineage-v{version:012d}-b{batch_id}-{uuid.uuid4().hex[:8]}.parquet",
         )
+        pq.write_table(tbl, path)
+        return path
 
     def _commit_merge(
         self,
@@ -677,8 +697,7 @@ class LakeTable:
                 }
                 for r in lin_rows
             ]
-            if lineage:
-                self._write_lineage(lineage, version)
+            lin_path = self._write_lineage(lineage, version, batch_id) if lineage else None
             new = dict(base)
             new.update(
                 version=version,
@@ -690,10 +709,10 @@ class LakeTable:
             try:
                 self._write_snapshot(new)
             except FileExistsError:
-                # lost the race: drop this attempt's lineage file and rebase
-                stale = os.path.join(self.lineage_dir, f"lineage-v{version:012d}.parquet")
-                if lineage and os.path.exists(stale):
-                    os.remove(stale)
+                # lost the race: drop ONLY the lineage file this attempt
+                # wrote (uuid-named, so never a winner's file) and rebase
+                if lin_path is not None and os.path.exists(lin_path):
+                    os.remove(lin_path)
                 cur = self.snapshot()
                 if self._ledger_contains(cur["ledger"], batch_id):
                     # the winner WAS our batch (duplicate replay race)
