@@ -29,9 +29,9 @@ HEADLINE = [
     "max_lsn_dedup",
     "topk_orders_per_segment",
     "exact_dedup_docs",
-    "token_counts_docs",
-    "quality_docs",
-    "fingerprint_docs",
+    "text_signals_docs",
+    "tfidf_top_terms",
+    "neardup_clusters",
     "embedding_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_docs",

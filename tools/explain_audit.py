@@ -27,6 +27,9 @@ AUDIT = [
     "embedding_cosine_topk",
     "topk_orders_per_segment",
     "path_normalize_synthetic",
+    "text_signals_docs",
+    "token_budget_sample",
+    "tfidf_top_terms",
     "ua_enrich_traffic",
     "ref_region_traffic",
     "semi_join_discounted_orders",

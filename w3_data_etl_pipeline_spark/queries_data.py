@@ -230,22 +230,54 @@ def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic order (n_chars DESC, doc_id ASC) + running sum +
     cut at the budget; kept_id_sum pins exact membership.
 
-    Scale: one shuffle on source, then a per-source ordered window.
-    A mega-source would funnel through one task; the fix at 100 TB is
-    the two-phase variant (per-partition partial cumsum + offset join,
-    exactly the scheme in operators/dims.surrogate_ids(scalable=True)).
-    The budget cut also enables early pruning: files whose per-source
-    minimum cum bound exceeds the budget never leave the scan.
+    Scale — two-phase cumulative sum (same scheme as
+    operators/dims.surrogate_ids(scalable=True)): a naive
+    Window.partitionBy(source) funnels a mega-source through ONE task.
+    Instead the corpus is range-partitioned on the full sort key
+    (source, n_chars DESC, doc_id), each range chunk computes its
+    partial cumsum independently (the window key (_pid, source) splits
+    a mega-source across as many tasks as it has range chunks), and a
+    tiny per-(chunk, source) totals table — O(partitions) rows, itself
+    windowed per source at metadata scale — broadcast-joins the
+    starting offset back. Exact global cumsum, no single-task stage,
+    no driver-side data. Correct for ANY range bounds because the sort
+    key is a total order (doc_id is unique), so the per-source oracle
+    result is partitioning-independent.
     """
-    w = (
-        Window.partitionBy("source")
+    docs = t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    return token_budget_aggregate(docs, budget=4000)
+
+
+def token_budget_aggregate(docs: DataFrame, budget: int) -> DataFrame:
+    """Two-phase per-source budget selection over (source, doc_id,
+    n_chars) — the engine core of token_budget_sample, factored out so
+    tests can drive it with synthetic skew (one mega-source)."""
+    spark = docs.sparkSession
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    ranged = docs.repartitionByRange(
+        n_parts, F.col("source"), F.col("n_chars").desc(), F.col("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_in = (
+        Window.partitionBy("_pid", "source")
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    partial = ranged.withColumn("_cum_in", F.sum("n_chars").over(w_in))
+    # per-(chunk, source) totals -> per-source running offsets; ranges
+    # are contiguous so this is O(n_partitions + n_sources) rows
+    chunk_tot = ranged.groupBy("_pid", "source").agg(F.sum("n_chars").alias("_chunk"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = chunk_tot.withColumn(
+        "_off", F.coalesce(F.sum("_chunk").over(w_off), F.lit(0))
+    ).drop("_chunk")
     return (
-        t(spark, sf_dir, "documents")
-        .withColumn("cum_chars", F.sum("n_chars").over(w))
-        .filter(F.col("cum_chars") <= 4000)
+        partial.join(F.broadcast(offsets), ["_pid", "source"])
+        .withColumn("cum_chars", F.col("_off") + F.col("_cum_in"))
+        .filter(F.col("cum_chars") <= budget)
         .groupBy("source")
         .agg(
             F.count("*").alias("n_kept"),

@@ -209,17 +209,41 @@ def semi_join_discounted_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# applyInPandasWithState custom stateful streaming operator (rows-only:
-# state-store semantics are not SQL-expressible for the DuckDB oracle)
+# applyInPandasWithState custom stateful streaming operator. The
+# PER-MICROBATCH update stream is not SQL-expressible, but the FINAL
+# drained state after availableNow is: it equals the batch twin
+# (streaming/stateful.running_key_state_batch — max LSN, op at max
+# LSN, event count per key), so the oracle pins the state store's end
+# state value-for-value.
 # ---------------------------------------------------------------------------
 
 
-@q("stateful_running_state", None)
+@q(
+    "stateful_running_state",
+    """
+    WITH ev AS (
+      SELECT event_id AS lsn,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             'org' || CAST(user_id % 13 AS VARCHAR) AS repo,
+             'p/' || CAST(user_id AS VARCHAR) AS path
+      FROM events WHERE event_id < 4000
+    )
+    SELECT repo, path,
+           MAX(lsn) AS last_lsn,
+           arg_max(op, lsn) AS last_op,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM ev GROUP BY repo, path
+    """,
+)
 def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives a REAL Structured Streaming query: events are recast as
     CDC change events, split into two WAL segments, tailed with
     availableNow, and folded through the applyInPandasWithState
-    running-key-state operator; returns the final per-key state."""
+    running-key-state operator; returns the final per-key state.
+
+    The event subset is a deterministic filter (event_id < 4000), not
+    LIMIT — LIMIT without ORDER BY is engine-arbitrary, so Spark and
+    DuckDB could legally pick different rows."""
     import os
     import shutil
     import tempfile
@@ -227,7 +251,7 @@ def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .schemas import CHANGE_EVENTS
     from .streaming.stateful import running_key_state
 
-    e = t(spark, sf_dir, "events").limit(4000)
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
     ev = e.select(
         F.col("event_id").alias("lsn"),
         F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),

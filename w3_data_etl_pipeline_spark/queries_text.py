@@ -144,6 +144,60 @@ def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# consolidated per-doc text signals: token counts + quality features +
+# fingerprint in ONE scan/one driver row (the three single-facet
+# queries above stay registered for bench comparability but are
+# demoted past the driver's 50-query correctness window — this query
+# carries their driver-side value-hash evidence)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_signals_docs",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(length(text) AS INT) AS q_n_chars,
+           CAST(len(ws) AS INT) AS q_n_words,
+           round((length(text) - length(regexp_replace(text, '[.,;:!?''"()\[\]{{}}\-]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS q_punct_ratio,
+           round(len(list_filter(ws, x -> list_contains({_STOP_SQL}, x)))
+                 / greatest(len(ws), 1), 6) AS q_stopword_ratio,
+           round(list_aggregate(list_transform(ws, x -> length(x)), 'sum')
+                 / greatest(len(ws), 1), 6) AS q_mean_word_len,
+           sha256(array_to_string(ws, ' ')) AS fp
+    FROM w
+    """,
+)
+def text_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All per-document text signals in one pass: whitespace + BPE-ish
+    token counts, the five quality features, and the normalized-text
+    fingerprint. Scale: one scan, pure map-side codegen (regexp + SQL
+    HOFs, no Python, no shuffle) — at 100 TB a curation pipeline
+    computes every per-doc signal in a single pass over the corpus
+    rather than one scan per signal, which is exactly what fusing
+    these projections buys."""
+    d = t(spark, sf_dir, "documents")
+    return text.quality_features(d).select(
+        "doc_id",
+        text.token_count_ws(F.col("text")).cast("long").alias("n_ws_tokens"),
+        text.token_count_bpe(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        "q_n_chars",
+        "q_n_words",
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_mean_word_len",
+        text.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity search: exact brute-force top-k (oracle) + IVF probe (rows-only)
 # ---------------------------------------------------------------------------
 
