@@ -811,3 +811,39 @@ def test_concurrent_data_writes_never_clobber(spark, tmp_path, fixtures):
     assert tA._ledger_contains(final["ledger"], 0)
     assert tA._ledger_contains(final["ledger"], 1)
     assert _engine_shas(tA) == _expected_shas(snap_rows, event_rows)
+
+
+def test_expire_incremental_manifest_diff(spark, tmp_path, fixtures):
+    """scan_orphans=False (the per-microbatch streaming policy) must
+    delete every file the expiring manifests reference and nothing a
+    retained snapshot needs — WITHOUT walking the data dir — while a
+    planted never-committed orphan survives until the periodic
+    scan_orphans=True pass collects it."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_expire_inc", n_buckets=4)
+    for i, (lo, hi) in enumerate([(1, 500), (501, 1000), (1001, 1500), (1501, 2000)]):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        assert apply_batch(t, batch, i, enrich=False, mode="cow").applied
+    # plant a race-loser orphan: a parquet in a write dir no manifest knows
+    orphan_dir = os.path.join(t.root, "data", "c999999999999-deadbeef")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "part-00000-orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 fake")
+    before = _engine_shas(t)
+    stats = t.expire_snapshots(keep_last=2, scan_orphans=False)
+    assert stats["removed_snapshots"] >= 3
+    assert stats["removed_files"] > 0
+    assert os.path.exists(orphan)  # manifest diff can't see it, by design
+    # current state untouched, all retained files present
+    assert _engine_shas(t) == before == _expected_shas(snap_rows, event_rows)
+    missing = [
+        f["path"] for f in t.snapshot()["files"]
+        if not os.path.exists(os.path.join(t.root, f["path"]))
+    ]
+    assert missing == []
+    # periodic full pass collects the orphan (and its emptied dir)
+    t.expire_snapshots(keep_last=2, scan_orphans=True)
+    assert not os.path.exists(orphan)
+    assert not os.path.isdir(orphan_dir)
+    assert _engine_shas(t) == before

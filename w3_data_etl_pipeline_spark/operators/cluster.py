@@ -97,18 +97,32 @@ def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b")
     return nodes.union(roots).groupBy("id").agg(F.min("component").alias("component"))
 
 
+# Max clustered-node count to broadcast in dedup_assignments. ~24B/row
+# (long id + long component + overhead) puts 5M rows around 120 MB —
+# comfortably under a 1 GB driver/executor broadcast budget. Above it,
+# a plain shuffle join is the right plan anyway: a 30%-duplicate
+# 100 TB corpus has billions of clustered nodes, and broadcasting that
+# would OOM every executor.
+BROADCAST_COMPONENT_LIMIT = 5_000_000
+
+
 def dedup_assignments(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     src: str = "id_a", dst: str = "id_b",
+    broadcast_limit: int = BROADCAST_COMPONENT_LIMIT,
 ) -> DataFrame:
     """Full keep/drop table: every doc gets its cluster representative
     (min doc_id of its near-dup component; itself when un-clustered)
-    and a keep flag. The CC result is tiny relative to the corpus
-    (only docs that matched something), so the final join broadcasts
-    at any realistic duplicate rate."""
+    and a keep flag. The component table scales with the duplicate
+    count, so the join side is size-guarded: broadcast while the
+    clustered-node count is under ``broadcast_limit`` (one O(metadata)
+    count — the CC loop already runs an action per round), else a
+    shuffle hash join on the uniform id key."""
     comp = connected_components(pairs, src, dst)
+    n_nodes = comp.count()
+    joinable = F.broadcast(comp) if n_nodes <= broadcast_limit else comp
     out = docs.select(F.col(id_col).cast("long").alias("id")).join(
-        F.broadcast(comp), "id", "left"
+        joinable, "id", "left"
     )
     rep = F.coalesce(F.col("component"), F.col("id"))
     return out.select(

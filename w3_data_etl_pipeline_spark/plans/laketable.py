@@ -791,7 +791,7 @@ class LakeTable:
         self._write_snapshot(new)
         return version
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(self, keep_last: int = 2, scan_orphans: bool = True) -> dict:
         """Drop snapshot manifests older than the newest ``keep_last``
         and DELETE data files referenced by no retained snapshot —
         Iceberg's expire_snapshots + orphan-file cleanup. Bounds disk
@@ -799,7 +799,19 @@ class LakeTable:
         bucket files live forever (O(history) bytes at 10^5
         microbatches). Time travel to an expired version raises
         FileNotFoundError by design. Lineage/metrics rows are never
-        expired (they are the audit table, O(buckets) per batch)."""
+        expired (they are the audit table, O(buckets) per batch).
+
+        Deletion candidates come from the EXPIRING manifests' file
+        lists (incremental: O(expired-history file entries), flat per
+        call in a steady-state stream), not a directory walk. With
+        ``scan_orphans`` a full walk of data/ additionally collects
+        files no live manifest ever referenced — write attempts that
+        lost the optimistic-commit race into their uuid-suffixed
+        write-once dirs. The streaming maintenance path
+        (apply_batch(expire_keep=...)) disables the walk and runs it
+        only every ``EXPIRE_ORPHAN_SCAN_EVERY`` applied batches, so
+        per-microbatch maintenance cost is O(recent manifests), not
+        O(table files)."""
         keep_last = max(1, keep_last)
         versions = sorted(
             int(n[1:-5])
@@ -808,28 +820,42 @@ class LakeTable:
         )
         cur = self.current_version()
         retained = set(versions[-keep_last:]) | {cur}
+        expiring = [v for v in versions if v not in retained]
         referenced: set[str] = set()
         for v in retained:
             referenced.update(f["path"] for f in self.snapshot(v)["files"])
+        if scan_orphans:
+            candidates = {
+                os.path.relpath(os.path.join(dp, n), self.root)
+                for dp, _dirs, names in os.walk(self._data)
+                for n in names
+                if n.endswith(".parquet")
+            }
+        else:
+            candidates = set()
+            for v in expiring:
+                candidates.update(f["path"] for f in self.snapshot(v)["files"])
         removed_files = 0
-        for dirpath, _dirs, names in os.walk(self._data, topdown=False):
-            for n in names:
-                p = os.path.join(dirpath, n)
-                if n.endswith(".parquet") and os.path.relpath(p, self.root) not in referenced:
-                    os.remove(p)
-                    removed_files += 1
-        # prune write dirs with no parquet left (only _SUCCESS markers)
-        for entry in os.listdir(self._data):
-            d = os.path.join(self._data, entry)
+        touched_dirs: set[str] = set()
+        for rel in candidates - referenced:
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                removed_files += 1
+            parts = rel.split(os.sep)
+            if len(parts) >= 2 and parts[0] == "data":
+                touched_dirs.add(os.path.join(self._data, parts[1]))
+        # prune write dirs emptied by the deletions (only _SUCCESS etc.
+        # left) — checks just the dirs we deleted from, not all of data/
+        for d in touched_dirs:
             if os.path.isdir(d) and not any(
                 fn.endswith(".parquet") for _, _, fns in os.walk(d) for fn in fns
             ):
                 shutil.rmtree(d, ignore_errors=True)
         removed_snaps = 0
-        for v in versions:
-            if v not in retained:
-                os.remove(self._snap_path(v))
-                removed_snaps += 1
+        for v in expiring:
+            os.remove(self._snap_path(v))
+            removed_snaps += 1
         return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
 
     def state_fingerprint(self) -> DataFrame:

@@ -31,6 +31,11 @@ from ..operators.validate import split_events
 from ..plans.laketable import CommitConflictError, LakeTable, MergeStats
 
 
+# cadence of the full orphan-file walk inside the streaming expiry
+# policy; between walks, expiry is an incremental manifest diff
+EXPIRE_ORPHAN_SCAN_EVERY = 16
+
+
 @dataclass
 class CdcRun:
     stats: list[MergeStats] = field(default_factory=list)
@@ -94,8 +99,16 @@ def apply_batch(
         table.compact(min_deltas=auto_compact_deltas)
     if stats.applied and expire_keep:
         # bounds disk: old COW bucket files / folded deltas are
-        # unreferenced by the retained snapshots and deleted
-        table.expire_snapshots(keep_last=expire_keep)
+        # unreferenced by the retained snapshots and deleted.
+        # Per-batch expiry diffs only the EXPIRING manifests' file
+        # lists (O(recent history), flat cost); the full orphan walk —
+        # O(table files), needed only to collect race-loser write
+        # attempts that never committed — runs every
+        # EXPIRE_ORPHAN_SCAN_EVERY applied batches.
+        table.expire_snapshots(
+            keep_last=expire_keep,
+            scan_orphans=(batch_id % EXPIRE_ORPHAN_SCAN_EVERY == 0),
+        )
     return stats
 
 
