@@ -118,7 +118,10 @@ def dedup_assignments(
     clustered-node count is under ``broadcast_limit`` (one O(metadata)
     count — the CC loop already runs an action per round), else a
     shuffle hash join on the uniform id key."""
-    comp = connected_components(pairs, src, dst)
+    # eager localCheckpoint: materialize the component table ONCE so the
+    # size-guard count and the join both read blocks instead of
+    # re-running the final CC aggregation
+    comp = connected_components(pairs, src, dst).localCheckpoint(eager=True)
     n_nodes = comp.count()
     joinable = F.broadcast(comp) if n_nodes <= broadcast_limit else comp
     out = docs.select(F.col(id_col).cast("long").alias("id")).join(

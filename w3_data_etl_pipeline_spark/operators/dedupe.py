@@ -262,9 +262,15 @@ def ngram_jaccard_pairs(
     count every shingle, so capped Jaccard is a conservative
     underestimate — deterministic and mirrored exactly in the oracle.
     """
+    # NOT persisted: the shingle expansion is a pure codegen projection
+    # that downstream branches (sizes, df-cap, both self-join sides)
+    # recompute cheaply, while caching it builds a columnar cache of
+    # large string arrays — measured 3x slower first-run at sf0.1/32
+    # threads (G1 humongous-allocation churn, cf. session.py notes),
+    # never unpersisted, and a memory blowup at corpus scale.
     sh = df.select(
         F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_k).alias("_sh")
-    ).persist()
+    )
     sizes = sh.select("_id", F.size("_sh").alias("_n"))
     ex = sh.select("_id", F.explode("_sh").alias("_s"))
     if max_df is not None:
