@@ -847,3 +847,42 @@ def test_expire_incremental_manifest_diff(spark, tmp_path, fixtures):
     assert not os.path.exists(orphan)
     assert not os.path.isdir(orphan_dir)
     assert _engine_shas(t) == before
+
+
+def test_compact_retries_on_commit_race(spark, tmp_path, fixtures):
+    """A merge landing between compact's snapshot read and its commit
+    steals the version number: compact must recompute the fold against
+    the winner's snapshot and retry, ending with BOTH the merge applied
+    and the deltas folded — never a crash or a manifest referencing
+    deleted files (uuid write-once dirs make the lost attempt an
+    orphan, not a clobber)."""
+    snap, events, snap_rows, event_rows = fixtures
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+    tA = _new_table(spark, tmp_path, snap, "t_compactrace")
+    tB = LakeTable(spark, tA.root)
+    assert apply_batch(tA, b0, 0, enrich=False, mode="mor").applied
+
+    orig_write = tB._write_data
+    state = {"raced": False}
+
+    def interleaved(df, snap_, version, kind="base", pre_bucketed=False):
+        if not state["raced"]:
+            state["raced"] = True
+            st = tA.merge(b1, 1, mode="mor")  # competitor claims `version`
+            assert st.applied and st.version == version
+        return orig_write(df, snap_, version, kind=kind, pre_bucketed=pre_bucketed)
+
+    tB._write_data = interleaved
+    v = tB.compact(min_deltas=1)
+    assert state["raced"]
+    assert v == tA.current_version()
+    final = tA.snapshot()
+    missing = [
+        f["path"] for f in final["files"]
+        if not os.path.exists(os.path.join(tA.root, f["path"]))
+    ]
+    assert missing == []
+    # the retried fold saw the winner's deltas: nothing left to fold
+    assert not [f for f in final["files"] if f.get("kind", "base") == "delta"]
+    assert _engine_shas(tA) == _expected_shas(snap_rows, event_rows)

@@ -747,8 +747,15 @@ class LakeTable:
 
     # ---------------- maintenance ----------------
 
-    def compact(self, min_deltas: int | None = None) -> int:
+    def compact(self, min_deltas: int | None = None, max_retries: int = 3) -> int:
         """Fold MOR deltas into base files and collapse small files.
+
+        Concurrency: compaction is optimistic like merge — if another
+        writer commits the contended version first, the whole fold is
+        recomputed against the winner's snapshot and retried (the fold
+        set may have changed; this attempt's uuid-dir data files become
+        orphans for the periodic expire scan). Raises
+        CommitConflictError after ``max_retries`` lost races.
 
         min_deltas=None: full rewrite — resolve once, rewrite every
         bucket as kind='base' (also collapses small base files).
@@ -762,6 +769,16 @@ class LakeTable:
         the hot buckets' bytes, not the table's. Returns the current
         version unchanged when no bucket crosses the threshold (no
         empty snapshots)."""
+        for _ in range(max_retries + 1):
+            try:
+                return self._compact_once(min_deltas)
+            except FileExistsError:
+                continue  # lost the version race: recompute the fold
+        raise CommitConflictError(
+            f"compact lost the commit race {max_retries + 1} times"
+        )
+
+    def _compact_once(self, min_deltas: int | None) -> int:
         snap = self.snapshot()
         if min_deltas is None:
             fold_files = snap["files"]
