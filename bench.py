@@ -21,6 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The 20-query headline set is FROZEN at round 1's composition so the
+# driver's BENCH_r{N} totals stay longitudinally comparable round over
+# round; new round-3 capabilities are timed in EXTENDED and reported
+# under separate JSON keys (queries_extended / value_extended).
 HEADLINE = [
     "q1_pricing_summary",
     "star_join_revenue",
@@ -29,9 +33,9 @@ HEADLINE = [
     "max_lsn_dedup",
     "topk_orders_per_segment",
     "exact_dedup_docs",
-    "text_signals_docs",
-    "tfidf_top_terms",
-    "neardup_clusters",
+    "token_counts_docs",
+    "quality_docs",
+    "fingerprint_docs",
     "embedding_cosine_topk",
     "minhash_lsh_pairs",
     "simhash_docs",
@@ -42,6 +46,14 @@ HEADLINE = [
     "asof_click_attribution",
     "tumbling_window_counts",
     "rollup_orders",
+]
+
+EXTENDED = [
+    "text_signals_docs",
+    "tfidf_top_terms",
+    "neardup_clusters",
+    "token_budget_sample",
+    "stateful_running_state",
 ]
 
 
@@ -127,6 +139,12 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
+    timings_ext: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = qs[name]
+        t0 = time.time()
+        _ = fn(spark, sf_dir).count()
+        timings_ext[name] = round(time.time() - t0, 3)
     cdc_eps = bench_cdc(spark, mode="cow")
     cdc_eps_mor = bench_cdc(spark, mode="mor")
     total = round(sum(timings.values()), 3)
@@ -138,6 +156,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_extended": timings_ext,
+                "value_extended": round(sum(timings_ext.values()), 3),
                 "sf": sf,
                 "cdc_events_per_sec": round(cdc_eps, 1),
                 "cdc_events_per_sec_mor": round(cdc_eps_mor, 1),
