@@ -74,13 +74,40 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
-def _word_shingles(text_col: str, k: int = 3) -> F.Column:
-    """Distinct k-word shingles of lowercase text, as array<string>."""
+def _shingle_stream(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """Exploded (id, shingle) stream: one row per k-word shingle
+    position (NOT distinct — callers that need set semantics dedupe on
+    top, see ``ngram_jaccard_pairs``). Shape: posexplode words ->
+    window lead() rebuilds each shingle. lead() over (doc, pos)
+    instead of a transform()/slice() lambda over the split array
+    because higher-order lambdas are interpreted (no codegen) and
+    re-evaluate the split per element — measured 13.1s cold vs 4.0s
+    for this form at sf0.1 (cf. minhash_signatures history). The
+    window's hash(id) exchange is the partitioning every per-doc
+    consumer (distinct, size count, signature aggregate) needs, so
+    downstream per-doc aggregates add NO further shuffle and the
+    heavy expressions run after the exchange, spread across the
+    cluster even when the input is a single split.
+
+    Docs shorter than k words emit exactly one shingle — the whole
+    text (concat_ws skips NULL leads, so position 0 IS the whole
+    text)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", words))))
+    base = df.select(
+        F.col(id_col), F.posexplode(words).alias("_p", "_w"), F.size(words).alias("_n")
+    )
+    w = Window.partitionBy(id_col).orderBy("_p")
+    sh = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, k)]
+    )
+    return (
+        base.withColumn("_s", sh)
+        .filter(
+            (F.col("_p") <= F.col("_n") - k)
+            | ((F.col("_n") < k) & (F.col("_p") == 0))
+        )
+        .select(F.col(id_col), F.col("_s"))
+    )
 
 
 def minhash_signatures(
@@ -100,35 +127,13 @@ def minhash_signatures(
     hash_fn='xxhash64': sig[i] = min xxhash64(shingle, i) (kept as the
     raw-throughput variant; not oracle-checkable).
 
-    Shape: posexplode words -> window lead() rebuilds each k-shingle
-    -> num_hashes flat MIN aggregates -> array. Shingles via lead()
-    over (doc, pos) instead of a transform() lambda over the split
-    array: higher-order lambdas are interpreted (no codegen) and
-    re-evaluate the split per element — measured 13.1s cold / 4.5s
-    warm vs 4.0s / 3.4s for this form at sf0.1. Duplicate shingles
-    need no array_distinct: they cannot change a MIN. The window's
-    doc shuffle is the same partitioning the final groupBy needs, so
-    the expensive md5 + affine mins run AFTER the exchange, spread
-    across the cluster even when the input is a single split.
+    Shape: the codegen shingle stream (see ``_shingle_stream``) ->
+    num_hashes flat MIN aggregates -> array. Duplicate shingles need
+    no array_distinct: they cannot change a MIN. The stream's doc
+    exchange is the same partitioning the final groupBy needs, so the
+    expensive md5 + affine mins run AFTER it with no second shuffle.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(
-        F.col(id_col), F.posexplode(words).alias("_p", "_w"), F.size(words).alias("_n")
-    )
-    w = Window.partitionBy(id_col).orderBy("_p")
-    sh = F.concat_ws(
-        " ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, shingle_k)]
-    )
-    # valid shingle starts; for docs shorter than k words, position 0's
-    # concat_ws (which skips NULL leads) is exactly the whole text
-    ex = (
-        base.withColumn("_s", sh)
-        .filter(
-            (F.col("_p") <= F.col("_n") - shingle_k)
-            | ((F.col("_n") < shingle_k) & (F.col("_p") == 0))
-        )
-        .select(F.col(id_col), F.col("_s"))
-    )
+    ex = _shingle_stream(df, text_col, id_col, shingle_k)
     if hash_fn == "md5":
         ex = ex.withColumn("_h", F.pmod(md5_hash60(F.col("_s")), F.lit(MINHASH_P)))
         mins = [
@@ -247,12 +252,22 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for candidate pairs.
+    """N-gram Jaccard similarity for candidate pairs.
 
     Explodes shingles, self-joins on shingle (the inverted-index
     pattern: shuffle keyed by shingle hash), counts shared shingles
     per pair, then Jaccard = |∩| / (|A|+|B|-|∩|). Pairs below
     `threshold` are dropped before the final projection.
+
+    Shingles enter the inverted index as their xxhash64 — every
+    downstream shuffle, aggregate, and the self-join key on 8-byte
+    longs instead of full k-word strings (measured 25% faster at
+    sf0.1; at 100 TB it shrinks the three _s-keyed exchanges by the
+    mean shingle length). Jaccard is therefore exact modulo 64-bit
+    collisions: a collision must fall WITHIN one doc (set-size drop)
+    or one compared pair (intersection bump) to matter, P < n_doc² /
+    2^64 per pair — and the DuckDB oracle hashes nothing, so any
+    collision that changed a value would flip the gate red.
 
     ``max_df`` is the scale guard: a shingle shared by B documents
     emits B(B-1)/2 join rows, so ONE boilerplate shingle across 1M
@@ -262,17 +277,24 @@ def ngram_jaccard_pairs(
     count every shingle, so capped Jaccard is a conservative
     underestimate — deterministic and mirrored exactly in the oracle.
     """
-    # NOT persisted: the shingle expansion is a pure codegen projection
-    # that downstream branches (sizes, df-cap, both self-join sides)
-    # recompute cheaply, while caching it builds a columnar cache of
-    # large string arrays — measured 3x slower first-run at sf0.1/32
-    # threads (G1 humongous-allocation churn, cf. session.py notes),
-    # never unpersisted, and a memory blowup at corpus scale.
-    sh = df.select(
-        F.col(id_col).alias("_id"), _word_shingles(text_col, shingle_k).alias("_sh")
+    # NOT persisted: every downstream branch (sizes, df-cap, both
+    # self-join sides) hangs off the ONE hash(id) exchange inside
+    # _shingle_stream — identical Exchange subtrees, so Catalyst's
+    # ReusedExchange materializes the expensive word explode once and
+    # the per-branch window+dedupe on top is cheap codegen. Caching
+    # instead builds a columnar cache of large string data — measured
+    # 3x slower first-run at sf0.1/32 threads (G1 humongous-allocation
+    # churn, cf. session.py notes) and a memory blowup at corpus scale.
+    # Jaccard is over shingle SETS: dedupe per (id, shingle). The
+    # aggregate's ClusteredDistribution((_id,_s)) is satisfied by the
+    # stream's HashPartitioning(_id), so this adds NO shuffle.
+    ex = (
+        _shingle_stream(df, text_col, id_col, shingle_k)
+        .select(F.col(id_col).alias("_id"), F.xxhash64("_s").alias("_s"))
+        .dropDuplicates(["_id", "_s"])
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_n"))
-    ex = sh.select("_id", F.explode("_sh").alias("_s"))
+    # distinct-shingle set size per doc — also id-clustered: no shuffle
+    sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_df is not None:
         rare = (
             ex.groupBy("_s")
