@@ -263,6 +263,14 @@ def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("event_ts"),
     )
     work = tempfile.mkdtemp(prefix="qstateful_")
+    # State-store partition count is baked into the checkpoint from
+    # spark.sql.shuffle.partitions at stream start; it should track the
+    # KEYSPACE, not the session's core count — 32 stores x 2 microbatches
+    # of commit I/O + Arrow worker groups for a ~1.4k-key test stream is
+    # pure overhead (measured 13.2s -> 3.9s at sf0.1 with 8). A 10^9-key
+    # production stream sizes this in the thousands instead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         half = 2000
         ev.filter(F.col("lsn") < half).coalesce(1).write.mode("overwrite").parquet(
@@ -287,6 +295,7 @@ def stateful_running_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qy.awaitTermination()
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # availableNow has fully drained; the memory sink holds the rows,
         # so the WAL segments + checkpoint in /tmp can go
         shutil.rmtree(work, ignore_errors=True)
