@@ -139,3 +139,39 @@ def test_minhash_md5_matches_xxhash_behavior(spark):
         }
         assert (0, 2) in pairs  # exact dups always collide in every band
         assert all(3 not in p and 4 not in p for p in pairs if (0 in p or 1 in p or 2 in p))
+
+
+def test_shingle_stream_edge_cases(spark):
+    """The window-lead shingle stream's short-doc branch: docs with
+    fewer than k words emit exactly one shingle (the whole text),
+    within-doc repeats collapse under the per-doc distinct, and the
+    Jaccard output matches the set-semantics python oracle."""
+    docs = [
+        (0, "ab"),                      # 1 word < k
+        (1, "ab cd"),                   # 2 words < k
+        (2, "ab cd"),                   # exact dup of 1
+        (3, "ab cd ef"),                # exactly k words -> 1 shingle
+        (4, "ab cd ef ab cd ef ab cd ef"),  # repeated shingles
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    ex = dedupe._shingle_stream(df, "text", "doc_id", 3)
+    got = {
+        (r["doc_id"], r["_s"])
+        for r in ex.dropDuplicates(["doc_id", "_s"]).collect()
+    }
+    assert {s for (i, s) in got if i == 0} == {"ab"}
+    assert {s for (i, s) in got if i == 1} == {"ab cd"}
+    assert {s for (i, s) in got if i == 3} == {"ab cd ef"}
+    assert {s for (i, s) in got if i == 4} == {
+        "ab cd ef", "cd ef ab", "ef ab cd",
+    }
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedupe.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.01).collect()
+    }
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        j = _py_jaccard(ta, tb)
+        if j >= 0.01:
+            assert abs(out[(ia, ib)] - j) < 1e-9, (ia, ib, out.get((ia, ib)), j)
+        else:
+            assert (ia, ib) not in out
