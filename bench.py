@@ -145,10 +145,31 @@ def main() -> None:
         t0 = time.time()
         _ = fn(spark, sf_dir).count()
         timings_ext[name] = round(time.time() - t0, 3)
+    # second, warm pass over the headline set (JIT + page cache
+    # steady): reported under its own key — `value` keeps the
+    # single-cold-run semantics rounds 1-2 used, `value_warm` is the
+    # steady-state number a long-running service would see and is far
+    # less sensitive to this sandbox's variable host windows.
+    timings_warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        _ = fn(spark, sf_dir).count()
+        timings_warm[name] = round(time.time() - t0, 3)
     cdc_eps = bench_cdc(spark, mode="cow")
     cdc_eps_mor = bench_cdc(spark, mode="mor")
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # pure-CPU host probe (Mmd5/s across 8 processes, same probe the
+    # scaling harness brackets with): lets any reader normalize this
+    # run for the sandbox's shared-host capacity window (healthy >= 12;
+    # see BENCH/BASELINE.md).
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
+        from run_scaling_bracketed import host_capacity
+        cap = round(host_capacity(), 1)
+    except Exception:
+        cap = None
     print(
         json.dumps(
             {
@@ -158,6 +179,9 @@ def main() -> None:
                 "queries": timings,
                 "queries_extended": timings_ext,
                 "value_extended": round(sum(timings_ext.values()), 3),
+                "queries_warm": timings_warm,
+                "value_warm": round(sum(timings_warm.values()), 3),
+                "host_capacity_mmd5": cap,
                 "sf": sf,
                 "cdc_events_per_sec": round(cdc_eps, 1),
                 "cdc_events_per_sec_mor": round(cdc_eps_mor, 1),
