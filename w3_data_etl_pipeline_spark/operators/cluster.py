@@ -76,10 +76,18 @@ def connected_components(pairs: DataFrame, src: str = "id_a", dst: str = "id_b")
     convergence fingerprint). localCheckpoint() per round truncates
     the lineage so the plan does not grow with iterations — without
     it, round k re-executes rounds 1..k-1."""
+    # eager localCheckpoint BEFORE the loop: round 1 references the
+    # edge list several times (symmetrize union + per-star aggregate +
+    # join-back), and the caller usually hands us the raw near-dup
+    # pair QUERY — without materialization the whole pair join re-runs
+    # per reference (measured 21.7s vs 1.9s for the sf0.1 jaccard
+    # graph). The loop's own per-round checkpoints only cover rounds
+    # 2+, not the expensive source plan.
     edges = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     prev = None
     for _ in range(MAX_ROUNDS):

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def latest_by_key(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
@@ -77,36 +78,45 @@ def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
 def _shingle_stream(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """Exploded (id, shingle) stream: one row per k-word shingle
     position (NOT distinct — callers that need set semantics dedupe on
-    top, see ``ngram_jaccard_pairs``). Shape: posexplode words ->
-    window lead() rebuilds each shingle. lead() over (doc, pos)
-    instead of a transform()/slice() lambda over the split array
-    because higher-order lambdas are interpreted (no codegen) and
-    re-evaluate the split per element — measured 13.1s cold vs 4.0s
-    for this form at sf0.1 (cf. minhash_signatures history). The
-    window's hash(id) exchange is the partitioning every per-doc
-    consumer (distinct, size count, signature aggregate) needs, so
-    downstream per-doc aggregates add NO further shuffle and the
-    heavy expressions run after the exchange, spread across the
-    cluster even when the input is a single split.
+    top, see ``ngram_jaccard_pairs``). Shape: materialize the split
+    words array ONCE per doc (a projection below the Generate, so
+    Catalyst cannot re-inline the split into per-row expressions),
+    explode the shingle POSITIONS 1..max(n-k+1, 1), then slice k words
+    out of the materialized array per position — three codegen
+    operators, zero exchanges, zero sorts.
+
+    History: this replaced the posexplode+window-lead() form (which
+    itself replaced an interpreted transform()/slice() lambda, 13.1s
+    cold at sf0.1). The window form paid a hash(id) exchange + per-doc
+    sort + row-at-a-time WindowExec just to rebuild adjacency that the
+    words array already has: measured 4.28s vs 0.42s for this form at
+    sf0.1 (identical output checksum). Map-side construction also
+    means every downstream per-doc aggregate now partial-aggregates
+    BEFORE its exchange (e.g. minhash's 32 mins shuffle one partial
+    row per doc per input split, not the raw shingle stream), which is
+    strictly less shuffle traffic at any scale. Parallelism comes from
+    input splits (maxPartitionBytes), not a pre-exchange — at corpus
+    scale the scan has thousands of splits; only a single tiny file
+    funnels into one task, where this form is ~10x faster anyway.
 
     Docs shorter than k words emit exactly one shingle — the whole
-    text (concat_ws skips NULL leads, so position 0 IS the whole
-    text)."""
+    text (greatest(n-k+1, 1) pins position 1; slice past the end
+    returns the remaining words)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    base = df.select(
-        F.col(id_col), F.posexplode(words).alias("_p", "_w"), F.size(words).alias("_n")
-    )
-    w = Window.partitionBy(id_col).orderBy("_p")
-    sh = F.concat_ws(
-        " ", F.col("_w"), *[F.lead("_w", j).over(w) for j in range(1, k)]
-    )
+    n = F.size(F.col("_ws"))
     return (
-        base.withColumn("_s", sh)
-        .filter(
-            (F.col("_p") <= F.col("_n") - k)
-            | ((F.col("_n") < k) & (F.col("_p") == 0))
+        df.select(F.col(id_col), words.alias("_ws"))
+        .select(
+            F.col(id_col),
+            F.col("_ws"),
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+            ).alias("_i"),
         )
-        .select(F.col(id_col), F.col("_s"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", F.slice(F.col("_ws"), F.col("_i"), k)).alias("_s"),
+        )
     )
 
 
@@ -129,9 +139,11 @@ def minhash_signatures(
 
     Shape: the codegen shingle stream (see ``_shingle_stream``) ->
     num_hashes flat MIN aggregates -> array. Duplicate shingles need
-    no array_distinct: they cannot change a MIN. The stream's doc
-    exchange is the same partitioning the final groupBy needs, so the
-    expensive md5 + affine mins run AFTER it with no second shuffle.
+    no array_distinct: they cannot change a MIN. The stream is pure
+    map-side, so the groupBy's partial aggregation folds the md5 +
+    affine mins into one row per doc per input split BEFORE the only
+    exchange — the shuffle carries num_hashes longs per doc, never
+    the raw shingle stream.
     """
     ex = _shingle_stream(df, text_col, id_col, shingle_k)
     if hash_fn == "md5":
@@ -277,23 +289,27 @@ def ngram_jaccard_pairs(
     count every shingle, so capped Jaccard is a conservative
     underestimate — deterministic and mirrored exactly in the oracle.
     """
-    # NOT persisted: every downstream branch (sizes, df-cap, both
-    # self-join sides) hangs off the ONE hash(id) exchange inside
-    # _shingle_stream — identical Exchange subtrees, so Catalyst's
-    # ReusedExchange materializes the expensive word explode once and
-    # the per-branch window+dedupe on top is cheap codegen. Caching
-    # instead builds a columnar cache of large string data — measured
-    # 3x slower first-run at sf0.1/32 threads (G1 humongous-allocation
-    # churn, cf. session.py notes) and a memory blowup at corpus scale.
-    # Jaccard is over shingle SETS: dedupe per (id, shingle). The
-    # aggregate's ClusteredDistribution((_id,_s)) is satisfied by the
-    # stream's HashPartitioning(_id), so this adds NO shuffle.
+    # Jaccard is over shingle SETS: dedupe per (id, shingle) — the
+    # dropDuplicates partial-dedupes map-side, then exchanges the
+    # surviving (8-byte, 8-byte) pairs once. The deduped stream is
+    # PERSISTED (memory-and-disk, lineage kept): four consumers hang
+    # off it (set sizes, df-cap, both self-join sides), and without a
+    # materialization each re-derives from the scan — at corpus scale
+    # that is four extra column-pruned passes over the text. Unlike
+    # the string shingle stream (whose columnar cache measured 3x
+    # slower at sf0.1/32 threads — G1 humongous-allocation churn, cf.
+    # session.py notes), this is the post-dedup long-pair stream: 16
+    # bytes per distinct (doc, shingle), smaller than any re-derived
+    # exchange of it, and eviction under pressure just falls back to
+    # lineage recompute.
     ex = (
         _shingle_stream(df, text_col, id_col, shingle_k)
         .select(F.col(id_col).alias("_id"), F.xxhash64("_s").alias("_s"))
         .dropDuplicates(["_id", "_s"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # distinct-shingle set size per doc — also id-clustered: no shuffle
+    # distinct-shingle set size per doc (map-side partial count, then
+    # one exchange of per-doc partials)
     sizes = ex.groupBy("_id").agg(F.count("*").alias("_n"))
     if max_df is not None:
         rare = (
