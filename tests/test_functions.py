@@ -153,6 +153,57 @@ def test_ua_classification(spark):
     assert got["/robots.txt"]["is_bot"] is True  # path rule
 
 
+def test_ua_codegen_matches_pandas_twin(spark):
+    """The codegen rlike-chain classifier (the execution path) must be
+    bit-identical to the pandas implementation (the oracle twin) on
+    the realistic pool AND adversarial inputs: NULL, empty, junk,
+    mixed case, '+'-encoding, every rule family, bot/tablet overlaps."""
+    import pandas as pd
+
+    from w3_data_etl_pipeline_spark.functions.ua import (
+        classify_ua_exprs,
+        classify_ua_pdf,
+    )
+    from w3_data_etl_pipeline_spark.queries_ref import _UA_POOL
+
+    uas = _UA_POOL + [
+        None,
+        "",
+        "totally unknown agent",
+        "MOZILLA/5.0 (WINDOWS NT 6.2) CHROME/99.0",  # upper case
+        "Mozilla/5.0 (Linux; Android 13; SM-X200) Safari/537.36",  # android tablet
+        "Mozilla/5.0 (Linux; Android 13; Pixel 7) Mobile Safari/537.36",
+        "Wget/1.21.3",
+        "python-requests/2.31",
+        "Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+        "Mozilla/5.0 (compatible; YandexBot/3.0)",
+        "Mozilla/5.0 (BlackBerry; U; BlackBerry 9900)",
+        "Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1)",
+        "Huaweisymantecspider/1.0",
+        "something wordpress pingback",
+        "Mozilla/5.0+(CrOS+x86_64+14541.0.0)+Chrome/120.0",
+        "Opera/9.80 (X11; Linux x86_64) Presto/2.12",
+        "Mozilla/5.0 (iPod touch; CPU iPhone OS 15_0 like Mac OS X) Version/15.0 Mobile Safari/604.1",
+    ]
+    expected = classify_ua_pdf(pd.Series(uas))
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(uas)], ["i", "ua"])
+    x = classify_ua_exprs(F.col("ua"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i", x["browser"].alias("b"), x["os"].alias("o"),
+            x["device_type"].alias("d"), x["ua_is_bot"].alias("t"),
+        ).collect()
+    }
+    for i in range(len(uas)):
+        exp = expected.iloc[i]
+        exp_t = None if exp.ua_is_bot is None else bool(exp.ua_is_bot)
+        assert got[i]["b"] == exp.browser, (uas[i], got[i]["b"], exp.browser)
+        assert got[i]["o"] == exp.os, (uas[i], got[i]["o"], exp.os)
+        assert got[i]["d"] == exp.device_type, (uas[i], got[i]["d"], exp.device_type)
+        assert got[i]["t"] == exp_t, (uas[i], got[i]["t"], exp_t)
+
+
 # --- text kernels -------------------------------------------------------------
 
 def test_token_counts_and_fingerprint(spark):

@@ -2,10 +2,12 @@
 
 The reference parses the SAME user-agent string four separate times
 (browser family, OS family, device type, bot flag — reference
-src/common_package/{browser,os,device,bot}_tasks.py); here ONE
-Arrow-vectorized pandas UDF returns a struct with all four, computed
-with pandas vectorized string ops (regex over the whole batch, no
-per-row Python loop). The classifier itself is an original
+src/common_package/{browser,os,device,bot}_tasks.py); here the rule
+tables drive TWO parity-tested implementations: the default execution
+path is pure whole-stage-codegen `rlike` when-chains
+(``classify_ua_exprs`` — zero Python, no Arrow hop), and an
+Arrow-vectorized pandas twin (``classify_ua_pdf``) serves as the
+unit-test / oracle-LUT oracle. The classifier itself is an original
 regex-table heuristic over public UA conventions (the `user_agents`
 package is not installed in this image).
 
@@ -155,23 +157,70 @@ def _classify_unique_frame(ua: pd.Series) -> pd.DataFrame:
 classify_ua = F.pandas_udf(classify_ua_pdf, UA_STRUCT)
 
 
+# --- pure-codegen twin -------------------------------------------------
+# The rule tables above are plain first-match-wins regex chains, so the
+# whole classifier is expressible as JVM `rlike` when-chains: no Arrow
+# hop, no Python workers, whole-stage codegen end to end. This is the
+# default execution path; the pandas implementation is kept as the
+# unit-test oracle (tests assert bit-parity over the UA pool plus junk
+# inputs, cf. tests/test_dims_enrich.py) and for pandas-side reuse.
+# Java and Python regex agree on every construct these tables use
+# (literals, alternation, (?:...), \s, \.); case-insensitivity is the
+# (?i) flag instead of pandas' case=False.
+
+
+def _rlike_chain(s, rules: list[tuple[str, str]], default: str):
+    expr = F.lit(default)
+    for pat, family in reversed(rules):
+        expr = F.when(s.rlike(f"(?i){pat}"), F.lit(family)).otherwise(expr)
+    return F.when(s.isNull(), F.lit(None).cast("string")).otherwise(expr)
+
+
+def classify_ua_exprs(ua) -> dict:
+    """browser/os/device_type/ua_is_bot as codegen Column expressions
+    over a UA string column — same outputs as ``classify_ua_pdf``."""
+    s = F.replace(ua, F.lit("+"), F.lit(" "))
+    browser = _rlike_chain(s, _BROWSER_RULES, "Other")
+    os_fam = _rlike_chain(s, _OS_RULES, "Other")
+    bot_browsers = ADDITIONAL_BOT_BROWSERS + [
+        "Googlebot", "bingbot", "Yahoo! Slurp", "Twiceler", "Baiduspider",
+        "YandexBot", "DuckDuckBot", "AhrefsBot", "SemrushBot", "FacebookBot",
+    ]
+    is_bot = F.when(
+        s.isNull(), F.lit(None).cast("boolean")
+    ).otherwise(s.rlike(f"(?i){_GENERIC_BOT}") | browser.isin(bot_browsers))
+    mobile = s.rlike(r"(?i)mobile|iphone|ipod|windows phone|symbian|blackberry")
+    tablet = s.rlike(r"(?i)ipad|tablet") | (
+        s.rlike(r"(?i)android") & ~s.rlike(r"(?i)mobile")
+    )
+    pc = s.rlike(r"(?i)windows nt|macintosh|x11|linux|cros")
+    device = (
+        F.when(s.isNull(), F.lit(None).cast("string"))
+        .when(is_bot, F.lit("Unknown"))
+        .when(mobile & ~tablet, F.lit("Mobile"))
+        .when(tablet, F.lit("Tablet"))
+        .when(pc, F.lit("PC"))
+        .otherwise(F.lit("Unknown"))
+    )
+    return {"browser": browser, "os": os_fam, "device_type": device, "ua_is_bot": is_bot}
+
+
 def enrich_user_agent(df: DataFrame, ua_col: str = "browser_string", path_col: str = "raw_file_path") -> DataFrame:
-    """Adds browser, os, device_type, is_bot in ONE Arrow pass.
+    """Adds browser, os, device_type, is_bot — pure whole-stage-codegen
+    rlike chains (see ``classify_ua_exprs``), zero Python in the path.
 
     is_bot = UA-bot OR path == '/robots.txt' OR browser in the
     additional-bot allowlist (reference bot_tasks.py:58-59).
     """
-    out = df.withColumn("_ua", classify_ua(F.col(ua_col)))
-    out = (
-        out.withColumn("browser", F.col("_ua.browser"))
-        .withColumn("os", F.col("_ua.os"))
-        .withColumn("device_type", F.coalesce(F.col("_ua.device_type"), F.lit("Unknown")))
+    e = classify_ua_exprs(F.col(ua_col))
+    return (
+        df.withColumn("browser", e["browser"])
+        .withColumn("os", e["os"])
+        .withColumn("device_type", F.coalesce(e["device_type"], F.lit("Unknown")))
         .withColumn(
             "is_bot",
-            F.coalesce(F.col("_ua.ua_is_bot"), F.lit(False))
+            F.coalesce(e["ua_is_bot"], F.lit(False))
             | (F.col(path_col) == "/robots.txt")
-            | F.col("_ua.browser").isin(ADDITIONAL_BOT_BROWSERS),
+            | e["browser"].isin(ADDITIONAL_BOT_BROWSERS),
         )
-        .drop("_ua")
     )
-    return out
