@@ -57,6 +57,64 @@ def test_token_budget_has_no_single_task_window(spark):
     assert "rangepartitioning" in p.lower()
 
 
+def test_shingle_stream_is_map_side(spark):
+    """The k-word shingle stream must stay three codegen operators:
+    no WindowExec (the old lead() rebuild), no Exchange, no Sort —
+    its consumers partial-aggregate before their own exchanges."""
+    from w3_data_etl_pipeline_spark.operators.dedupe import _shingle_stream
+
+    df = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = _plan(_shingle_stream(df, "text", "doc_id", 3))
+    assert "Window" not in p
+    assert "Exchange" not in p
+    assert "Sort" not in p
+    # split materialized once per doc below the Generate, not inlined
+    # into the per-shingle projection
+    assert p.count("split(") <= 2  # one in the Project, one in the Generate bound
+
+
+def test_minhash_plan_has_no_window_shingles(spark):
+    """MinHash signatures: the only Window allowed is the LSH band
+    anchor (partitioned by band/band_hash); the shingle side must not
+    window, and no Python eval node may appear."""
+    from w3_data_etl_pipeline_spark.operators.dedupe import minhash_lsh_pairs
+
+    df = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = _plan(minhash_lsh_pairs(df, "text", "doc_id"))
+    assert p.count("Window") <= 1
+    assert "SinglePartition" not in p
+    assert "EvalPython" not in p
+
+
+def test_jaccard_scans_corpus_once(spark):
+    """ngram_jaccard_pairs persists the deduped (doc, shingle-hash)
+    stream: its four consumers must read the cache (InMemoryTableScan
+    present), and nothing may window or fall back to Python."""
+    from w3_data_etl_pipeline_spark.operators.dedupe import ngram_jaccard_pairs
+
+    df = spark.read.parquet(SF_DIR + "/documents.parquet")
+    p = _plan(ngram_jaccard_pairs(df, "text", "doc_id", max_df=100))
+    assert "InMemoryTableScan" in p
+    assert "Window" not in p
+    assert "EvalPython" not in p
+
+
+def test_ua_enrich_is_pure_codegen_dimension(spark):
+    """ua_enrich_traffic: zero Python eval nodes (the rlike chains run
+    JVM-side), the classified UA pool joins as a broadcast dimension,
+    and the expression tree must stay dimension-sized — the inline
+    form inlined the pool array into ~99 RLIKEs (an 82 KB optimized
+    plan) and cost ~3.5s/run in optimizer+codegen."""
+    from w3_data_etl_pipeline_spark.queries_ref import ua_enrich_traffic
+
+    df = ua_enrich_traffic(spark, SF_DIR)
+    p = _plan(df)
+    assert "EvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    opt = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+    assert len(opt) < 30_000, f"optimized plan blew up to {len(opt)} chars"
+
+
 def test_deliberately_broken_plan_is_caught(spark):
     """Sanity for the marker itself: a global (unpartitioned) window
     MUST plan Exchange SinglePartition — if Spark ever renames the
