@@ -42,9 +42,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # zstd: measured ~4x faster than snappy on this payload (2KB
-        # repetitive code text) AND ~3x smaller files — wins on write
-        # CPU, read I/O, and storage at every scale
+        # zstd: on this payload (2KB repetitive code text) files are
+        # 1.9x smaller than lz4 and 3.1x smaller than snappy; apply
+        # throughput in matched A/B (interleaved CDC COW benches,
+        # healthy windows) is zstd ~= snappy with lz4 ~10% ahead.
+        # zstd stays the default because the +10% is single-node write
+        # CPU only — on a real cluster the 1.9x write/scan BYTES are
+        # the scarcer resource (and downstream reads pay them forever)
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
