@@ -886,3 +886,53 @@ def test_compact_retries_on_commit_race(spark, tmp_path, fixtures):
     # the retried fold saw the winner's deltas: nothing left to fold
     assert not [f for f in final["files"] if f.get("kind", "base") == "delta"]
     assert _engine_shas(tA) == _expected_shas(snap_rows, event_rows)
+
+
+def test_rollback_restores_state_and_ledger(spark, tmp_path, fixtures):
+    """rollback(v) = new head with v's files AND v's exactly-once
+    ledger: the bad batch's id must re-apply after rollback (its
+    effects are gone), time travel must still read the bad version,
+    and the final state must equal a clean replay."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_rollback")
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+    assert apply_batch(t, b0, 0, enrich=False).applied
+    v_good = t.current_version()
+    good_shas = _engine_shas(t)
+    assert apply_batch(t, b1, 1, enrich=False).applied  # the "bad" batch
+    v_bad = t.current_version()
+    bad_shas = _engine_shas(t)
+
+    v_new = t.rollback(v_good)
+    assert v_new > v_bad
+    assert t.current_version() == v_new
+    assert t.snapshot()["rollback_of"] == v_good
+    assert _engine_shas(t) == good_shas
+    # history preserved: the rolled-back version still time-travels
+    assert {
+        (r["repo"], r["path"]) for r in t.read(version=v_bad).collect()
+    } == set(bad_shas)
+    # the ledger forgot batch 1 -> the replay APPLIES (not a noop) and
+    # converges to the oracle state
+    assert apply_batch(t, b1, 1, enrich=False).applied
+    assert _engine_shas(t) == _expected_shas(snap_rows, event_rows)
+    # rollback to the current head is a no-op
+    head = t.current_version()
+    assert t.rollback(head) == head
+
+
+def test_rollback_refuses_expired_target(spark, tmp_path, fixtures):
+    """Rolling back past a GC'd snapshot must fail loudly, never
+    produce a head that references deleted files."""
+    snap, events, _snap_rows, _event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_rollback_gc")
+    for i, (lo, hi) in enumerate([(1, 700), (701, 1400), (1401, 2000)]):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        assert apply_batch(t, batch, i, enrich=False).applied
+    old = t.current_version() - 2
+    t.expire_snapshots(keep_last=1, scan_orphans=True)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        t.rollback(old)
+    # head unchanged and still fully readable
+    assert t.read().count() > 0

@@ -808,6 +808,51 @@ class LakeTable:
         self._write_snapshot(new)
         return version
 
+    def rollback(self, to_version: int, max_retries: int = 3) -> int:
+        """Roll the table back to ``to_version`` as a NEW commit
+        (Iceberg's ``rollback_to_snapshot`` analogue): the head's file
+        set, schema, and exactly-once ledger are restored to the
+        target's, so a WAL replay from the target's offsets re-applies
+        cleanly — the bad batches' ids are no longer in the ledger.
+        History is preserved (the bad versions stay readable via
+        time travel until expired) and the change feed across the
+        rollback shows the inverse diffs. Pure manifest arithmetic:
+        no data is read or written.
+
+        Refuses to roll back to a snapshot whose data files have been
+        garbage-collected by ``expire_snapshots`` (same restriction as
+        Iceberg). Optimistic like merge/compact: a lost version race
+        re-reads the winner and retries."""
+        target = self.snapshot(to_version)  # raises if manifest expired
+        missing = [
+            f["path"]
+            for f in target["files"]
+            if not os.path.exists(os.path.join(self.root, f["path"]))
+        ]
+        if missing:
+            raise ValueError(
+                f"cannot rollback to v{to_version}: {len(missing)} data file(s) "
+                f"already garbage-collected (first: {missing[0]})"
+            )
+        for _ in range(max_retries + 1):
+            cur = self.snapshot()
+            if cur["version"] == to_version:
+                return to_version
+            new = dict(target)
+            new.update(
+                version=cur["version"] + 1,
+                parent=cur["version"],
+                rollback_of=to_version,
+            )
+            try:
+                self._write_snapshot(new)
+                return new["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"rollback lost the commit race {max_retries + 1} times"
+        )
+
     def expire_snapshots(self, keep_last: int = 2, scan_orphans: bool = True) -> dict:
         """Drop snapshot manifests older than the newest ``keep_last``
         and DELETE data files referenced by no retained snapshot —

@@ -801,3 +801,84 @@ def supplier_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_money("s_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+@q(
+    "cdc_rollback_replay",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-batch recovery on the correctness gate: apply the even-LSN
+    half, apply the odd half with CORRUPTED values, ``rollback`` to
+    the good version (restores the file set AND the exactly-once
+    ledger — Iceberg rollback_to_snapshot analogue, pure manifest
+    arithmetic), then replay the CORRECT odd half under the SAME
+    batch_id. The replay must apply (the ledger forgot the bad batch)
+    and the final state must equal plain last-writer-wins SQL over the
+    uncorrupted events — if rollback leaves corrupted rows or the
+    ledger still remembers batch 1, the value hash flips red."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_rollback_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        even = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        odd = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        table.merge(even, 0, mode="mor")
+        v_good = table.current_version()
+        corrupted = odd.withColumn("value", -F.col("value") - F.lit(9999.0))
+        table.merge(corrupted, 1, mode="mor")
+        table.rollback(v_good)
+        st = table.merge(odd, 1, mode="mor")  # same batch_id MUST apply
+        if not st.applied:
+            raise AssertionError("ledger still remembers the rolled-back batch")
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
