@@ -49,6 +49,7 @@ _DEMOTED_TAIL = [
     "fingerprint_docs",
     # near-duplicate coverage of in-window queries
     "supplier_acctbal_by_nation",  # multi-key GROUP BY (A6) covered by price_banding
+    "setops_customers",            # UNION/INTERSECT/EXCEPT; pytest + locally gated
     "distinct_mktsegment",      # strict prefix of dim_mktsegment
     "time_parts_events",        # P11 twin of date_parts_orders (P10)
     "ref_weekday_traffic",      # same shape as ref_hourly_traffic

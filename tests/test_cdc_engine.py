@@ -936,3 +936,68 @@ def test_rollback_refuses_expired_target(spark, tmp_path, fixtures):
         t.rollback(old)
     # head unchanged and still fully readable
     assert t.read().count() > 0
+
+
+def _patch_table(spark, tmp_path, name):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / name), schema, ["k"], n_buckets=4)
+    base = spark.createDataFrame([(1, "a1", 1.0), (2, "a2", 2.0), (3, "a3", 3.0)], schema)
+    t.overwrite(base, lsn=10)
+    return t
+
+
+def test_hydrate_patches_fold_semantics(spark, tmp_path):
+    """Documented fold: 'P' overrides only its non-NULL columns
+    against stored state; 'D' clears the row (values on the tombstone
+    event never leak); a later 'P' resurrects from a NULL base; a 'P'
+    on a missing key inserts."""
+    t = _patch_table(spark, tmp_path, "t_patch")
+    ev = spark.createDataFrame(
+        [
+            (1, "p1", None, 20, "P"),            # patch a only -> b kept
+            (2, "junk", None, 20, "D"),          # delete (values must not leak)
+            (2, None, 9.0, 30, "P"),             # resurrect: only b set
+            (3, None, 7.0, 20, "U"),             # full replace (a := NULL)
+            (3, "px", None, 30, "P"),            # then patch a
+            (4, "new", None, 20, "P"),           # patch-insert on missing key
+        ],
+        "k long, a string, b double, lsn long, op string",
+    )
+    t.merge(t.hydrate_patches(ev), batch_id=1)
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert got == {1: ("p1", 1.0), 2: (None, 9.0), 3: ("px", 7.0), 4: ("new", None)}
+
+
+def test_hydrate_patches_stale_patch_respects_tombstone(spark, tmp_path):
+    """A patch with LSN below a still-retained MOR tombstone must NOT
+    resurrect the key — the tombstone's LSN is part of the fold (the
+    whole point of keeping 'D' rows until compaction)."""
+    t = _patch_table(spark, tmp_path, "t_patch_stale")
+    dele = spark.createDataFrame(
+        [(1, None, None, 100, "D")], "k long, a string, b double, lsn long, op string"
+    )
+    t.merge(dele, batch_id=1, mode="mor")
+    stale = spark.createDataFrame(
+        [(1, "late", None, 50, "P"),   # below the tombstone: must not apply
+         (2, None, 5.5, 50, "P")],     # normal patch on a live key
+        "k long, a string, b double, lsn long, op string",
+    )
+    t.merge(t.hydrate_patches(stale), batch_id=2, mode="mor")
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert 1 not in got
+    assert got[2] == ("a2", 5.5)
+    # and a patch ABOVE the tombstone resurrects
+    fresh = spark.createDataFrame(
+        [(1, "back", None, 200, "P")], "k long, a string, b double, lsn long, op string"
+    )
+    t.merge(t.hydrate_patches(fresh), batch_id=3, mode="mor")
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    assert got[1] == ("back", None)

@@ -154,6 +154,10 @@ def _classify_unique_frame(ua: pd.Series) -> pd.DataFrame:
     )
 
 
+# Arrow-vectorized form of the pandas twin, kept for callers that
+# need a struct UDF (no in-repo consumer since the codegen switch —
+# the execution paths use classify_ua_exprs; classify_ua_pdf feeds
+# the oracle LUT and parity tests)
 classify_ua = F.pandas_udf(classify_ua_pdf, UA_STRUCT)
 
 

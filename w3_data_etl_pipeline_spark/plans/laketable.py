@@ -808,6 +808,121 @@ class LakeTable:
         self._write_snapshot(new)
         return version
 
+    def hydrate_patches(self, events: DataFrame) -> DataFrame:
+        """Convert a microbatch containing PARTIAL-image change events
+        (op='P': a NULL column means "keep the stored value" — the
+        Debezium partial-image shape) into full-row upserts the
+        standard ``merge`` applies unchanged.
+
+        Fold semantics per key, in LSN order (documented and mirrored
+        by the DuckDB oracle of ``cdc_partial_update``):
+        * 'I'/'U' replace every column (an explicit NULL sets NULL);
+        * 'D' clears the row (a later 'P' resurrects it from a NULL
+          base — only the patched columns are set);
+        * 'P' overrides its non-NULL columns.
+        Window form of the same fold: presence = op of the LATEST row
+        ('D' → absent); column c = value of the latest row DEFINING c
+        (non-'P' rows define every column, 'D' as NULL; 'P' defines c
+        iff non-NULL).
+
+        Scale path: only the BUCKETS the batch touches are read
+        (hash-pruned, k/n_buckets of the table), the stored side is
+        semi-joined to the batch's keys before the fold, and the fold
+        is ONE window over (stored ∪ batch) rows hash-partitioned by
+        key. The hydrated batch then pays merge's normal single
+        exchange."""
+        snap = self.snapshot()
+        keys = snap["key_cols"]
+        schema = self.schema(snap)
+        value_cols = [
+            f.name for f in schema.fields if f.name not in keys and f.name != LSN_COL
+        ]
+        ev = events.withColumn("_bucket", self._bucket_expr(snap))
+        touched = {
+            r["_bucket"] for r in ev.select("_bucket").distinct().collect()
+        }  # O(n_buckets) metadata collect, same as merge's lineage pre-pass
+        files = [f for f in snap["files"] if f["bucket"] in touched]
+        base = self._read_files([f["path"] for f in files], self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in files):
+            from ..operators.dedupe import latest_by_key
+
+            order = [LSN_COL] + (["commit"] if "commit" in base.columns else [])
+            base = latest_by_key(base, keys, order)
+        # NOTE: deliberately NOT _resolve — surviving 'D' tombstones
+        # stay in the fold as (op='D', lsn) rows: they define every
+        # column as NULL AND carry the delete's LSN, so a STALE patch
+        # (lsn below the tombstone's) correctly does not resurrect the
+        # key. Once compaction drops a tombstone its LSN is gone and a
+        # late patch re-inserts — the standard tombstone-retention
+        # tradeoff (cf. Kafka compaction delete.retention.ms): size
+        # compact cadence to the source's max out-of-orderness.
+        batch_keys = ev.select(*keys).distinct()
+        stored = (
+            base.join(batch_keys, keys, "left_semi")
+            .select(
+                *keys,
+                *[F.col(c) for c in value_cols],
+                F.col(LSN_COL).alias("lsn"),
+                F.when(F.col(OP_COL) == "D", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                F.lit(0).alias("_src"),
+            )
+            .withColumn("_bucket", self._bucket_expr(snap))
+        )
+        ev_aligned = ev.select(
+            *keys,
+            *[
+                (
+                    F.col(c).cast(schema[c].dataType)
+                    if c in ev.columns
+                    else F.lit(None).cast(schema[c].dataType)
+                ).alias(c)
+                for c in value_cols
+            ],
+            F.col("lsn"),
+            F.col("op"),
+            F.lit(1).alias("_src"),
+            F.col("_bucket"),
+        )
+        both = stored.unionByName(ev_aligned)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("lsn").desc_nulls_last(), F.col("_src").desc()
+        )
+        # the fold must see the WHOLE key partition from every row —
+        # the default ordered-window frame is running (unbounded
+        # preceding..current), which at the newest row sees only itself
+        w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        folded = [
+            F.first(
+                F.when(
+                    (F.col("op") != "P") | F.col(c).isNotNull(),
+                    # a 'D' row DEFINES every column — as NULL (the row
+                    # is cleared; whatever values the tombstone event
+                    # happened to carry must not leak into a resurrect)
+                    F.struct(
+                        F.when(F.col("op") != "D", F.col(c)).alias("v")
+                    ),
+                ),
+                ignorenulls=True,
+            )
+            .over(w_full)["v"]
+            .alias(c)
+            for c in value_cols
+        ]
+        out = (
+            both.select(
+                *keys,
+                *folded,
+                F.max("lsn").over(w).alias("lsn"),
+                F.when(F.first("op").over(w) == "D", "D").otherwise("U").alias("op"),
+                F.row_number().over(w).alias("_rn"),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return out
+
     def rollback(self, to_version: int, max_retries: int = 3) -> int:
         """Roll the table back to ``to_version`` as a NEW commit
         (Iceberg's ``rollback_to_snapshot`` analogue): the head's file

@@ -882,3 +882,110 @@ def cdc_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_partial_update",
+    """
+    WITH ev AS (
+      SELECT user_id,
+             event_id AS lsn,
+             CASE WHEN event_id % 2 = 0
+                  THEN (CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END)
+                  ELSE 'P' END AS op,
+             event_id AS eid,
+             CASE WHEN event_id % 4 = 3 THEN NULL ELSE event_type END AS etype,
+             CASE WHEN event_id % 4 = 1 THEN NULL ELSE value END AS val
+      FROM events
+    ),
+    f AS (
+      SELECT user_id,
+             arg_max(op, lsn) AS last_op,
+             (arg_max({'v': CASE WHEN op = 'D' THEN NULL ELSE eid END}, lsn)
+                FILTER (WHERE op <> 'P' OR eid IS NOT NULL)).v AS last_event_id,
+             (arg_max({'v': CASE WHEN op = 'D' THEN NULL ELSE etype END}, lsn)
+                FILTER (WHERE op <> 'P' OR etype IS NOT NULL)).v AS last_event_type,
+             (arg_max({'v': CASE WHEN op = 'D' THEN NULL ELSE val END}, lsn)
+                FILTER (WHERE op <> 'P' OR val IS NOT NULL)).v AS last_value
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id, last_event_id, last_event_type, last_value
+    FROM f WHERE last_op <> 'D'
+    """,
+)
+def cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style PARTIAL-image apply on the correctness gate:
+    even-LSN events are full rows ('error' = delete tombstone) merged
+    as batch 0; every odd-LSN event becomes an op='P' patch that NULLs
+    one column (event_id%4==1 drops value, %4==3 drops event_type).
+    ``LakeTable.hydrate_patches`` folds patches against stored state
+    (bucket-pruned read, one key-window) — 'P' overrides only its
+    non-NULL columns, 'D' clears the row, a later 'P' resurrects from
+    a NULL base — and the standard merge applies the hydrated rows.
+    The DuckDB oracle expresses the identical fold with
+    arg_max(struct) FILTER per column, so any divergence in patch
+    semantics flips the value hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_patch_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        full = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(full, 0, mode="mor")
+        patches = e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).select(
+            "user_id",
+            "event_id",
+            F.when(F.pmod(F.col("event_id"), F.lit(4)) == 3, F.lit(None))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            F.when(F.pmod(F.col("event_id"), F.lit(4)) == 1, F.lit(None))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            F.col("event_id").alias("lsn"),
+            F.lit("P").alias("op"),
+        )
+        table.merge(table.hydrate_patches(patches), 1, mode="mor")
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
