@@ -111,7 +111,11 @@ def bench_cdc(
             batches.append(spark.read.parquet(seg))
         t0 = time.time()
         for i, b in enumerate(batches):
-            apply_batch(table, b, i, enrich=enrich, salt_partitions=None, mode=mode)
+            # patches=False: this synthetic source sends full images by
+            # construction, so skip the per-batch partial-image probe
+            # (~0.2s/1M-row batch, 3-6% of apply wall) — also keeps the
+            # metric comparable with rounds 1-2, which predate patches
+            apply_batch(table, b, i, enrich=enrich, salt_partitions=None, mode=mode, patches=False)
         dt = time.time() - t0
         return n_events / dt
     finally:

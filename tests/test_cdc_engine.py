@@ -1001,3 +1001,64 @@ def test_hydrate_patches_stale_patch_respects_tombstone(spark, tmp_path):
     t.merge(t.hydrate_patches(fresh), batch_id=3, mode="mor")
     got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
     assert got[1] == ("back", None)
+
+
+def test_stream_with_partial_images(spark, tmp_path, fixtures):
+    """End-to-end streaming apply of a WAL whose SECOND segment is
+    Debezium-style partial images: apply_batch(patches='auto') must
+    hydrate them against stored state; the final content sha equals a
+    serial fold where patches override only their non-NULL columns."""
+    import glob
+    import shutil
+
+    snap, events, snap_rows, event_rows = fixtures
+    wal = tmp_path / "wal_p"
+    ckpt = str(tmp_path / "ckpt_p")
+    os.makedirs(wal)
+    full = events.filter(events.lsn <= 1000)
+    # patches: keep content but NULL the lang (keep stored lang);
+    # drop deletes from the patch segment (patches never delete here)
+    from pyspark.sql import functions as F
+
+    patch = (
+        events.filter((events.lsn > 1000) & (events.op != "D"))
+        .withColumn("op", F.lit("P"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+
+    def land(df, name):
+        staging = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, str(wal / name))
+
+    t = _new_table(spark, tmp_path, snap, "t_stream_p")
+    land(full, "seg0.parquet")
+    land(patch.select(*full.columns), "seg1.parquet")
+    run = run_stream(spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False)
+    assert all(s.applied for s in run.stats)
+
+    # python twin: serial fold with the same patch semantics
+    state = {}
+    for r in sorted(snap_rows, key=lambda x: x["lsn"]):
+        state[(r["repo"], r["path"])] = dict(r)
+    for e in sorted(event_rows, key=lambda x: x["lsn"]):
+        k = (e["repo"], e["path"])
+        if e["lsn"] <= 1000:
+            if e["op"] == "D":
+                state.pop(k, None)
+            else:
+                state[k] = dict(e)
+        elif e["op"] != "D":  # the patch segment
+            cur = state.get(k, {})
+            patched = {
+                c: (e[c] if (c != "lang" and e[c] is not None) else cur.get(c))
+                for c in ("content", "lang", "commit")
+            }
+            patched.update({"repo": e["repo"], "path": e["path"], "lsn": e["lsn"]})
+            state[k] = patched
+    exp = {
+        k: hashlib.sha256((v.get("content") or "").encode()).hexdigest()
+        for k, v in state.items()
+    }
+    assert _engine_shas(t) == exp

@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 REASON_COL = "_reject_reason"
-VALID_OPS = ("I", "U", "D")
+# 'P' = partial image (NULL column means keep stored value; hydrated
+# into a full row by LakeTable.hydrate_patches before the merge)
+VALID_OPS = ("I", "U", "D", "P")
 
 
 def with_reject_reason(

@@ -52,6 +52,7 @@ def apply_batch(
     auto_compact_deltas: int | None = None,
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
+    patches: bool | str = "auto",
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body.
@@ -77,6 +78,16 @@ def apply_batch(
         bad.write.mode("overwrite").parquet(
             os.path.join(quarantine_dir, f"batch_id={batch_id}")
         )
+    # partial-image hydration BEFORE enrichment: an op='P' row's NULL
+    # column means "keep stored value" — enrichment would fill it and
+    # silently turn a keep into an overwrite. patches="auto" probes the
+    # batch for any 'P' (early-exit scan of the one op column, ~1% of
+    # a merge at 1M-row batches); pass False to skip the probe on
+    # sources known to send full images only.
+    if patches is True or (
+        patches == "auto" and not events.where(F.col("op") == "P").isEmpty()
+    ):
+        events = table.hydrate_patches(events)
     if salt_partitions:
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
     if enrich and "lang" in events.columns:
