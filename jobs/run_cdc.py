@@ -51,6 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-enrich", action="store_true")
     p.add_argument("--quarantine-dir", default=None,
                    help="dead-letter sink for malformed events (per-batch overwrite)")
+    p.add_argument("--no-patch-probe", action="store_true",
+                   help="source sends full images only: skip the per-batch op='P' probe")
     args = p.parse_args(argv)
 
     # master/deploy-mode/executors come from spark-submit (its
@@ -78,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
             auto_compact_deltas=args.auto_compact,
             expire_keep=args.expire_keep,
             quarantine_dir=args.quarantine_dir,
+            patches=False if args.no_patch_probe else "auto",
         )
         applied = sum(1 for s in run.stats if s.applied)
         out = {

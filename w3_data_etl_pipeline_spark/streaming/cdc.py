@@ -134,6 +134,7 @@ def run_stream_from(
     auto_compact_deltas: int | None = None,
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
+    patches: bool | str = "auto",
 ) -> CdcRun:
     """Drive ANY streaming DataFrame of change events through the
     engine — the foreachBatch body is source-agnostic (file WAL here,
@@ -155,6 +156,7 @@ def run_stream_from(
                 auto_compact_deltas=auto_compact_deltas,
                 expire_keep=expire_keep,
                 quarantine_dir=quarantine_dir,
+                patches=patches,
             )
         )
 
@@ -181,6 +183,7 @@ def run_stream(
     auto_compact_deltas: int | None = None,
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
+    patches: bool | str = "auto",
 ) -> CdcRun:
     """File-WAL convenience wrapper over ``run_stream_from``: tail
     parquet WAL segments with ``availableNow``, then stop."""
@@ -199,6 +202,7 @@ def run_stream(
         auto_compact_deltas=auto_compact_deltas,
         expire_keep=expire_keep,
         quarantine_dir=quarantine_dir,
+        patches=patches,
     )
 
 
