@@ -1062,3 +1062,65 @@ def test_stream_with_partial_images(spark, tmp_path, fixtures):
         for k, v in state.items()
     }
     assert _engine_shas(t) == exp
+
+
+def test_hydrate_patches_randomized_fold_property(spark, tmp_path):
+    """300 random per-key event sequences (ops U/D/P, random NULL
+    patterns, shuffled LSNs, random stored baseline) hydrated in ONE
+    batch must equal a serial python fold of the documented
+    semantics, key for key."""
+    import random
+
+    from pyspark.sql import types as T
+
+    rng = random.Random(20260818)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "t_prop"), schema, ["k"], n_buckets=8
+    )
+    stored = {}
+    base_rows = []
+    for k in range(300):
+        if rng.random() < 0.7:  # 70% of keys pre-exist
+            a, b = f"s{k}", float(k)
+            stored[k] = {"a": a, "b": b, "lsn": 10}
+            base_rows.append((k, a, b))
+    t.overwrite(spark.createDataFrame(base_rows, schema), lsn=10)
+
+    ev_rows = []
+    serial = {k: dict(v) for k, v in stored.items()}
+    for k in range(300):
+        n_ops = rng.randint(1, 5)
+        lsns = rng.sample(range(11, 100), n_ops)
+        ops = []
+        for lsn in lsns:
+            op = rng.choice(["U", "D", "P", "P"])
+            a = rng.choice([None, f"a{k}_{lsn}"])
+            b = rng.choice([None, float(lsn)])
+            ops.append((lsn, op, a, b))
+            ev_rows.append((k, a, b, lsn, op))
+        for lsn, op, a, b in sorted(ops):  # serial fold in LSN order
+            if op == "D":
+                serial.pop(k, None)
+            elif op == "U":
+                serial[k] = {"a": a, "b": b, "lsn": lsn}
+            else:  # P
+                cur = serial.get(k, {"a": None, "b": None})
+                serial[k] = {
+                    "a": a if a is not None else cur["a"],
+                    "b": b if b is not None else cur["b"],
+                    "lsn": lsn,
+                }
+    ev = spark.createDataFrame(
+        ev_rows, "k long, a string, b double, lsn long, op string"
+    )
+    t.merge(t.hydrate_patches(ev), batch_id=1)
+    got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
+    exp = {k: (v["a"], v["b"]) for k, v in serial.items()}
+    assert got == exp
