@@ -1124,3 +1124,37 @@ def test_hydrate_patches_randomized_fold_property(spark, tmp_path):
     got = {r["k"]: (r["a"], r["b"]) for r in t.read().collect()}
     exp = {k: (v["a"], v["b"]) for k, v in serial.items()}
     assert got == exp
+
+
+def test_rebucket_preserves_state_and_rewires_consumers(spark, tmp_path, fixtures):
+    """Rebucket 16 -> 64 mid-stream: the per-key sha fingerprint is
+    unchanged, point lookups prune under the NEW count, a subsequent
+    merge applies against the new layout, the change feed across the
+    rebucket boundary is empty (same values, different files), and
+    old versions still time-travel under the OLD bucket function."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_rebucket", n_buckets=16)
+    b0 = events.filter(events.lsn <= 1000)
+    b1 = events.filter(events.lsn > 1000)
+    assert apply_batch(t, b0, 0, enrich=False, mode="mor").applied
+    pre = _engine_shas(t)
+    v_pre = t.current_version()
+
+    v_re = t.rebucket(64)
+    assert t.snapshot()["n_buckets"] == 64
+    assert _engine_shas(t) == pre
+    # same values, new files: the cross-boundary change feed is empty
+    assert t.changes(v_pre, v_re).count() == 0
+    # time travel reads the OLD layout correctly
+    assert {
+        (r["repo"], r["path"]) for r in t.read(version=v_pre).collect()
+    } == set(pre)
+    # point lookup prunes under the new count and returns the row
+    some_key = next(iter(pre))
+    got = t.read_keys([some_key]).collect()
+    assert len(got) == 1 and (got[0]["repo"], got[0]["path"]) == some_key
+    # merges keep applying against the new layout and converge
+    assert apply_batch(t, b1, 1, enrich=False, mode="mor").applied
+    assert _engine_shas(t) == _expected_shas(snap_rows, event_rows)
+    # rebucket to the current count is a no-op commit-wise
+    assert t.rebucket(64) == t.current_version()

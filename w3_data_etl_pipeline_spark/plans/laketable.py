@@ -923,6 +923,49 @@ class LakeTable:
         )
         return out
 
+    def rebucket(self, n_buckets: int, max_retries: int = 3) -> int:
+        """Change the table's hash-bucket count (Iceberg
+        partition-spec-evolution analogue): full resolved read,
+        rewrite every row under the new bucket function, one
+        optimistic commit. Bucket count is a per-SNAPSHOT property —
+        every consumer (merge, point lookups, change feed, patches)
+        derives the bucket expression from the snapshot it reads, so
+        old versions stay time-travelable and a cross-rebucket
+        ``changes()`` degrades to a correct unpruned full diff (bucket
+        ids are not comparable across counts, so every bucket reads as
+        changed; the per-key value compare still emits only real
+        differences).
+
+        This is the scale knob bucketing otherwise lacks: a table
+        created at 64 buckets stops parallelizing past 64 write tasks
+        and its per-bucket files outgrow executor memory as the
+        keyspace grows 1000x — rebucket to 4096 and every downstream
+        exchange re-sizes. Cost: one full COW rewrite (the same bytes
+        a full compact() moves)."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            if snap["n_buckets"] == n_buckets:
+                return snap["version"]
+            df = self._read_files(
+                [f["path"] for f in snap["files"]], self._phys_schema(snap)
+            )
+            if any(f.get("kind", "base") == "delta" for f in snap["files"]):
+                df = self._resolve(df, snap)
+            df = df.drop(OP_COL)
+            proto = dict(snap)
+            proto["n_buckets"] = n_buckets  # _write_data buckets via proto
+            version = snap["version"] + 1
+            files = self._write_data(df, proto, version, kind="base")
+            proto.update(version=version, files=files, parent=snap["version"])
+            try:
+                self._write_snapshot(proto)
+                return version
+            except FileExistsError:
+                continue  # lost the race: re-read the winner, re-fold
+        raise CommitConflictError(
+            f"rebucket lost the commit race {max_retries + 1} times"
+        )
+
     def rollback(self, to_version: int, max_retries: int = 3) -> int:
         """Roll the table back to ``to_version`` as a NEW commit
         (Iceberg's ``rollback_to_snapshot`` analogue): the head's file
