@@ -1,0 +1,79 @@
+"""spark-submit entrypoint for LakeTable maintenance operations.
+
+One launchable job for the table-ops a long-running CDC deployment
+needs outside the ingest stream itself (all snapshot-committed, all
+safe to run concurrently with a live writer — every verb uses the
+same optimistic version-race commit the merge path uses):
+
+    compact   fold MOR deltas (optionally only hot buckets)
+    expire    drop old snapshot manifests + unreferenced data files
+    rollback  restore a previous version's files AND exactly-once
+              ledger (bad-batch recovery; replay then converges)
+    rebucket  evolve the hash-bucket count for keyspace growth
+
+    tools/submit.sh --master local[8] -- \
+        jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
+(launch via ``python jobs/maintain.py`` locally or through
+spark-submit on a cluster; the master comes from spark-submit.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark import SparkConf
+
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+from w3_data_etl_pipeline_spark.session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description="LakeTable maintenance verbs")
+    p.add_argument("--table", required=True, help="LakeTable root")
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    c = sub.add_parser("compact", help="fold MOR deltas into base files")
+    c.add_argument("--min-deltas", type=int, default=None,
+                   help="partial: only buckets with >= N delta files (default: full)")
+
+    e = sub.add_parser("expire", help="drop old snapshots + unreferenced files")
+    e.add_argument("--keep-last", type=int, default=2)
+    e.add_argument("--no-orphan-scan", action="store_true",
+                   help="skip the full orphan walk (incremental manifest diff only)")
+
+    r = sub.add_parser("rollback", help="restore a previous version (files + ledger)")
+    r.add_argument("--to-version", type=int, required=True)
+
+    b = sub.add_parser("rebucket", help="evolve the hash-bucket count")
+    b.add_argument("--n-buckets", type=int, required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark("lake_maintain", master=SparkConf().get("spark.master", None))
+    try:
+        t = LakeTable(spark, args.table)
+        before = t.current_version()
+        if args.verb == "compact":
+            after = t.compact(min_deltas=args.min_deltas)
+            out = {"verb": "compact", "version": after}
+        elif args.verb == "expire":
+            stats = t.expire_snapshots(
+                keep_last=args.keep_last, scan_orphans=not args.no_orphan_scan
+            )
+            out = {"verb": "expire", **{k: v for k, v in stats.items()}}
+        elif args.verb == "rollback":
+            after = t.rollback(args.to_version)
+            out = {"verb": "rollback", "rollback_of": args.to_version, "version": after}
+        else:
+            after = t.rebucket(args.n_buckets)
+            out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}
+        out["previous_version"] = before
+        print(json.dumps(out))
+        return 0
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1158,3 +1158,23 @@ def test_rebucket_preserves_state_and_rewires_consumers(spark, tmp_path, fixture
     assert _engine_shas(t) == _expected_shas(snap_rows, event_rows)
     # rebucket to the current count is a no-op commit-wise
     assert t.rebucket(64) == t.current_version()
+
+
+def test_rollback_across_rebucket_survives_expiry(spark, tmp_path, fixtures):
+    """Operational sequence: merge -> compact -> rebucket -> rollback
+    (to the pre-compact version, ACROSS the bucket-count change) ->
+    expire. The rollback head must restore the old bucket count, and
+    expiry must keep every file the head references (live set derives
+    from kept manifests, so files resurrected by rollback are
+    protected)."""
+    snap, events, snap_rows, event_rows = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_roll_rebucket", n_buckets=8)
+    assert apply_batch(t, events.filter(events.lsn <= 1000), 0, enrich=False, mode="mor").applied
+    v_target = t.current_version()
+    target_shas = _engine_shas(t)
+    t.compact(min_deltas=1)
+    t.rebucket(32)
+    t.rollback(v_target)
+    assert t.snapshot()["n_buckets"] == 8  # the whole target snapshot restores
+    t.expire_snapshots(keep_last=2, scan_orphans=True)
+    assert _engine_shas(t) == target_shas
