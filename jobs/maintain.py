@@ -10,6 +10,8 @@ same optimistic version-race commit the merge path uses):
     rollback  restore a previous version's files AND exactly-once
               ledger (bad-batch recovery; replay then converges)
     rebucket  evolve the hash-bucket count for keyspace growth
+    stats     O(metadata) manifest statistics (row/byte/debt totals;
+              read-only, no snapshot commit, no data file opened)
 
     tools/submit.sh --master local[8] -- \
         jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
@@ -37,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     c = sub.add_parser("compact", help="fold MOR deltas into base files")
     c.add_argument("--min-deltas", type=int, default=None,
                    help="partial: only buckets with >= N delta files (default: full)")
+    c.add_argument("--min-delta-rows", type=int, default=None,
+                   help="partial: only buckets with >= N pending delta rows "
+                        "(manifest stats; ORs with --min-deltas)")
+
+    sub.add_parser("stats", help="O(metadata) manifest stats (no data read)")
 
     e = sub.add_parser("expire", help="drop old snapshots + unreferenced files")
     e.add_argument("--keep-last", type=int, default=2)
@@ -55,8 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable(spark, args.table)
         before = t.current_version()
         if args.verb == "compact":
-            after = t.compact(min_deltas=args.min_deltas)
+            after = t.compact(
+                min_deltas=args.min_deltas, min_delta_rows=args.min_delta_rows
+            )
             out = {"verb": "compact", "version": after}
+        elif args.verb == "stats":
+            out = {"verb": "stats", **t.stats()}
         elif args.verb == "expire":
             stats = t.expire_snapshots(
                 keep_last=args.keep_last, scan_orphans=not args.no_orphan_scan

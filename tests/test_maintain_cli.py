@@ -1,0 +1,54 @@
+"""The maintenance CLI (jobs/maintain.py) end-to-end: ``stats`` is a
+read-only O(metadata) report, ``compact --min-delta-rows`` is the
+row-mass fold — both launched exactly as an operator would
+(``python jobs/maintain.py`` == the spark-submit entry shape)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(*args):
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "jobs", "maintain.py"), *args],
+        capture_output=True, text=True, cwd=ROOT, timeout=420,
+        env={**os.environ, "PYTHONPATH": ROOT},
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+    assert lines, r.stdout[-3000:]
+    return json.loads(lines[-1])
+
+
+def test_stats_and_row_mass_compact_verbs(spark, tmp_path):
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake"), SOURCE_FILES, ["repo", "path"], n_buckets=4
+    )
+    snap = datagen.source_snapshot(spark, 80, content_max=256)
+    t.overwrite(snap, lsn=datagen.GENESIS_LSN)
+    ev = datagen.change_events(spark, 300, 80, content_max=256)
+    t.merge(ev, 0, mode="mor")
+    live = t.read().count()
+
+    s = _run("--table", t.root, "stats")
+    assert s["verb"] == "stats"
+    assert s["delta_files"] > 0 and s["delta_rows"] > 0
+    assert s["rows_exact"] is False and s["rows"] >= live
+    assert s["version"] == s["previous_version"] == t.current_version()
+
+    c = _run("--table", t.root, "compact", "--min-delta-rows", "1")
+    assert c["version"] == c["previous_version"] + 1
+
+    s2 = _run("--table", t.root, "stats")
+    assert s2["delta_files"] == 0
+    assert s2["rows_exact"] is True and s2["rows"] == live
+    assert t.read().count() == live

@@ -1,0 +1,155 @@
+"""Manifest-stats surface: per-file record/byte/LSN-bound stats
+collected at write time (Iceberg manifest-entry analogue), the
+O(metadata) ``stats()`` summary, and the row-mass compaction policy
+``compact(min_delta_rows=...)`` built on them."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from w3_data_etl_pipeline_spark import datagen
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+N_KEYS = 120
+N_EVENTS = 600
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    snap = datagen.source_snapshot(spark, N_KEYS).cache()
+    events = datagen.change_events(spark, N_EVENTS, N_KEYS).cache()
+    return snap, events
+
+
+def _new_table(spark, tmp_path, snap, name, n_buckets=8):
+    t = LakeTable.create(
+        spark, str(tmp_path / name), SOURCE_FILES, ["repo", "path"], n_buckets=n_buckets
+    )
+    t.overwrite(snap, lsn=datagen.GENESIS_LSN)
+    return t
+
+
+def _delta_rows_by_bucket(table):
+    rows: Counter = Counter()
+    for f in table.snapshot()["files"]:
+        if f.get("kind", "base") == "delta":
+            rows[f["bucket"]] += f["rows"]
+    return rows
+
+
+def test_stats_exact_on_base_only(spark, tmp_path, fixtures):
+    """With no pending deltas the manifest row sum IS the table
+    cardinality — count() without opening a single data file."""
+    snap, _ = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_exact")
+    s = t.stats()
+    assert s["rows_exact"] is True
+    assert s["rows"] == t.read().count() == N_KEYS
+    assert s["delta_files"] == 0 and s["delta_rows"] == 0
+    assert s["files_without_stats"] == 0
+    assert s["bytes"] > 0
+    assert s["lsn_max"] == datagen.GENESIS_LSN
+    assert s["delta_debt"] == 0.0
+
+
+def test_stats_upper_bound_with_deltas(spark, tmp_path, fixtures):
+    """Pending MOR deltas make the row sum an upper bound (duplicate
+    keys / tombstones resolve at read time) and surface as delta
+    debt; lsn_max tracks the newest applied event."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_mor")
+    t.merge(events.filter(events.lsn <= 300), 0, mode="mor")
+    t.merge(events.filter(events.lsn > 300), 1, mode="mor")
+    s = t.stats()
+    live = t.read().count()
+    assert s["delta_files"] > 0 and s["delta_rows"] > 0
+    assert s["rows_exact"] is False
+    assert s["rows"] >= live
+    assert s["delta_debt"] > 0
+    assert 0 < s["buckets_with_deltas"] <= s["n_buckets"]
+    assert s["lsn_max"] == N_EVENTS
+    # folding everything restores exactness and the true cardinality
+    t.compact()
+    s2 = t.stats()
+    assert s2["rows_exact"] is True and s2["rows"] == live == t.read().count()
+    assert s2["lsn_max"] == N_EVENTS  # folded rows keep their max LSN
+
+
+def test_compact_by_row_mass_folds_hot_bucket_only(spark, tmp_path, fixtures):
+    """min_delta_rows folds by pending ROW MASS: a bucket fed many
+    rows folds, a bucket with the same FILE count but near-empty
+    deltas does not — the policy a count trigger gets wrong."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_mass")
+    # two delta files per bucket, very uneven row mass across buckets
+    t.merge(events.filter(events.lsn <= 450), 0, mode="mor")
+    t.merge(events.filter(events.lsn > 450), 1, mode="mor")
+    mass = _delta_rows_by_bucket(t)
+    assert len(mass) >= 2 and max(mass.values()) > min(mass.values())
+    thr = max(mass.values())  # only the heaviest bucket(s) cross
+    hot = {b for b, r in mass.items() if r >= thr}
+    cold = set(mass) - hot
+    assert hot and cold
+    before = {
+        (r["repo"], r["path"]): r["content_sha"]
+        for r in t.state_fingerprint().collect()
+    }
+    v0 = t.current_version()
+    assert t.compact(min_delta_rows=thr + 1) == v0  # nothing crosses: no-op
+    v1 = t.compact(min_delta_rows=thr)
+    assert v1 == v0 + 1
+    mass_after = _delta_rows_by_bucket(t)
+    assert all(b not in mass_after for b in hot)
+    assert all(b in mass_after for b in cold)  # cold deltas untouched
+    after = {
+        (r["repo"], r["path"]): r["content_sha"]
+        for r in t.state_fingerprint().collect()
+    }
+    assert after == before
+
+
+def test_pre_stats_manifest_backward_compat(spark, tmp_path, fixtures):
+    """A manifest written before the stats upgrade (file entries
+    without rows/bytes/lsn keys) must still read, report
+    files_without_stats, and compact(min_delta_rows) must fold its
+    unknown-mass buckets conservatively."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_legacy")
+    t.merge(events.filter(events.lsn <= 300), 0, mode="mor")
+    live = t.read().count()
+    # simulate a pre-upgrade manifest: strip the stats keys
+    old = t.snapshot()
+    stripped = dict(old)
+    stripped["files"] = [
+        {"path": f["path"], "bucket": f["bucket"], "kind": f.get("kind", "base")}
+        for f in old["files"]
+    ]
+    stripped.update(version=old["version"] + 1, parent=old["version"])
+    t._write_snapshot(stripped)
+    s = t.stats()
+    assert s["files_without_stats"] == len(stripped["files"])
+    assert s["rows_exact"] is False and s["rows"] == 0  # totals partial
+    assert t.read().count() == live  # read path unaffected
+    # unknown delta mass -> conservatively foldable even at a huge bar
+    v = t.compact(min_delta_rows=10**12)
+    assert v == stripped["version"] + 1
+    assert _delta_rows_by_bucket(t) == Counter()
+    assert t.read().count() == live
+    # the fold rewrote with stats: exact again
+    assert t.stats()["rows_exact"] is True
+
+
+def test_schema_evolution_keeps_stats(spark, tmp_path, fixtures):
+    """A widening batch (new column) still lands with per-file stats
+    and the summed row counts stay consistent."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_evo")
+    ev2 = events.filter(events.lsn <= 100).withColumn("stars", F.lit(5))
+    t.merge(ev2, 0, mode="cow")
+    s = t.stats()
+    assert s["files_without_stats"] == 0
+    assert s["rows_exact"] is True and s["rows"] == t.read().count()
