@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-files-per-trigger", type=int, default=4)
     p.add_argument("--salt-partitions", type=int, default=None, help="salted repartition for hot-repo skew")
     p.add_argument("--auto-compact", type=int, default=None, help="fold buckets crossing N deltas (mor)")
+    p.add_argument("--auto-compact-rows", type=int, default=None,
+                   help="fold buckets crossing N pending delta ROWS (manifest stats; ORs with --auto-compact)")
     p.add_argument("--expire-keep", type=int, default=None, help="retain only last N snapshots")
     p.add_argument("--no-enrich", action="store_true")
     p.add_argument("--quarantine-dir", default=None,
@@ -78,6 +80,7 @@ def main(argv: list[str] | None = None) -> int:
             salt_partitions=args.salt_partitions,
             mode=args.mode,
             auto_compact_deltas=args.auto_compact,
+            auto_compact_delta_rows=args.auto_compact_rows,
             expire_keep=args.expire_keep,
             quarantine_dir=args.quarantine_dir,
             patches=False if args.no_patch_probe else "auto",

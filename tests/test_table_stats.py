@@ -153,3 +153,26 @@ def test_schema_evolution_keeps_stats(spark, tmp_path, fixtures):
     s = t.stats()
     assert s["files_without_stats"] == 0
     assert s["rows_exact"] is True and s["rows"] == t.read().count()
+
+
+def test_streaming_row_mass_policy(spark, tmp_path, fixtures):
+    """auto_compact_delta_rows in the foreachBatch body keeps pending
+    delta row mass bounded while preserving exactness of the final
+    state (apply_batch == the streaming sink)."""
+    from w3_data_etl_pipeline_spark.streaming.cdc import apply_batch
+
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_policy")
+    live_expected = None
+    for i, (lo, hi) in enumerate([(1, 200), (201, 400), (401, 600)]):
+        batch = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        st = apply_batch(
+            t, batch, i, enrich=False, mode="mor", auto_compact_delta_rows=150
+        )
+        assert st.applied
+        mass = _delta_rows_by_bucket(t)
+        assert all(r < 150 for r in mass.values())  # policy bound held
+    live_expected = t.read().count()
+    t.compact()
+    assert t.read().count() == live_expected
+    assert t.stats()["rows_exact"] is True

@@ -50,6 +50,7 @@ def apply_batch(
     salt_partitions: int | None = None,
     mode: str = "cow",
     auto_compact_deltas: int | None = None,
+    auto_compact_delta_rows: int | None = None,
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
@@ -104,10 +105,15 @@ def apply_batch(
     # merge commit and either step replays the batch as a ledger no-op
     # and maintenance simply runs on the next trigger — exactly-once
     # and the final-state fingerprint are unaffected.
-    if stats.applied and auto_compact_deltas:
+    if stats.applied and (auto_compact_deltas or auto_compact_delta_rows):
         # bounds MOR read amplification: fold any bucket whose delta
-        # count crossed the threshold (partial, hot-bucket-only)
-        table.compact(min_deltas=auto_compact_deltas)
+        # count (or pending delta ROW MASS, from the O(metadata)
+        # manifest stats) crossed its threshold (partial,
+        # hot-bucket-only; thresholds OR together)
+        table.compact(
+            min_deltas=auto_compact_deltas,
+            min_delta_rows=auto_compact_delta_rows,
+        )
     if stats.applied and expire_keep:
         # bounds disk: old COW bucket files / folded deltas are
         # unreferenced by the retained snapshots and deleted.
@@ -132,6 +138,7 @@ def run_stream_from(
     mode: str = "cow",
     available_now: bool = True,
     auto_compact_deltas: int | None = None,
+    auto_compact_delta_rows: int | None = None,
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
@@ -154,6 +161,7 @@ def run_stream_from(
                 salt_partitions=salt_partitions,
                 mode=mode,
                 auto_compact_deltas=auto_compact_deltas,
+                auto_compact_delta_rows=auto_compact_delta_rows,
                 expire_keep=expire_keep,
                 quarantine_dir=quarantine_dir,
                 patches=patches,
@@ -181,6 +189,7 @@ def run_stream(
     salt_partitions: int | None = None,
     mode: str = "cow",
     auto_compact_deltas: int | None = None,
+    auto_compact_delta_rows: int | None = None,
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
@@ -200,6 +209,7 @@ def run_stream(
         salt_partitions=salt_partitions,
         mode=mode,
         auto_compact_deltas=auto_compact_deltas,
+        auto_compact_delta_rows=auto_compact_delta_rows,
         expire_keep=expire_keep,
         quarantine_dir=quarantine_dir,
         patches=patches,
