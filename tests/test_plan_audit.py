@@ -212,3 +212,24 @@ def test_dedup_assignments_guard_picks_shuffle_join(spark):
     assert "BroadcastHashJoin" not in p
     p2 = _plan(dedup_assignments(docs, pdf))
     assert "BroadcastHashJoin" in p2
+
+
+def test_read_keys_pushes_key_filters_to_scan(spark, tmp_path):
+    """Point lookups must reach the parquet reader as pushed In()
+    filters so key-sorted bucket files skip row groups footer-only
+    (on top of the bucket-level file pruning)."""
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t_pd"), SOURCE_FILES, ["repo", "path"], n_buckets=8
+    )
+    t.overwrite(datagen.source_snapshot(spark, 300, content_max=128), lsn=0)
+    t.merge(datagen.change_events(spark, 600, 300, content_max=128), 0, mode="mor")
+    keys = [(r["repo"], r["path"]) for r in t.read().limit(3).collect()]
+    df = t.read_keys(keys)
+    p = _plan(df)
+    scan = p.split("PushedFilters: [", 1)
+    assert len(scan) > 1 and "repo" in scan[1].split("]", 1)[0]
+    assert {(r["repo"], r["path"]) for r in df.collect()} == set(keys)

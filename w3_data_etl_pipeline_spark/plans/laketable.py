@@ -251,6 +251,23 @@ class LakeTable:
             want_buckets.add(r["b"])
         files = [f for f in snap["files"] if f["bucket"] in want_buckets]
         df = self._read_files([f["path"] for f in files], self._phys_schema(snap))
+        # ROW-GROUP SKIPPING inside the surviving buckets: merge writes
+        # each bucket's rows key-sorted (_first_per_key's window sort
+        # is (_bucket, keys asc, ...) and the partitioned write keeps
+        # it), so parquet row-group min/max stats on the key columns
+        # are tight. Pushing per-column In() filters (a SUPERSET of the
+        # requested tuples — every row of a wanted key passes, so
+        # MOR resolution below stays correct; the semi join is the
+        # authority) lets the scan skip row groups footer-only. Guarded
+        # to small lookup sets: a giant In() list costs more in filter
+        # eval than it saves.
+        if len(keys) <= 256:
+            cond = None
+            for i, c in enumerate(key_cols):
+                vals = sorted({k[i] for k in keys})
+                f_ = F.col(c).isin(vals)
+                cond = f_ if cond is None else cond & f_
+            df = df.filter(cond)
         if any(f.get("kind", "base") == "delta" for f in files):
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
