@@ -8,8 +8,13 @@ swappable).
 Layout::
 
     <root>/
-      _meta/v000000000001.json   # immutable snapshot manifests
+      _meta/v000000000001.json   # snapshot: schema/ledger + per-bucket
+                                 # manifest POINTERS (O(n_buckets), not
+                                 # O(files) — see _write_snapshot)
       _meta/current              # pointer file (atomic os.replace)
+      manifests/b00007-<hash>.json  # content-addressed per-bucket file
+                                 # lists, structurally shared across
+                                 # snapshots (Iceberg manifest files)
       data/c000000000001-<uuid>/_bucket=K/part-*.parquet  # write-once dirs
       lineage/                   # per-(batch, bucket) metrics rows
 
@@ -89,7 +94,12 @@ class LakeTable:
         self.root = root
         self._meta = os.path.join(root, "_meta")
         self._data = os.path.join(root, "data")
+        self._manifest_dir = os.path.join(root, "manifests")
         self.lineage_dir = os.path.join(root, "lineage")
+        # manifest files are immutable + content-addressed, so entries
+        # cache safely; bounded FIFO so a 10^5-commit stream doesn't
+        # accumulate O(history) dead manifests in driver memory
+        self._manifest_cache: dict[str, list] = {}
 
     # ---------------- snapshot plumbing ----------------
 
@@ -160,8 +170,70 @@ class LakeTable:
     def _snap_path(self, version: int) -> str:
         return os.path.join(self._meta, f"v{version:012d}.json")
 
+    # -- split manifests (Iceberg manifest-file analogue) --------------
+    #
+    # The snapshot JSON does NOT inline the file list: it stores one
+    # pointer per non-empty bucket to an immutable, CONTENT-ADDRESSED
+    # per-bucket manifest file (manifests/b{bucket}-{fingerprint}.json)
+    # holding that bucket's file entries. A commit touching k buckets
+    # therefore writes k manifest files + an O(n_buckets) pointer map —
+    # NOT O(table files) of JSON: at 100 TB / ~10^6 files the inline
+    # format rewrote ~10^2 MB of metadata per microbatch, the split
+    # format ~10^2 KB. Unchanged buckets share their parent's manifest
+    # by construction (same entries -> same fingerprint -> same path,
+    # which already exists and is skipped). Content addressing also
+    # makes optimistic-race losers safe: a loser's manifests are either
+    # shared (identical content) or orphans for expire_snapshots — they
+    # are never deleted at race time because a concurrent winner may
+    # legitimately point at the same fingerprint.
+    # Pre-split snapshots (inline "files") load unchanged.
+
+    _MANIFEST_CACHE_MAX = 8192
+    _STAT_KEYS = ("path", "kind", "rows", "bytes", "lsn_min", "lsn_max")
+
+    @classmethod
+    def _bucket_fingerprint(cls, entries: list[dict]) -> str:
+        import hashlib
+
+        lines = sorted(
+            "|".join(str(e.get(k)) for k in cls._STAT_KEYS) for e in entries
+        )
+        return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+    def _load_manifest(self, rel: str) -> list[dict]:
+        hit = self._manifest_cache.get(rel)
+        if hit is None:
+            with open(os.path.join(self.root, rel)) as f:
+                hit = json.load(f)
+            if len(self._manifest_cache) >= self._MANIFEST_CACHE_MAX:
+                self._manifest_cache.pop(next(iter(self._manifest_cache)))
+            self._manifest_cache[rel] = hit
+        return hit
+
     def _write_snapshot(self, snap: dict) -> None:
+        snap = dict(snap)  # callers keep their materialized copy
         snap["committed_at"] = time.time()
+        files = snap.pop("files")
+        snap.pop("manifests", None)  # stale parent pointers: recompute
+        by_bucket: dict[int, list[dict]] = {}
+        for e in files:
+            by_bucket.setdefault(e["bucket"], []).append(e)
+        manifests: dict[str, str] = {}
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        for b, entries in by_bucket.items():
+            fp = self._bucket_fingerprint(entries)
+            rel = os.path.join("manifests", f"b{b:05d}-{fp}.json")
+            full = os.path.join(self.root, rel)
+            if not os.path.exists(full):
+                tmp = full + f".tmp.{uuid.uuid4().hex[:8]}"
+                with open(tmp, "w") as f:
+                    json.dump(entries, f)
+                # same name => same content, so a concurrent identical
+                # write replaced by either party is byte-equal
+                os.replace(tmp, full)
+                self._manifest_cache[rel] = entries
+            manifests[str(b)] = rel
+        snap["manifests"] = manifests
         path = self._snap_path(snap["version"])
         with open(path, "x") as f:  # 'x' => optimistic-concurrency commit race
             json.dump(snap, f)
@@ -175,10 +247,23 @@ class LakeTable:
             return int(f.read().strip())
 
     def snapshot(self, version: int | None = None) -> dict:
+        """Load a snapshot with its file list MATERIALIZED: ``files``
+        holds every entry (concatenated from the per-bucket manifests,
+        cached — only manifests this process hasn't seen are read).
+        Entries are shared, immutable-by-convention dicts; consumers
+        filter/concatenate them but never mutate in place."""
         if version is None:
             version = self.current_version()
         with open(self._snap_path(version)) as f:
-            return json.load(f)
+            snap = json.load(f)
+        if "files" not in snap:
+            files: list[dict] = []
+            for _b, rel in sorted(
+                snap["manifests"].items(), key=lambda kv: int(kv[0])
+            ):
+                files.extend(self._load_manifest(rel))
+            snap["files"] = files
+        return snap
 
     def schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snapshot()
@@ -282,10 +367,20 @@ class LakeTable:
 
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> set[int]:
         """Buckets whose file sets differ between the two snapshots —
-        the pruning unit for the change feed. O(file metadata), no
-        data read."""
-        a = self._files_by_bucket(self.snapshot(from_version))
-        b = self._files_by_bucket(self.snapshot(to_version))
+        the pruning unit for the change feed. With split manifests the
+        diff is a POINTER compare (content-addressed names: equal
+        pointer <=> identical file entries) — O(n_buckets), no
+        manifest file read; pre-split snapshots fall back to the
+        O(file metadata) entry compare."""
+        sa = self.snapshot(from_version)
+        sb = self.snapshot(to_version)
+        ma, mb = sa.get("manifests"), sb.get("manifests")
+        if ma is not None and mb is not None:
+            return {
+                int(k) for k in (set(ma) | set(mb)) if ma.get(k) != mb.get(k)
+            }
+        a = self._files_by_bucket(sa)
+        b = self._files_by_bucket(sb)
         return {k for k in (set(a) | set(b)) if a.get(k) != b.get(k)}
 
     def changes(
@@ -1211,11 +1306,46 @@ class LakeTable:
                 fn.endswith(".parquet") for _, _, fns in os.walk(d) for fn in fns
             ):
                 shutil.rmtree(d, ignore_errors=True)
+        # manifest-file GC mirrors the data-file scheme: retained
+        # snapshots pin their pointer targets; candidates come from the
+        # expiring snapshots' pointers (incremental) or a walk of
+        # manifests/ (scan_orphans — also collects race losers' unshared
+        # manifests). Content addressing makes this safe: a manifest
+        # referenced by ANY retained snapshot has its exact path in that
+        # snapshot's pointer map.
+        referenced_manifests: set[str] = set()
+        for v in retained:
+            referenced_manifests.update(
+                (self.snapshot(v).get("manifests") or {}).values()
+            )
+        if scan_orphans and os.path.isdir(self._manifest_dir):
+            manifest_candidates = {
+                os.path.join("manifests", n)
+                for n in os.listdir(self._manifest_dir)
+                if n.endswith(".json")
+            }
+        else:
+            manifest_candidates = set()
+            for v in expiring:
+                manifest_candidates.update(
+                    (self.snapshot(v).get("manifests") or {}).values()
+                )
+        removed_manifests = 0
+        for rel in manifest_candidates - referenced_manifests:
+            p = os.path.join(self.root, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                removed_manifests += 1
+            self._manifest_cache.pop(rel, None)
         removed_snaps = 0
         for v in expiring:
             os.remove(self._snap_path(v))
             removed_snaps += 1
-        return {"removed_snapshots": removed_snaps, "removed_files": removed_files}
+        return {
+            "removed_snapshots": removed_snaps,
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+        }
 
     def state_fingerprint(self) -> DataFrame:
         """Per-key sha256(content) — the north-rule equality invariant."""
