@@ -49,6 +49,10 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--no-orphan-scan", action="store_true",
                    help="skip the full orphan walk (incremental manifest diff only)")
+    e.add_argument("--orphan-grace", type=float, default=3600.0,
+                   help="seconds an UNREFERENCED walk-found file must be old before "
+                        "deletion (protects a concurrent in-flight writer; 0 only "
+                        "when no other writer can exist)")
 
     r = sub.add_parser("rollback", help="restore a previous version (files + ledger)")
     r.add_argument("--to-version", type=int, required=True)
@@ -70,7 +74,9 @@ def main(argv: list[str] | None = None) -> int:
             out = {"verb": "stats", **t.stats()}
         elif args.verb == "expire":
             stats = t.expire_snapshots(
-                keep_last=args.keep_last, scan_orphans=not args.no_orphan_scan
+                keep_last=args.keep_last,
+                scan_orphans=not args.no_orphan_scan,
+                orphan_grace_sec=args.orphan_grace,
             )
             out = {"verb": "expire", **{k: v for k, v in stats.items()}}
         elif args.verb == "rollback":

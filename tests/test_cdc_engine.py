@@ -842,8 +842,13 @@ def test_expire_incremental_manifest_diff(spark, tmp_path, fixtures):
         if not os.path.exists(os.path.join(t.root, f["path"]))
     ]
     assert missing == []
-    # periodic full pass collects the orphan (and its emptied dir)
+    # a FRESH unreferenced file could be a concurrent writer's
+    # in-flight data: the default orphan grace must protect it
     t.expire_snapshots(keep_last=2, scan_orphans=True)
+    assert os.path.exists(orphan)
+    # aged out (grace 0 = offline single-writer mode): collected,
+    # along with its emptied dir
+    t.expire_snapshots(keep_last=2, scan_orphans=True, orphan_grace_sec=0)
     assert not os.path.exists(orphan)
     assert not os.path.isdir(orphan_dir)
     assert _engine_shas(t) == before

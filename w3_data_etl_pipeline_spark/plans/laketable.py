@@ -1245,7 +1245,12 @@ class LakeTable:
             f"rollback lost the commit race {max_retries + 1} times"
         )
 
-    def expire_snapshots(self, keep_last: int = 2, scan_orphans: bool = True) -> dict:
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        scan_orphans: bool = True,
+        orphan_grace_sec: float = 3600.0,
+    ) -> dict:
         """Drop snapshot manifests older than the newest ``keep_last``
         and DELETE data files referenced by no retained snapshot —
         Iceberg's expire_snapshots + orphan-file cleanup. Bounds disk
@@ -1265,7 +1270,20 @@ class LakeTable:
         (apply_batch(expire_keep=...)) disables the walk and runs it
         only every ``EXPIRE_ORPHAN_SCAN_EVERY`` applied batches, so
         per-microbatch maintenance cost is O(recent manifests), not
-        O(table files)."""
+        O(table files).
+
+        ``orphan_grace_sec`` (Iceberg's remove_orphan_files
+        ``older_than`` analogue) guards the walk against a CONCURRENT
+        IN-FLIGHT writer: a merge writes its data files and manifests
+        BEFORE winning the snapshot race, and during that window they
+        are indistinguishable from race-loser garbage — an ungated
+        walk would delete them and the writer would then commit a
+        snapshot referencing vanished files. Walk-found files
+        referenced by NO snapshot (retained or expiring) are
+        therefore deleted only once older than the grace window;
+        files referenced by expiring snapshots have known provenance
+        and are deleted immediately. Pass 0 only when no concurrent
+        writer can exist (tests, single-writer offline maintenance)."""
         keep_last = max(1, keep_last)
         versions = sorted(
             int(n[1:-5])
@@ -1278,17 +1296,25 @@ class LakeTable:
         referenced: set[str] = set()
         for v in retained:
             referenced.update(f["path"] for f in self.snapshot(v)["files"])
+        candidates = set()
+        for v in expiring:
+            candidates.update(f["path"] for f in self.snapshot(v)["files"])
         if scan_orphans:
-            candidates = {
+            now = time.time()
+            walked = {
                 os.path.relpath(os.path.join(dp, n), self.root)
                 for dp, _dirs, names in os.walk(self._data)
                 for n in names
                 if n.endswith(".parquet")
             }
-        else:
-            candidates = set()
-            for v in expiring:
-                candidates.update(f["path"] for f in self.snapshot(v)["files"])
+            for rel in walked - referenced - candidates:
+                p = os.path.join(self.root, rel)
+                try:
+                    aged = now - os.path.getmtime(p) >= orphan_grace_sec
+                except OSError:
+                    continue
+                if aged:
+                    candidates.add(rel)
         removed_files = 0
         touched_dirs: set[str] = set()
         for rel in candidates - referenced:
@@ -1318,18 +1344,29 @@ class LakeTable:
             referenced_manifests.update(
                 (self.snapshot(v).get("manifests") or {}).values()
             )
+        manifest_candidates: set[str] = set()
+        for v in expiring:
+            manifest_candidates.update(
+                (self.snapshot(v).get("manifests") or {}).values()
+            )
         if scan_orphans and os.path.isdir(self._manifest_dir):
-            manifest_candidates = {
-                os.path.join("manifests", n)
-                for n in os.listdir(self._manifest_dir)
-                if n.endswith(".json")
-            }
-        else:
-            manifest_candidates = set()
-            for v in expiring:
-                manifest_candidates.update(
-                    (self.snapshot(v).get("manifests") or {}).values()
-                )
+            now = time.time()
+            for n in os.listdir(self._manifest_dir):
+                rel = os.path.join("manifests", n)
+                # .tmp.* = a writer died between tmp write and rename;
+                # age-gated like any other unreferenced file
+                if ".json" not in n or rel in referenced_manifests or (
+                    rel in manifest_candidates
+                ):
+                    continue
+                try:
+                    # same in-flight-writer grace as the data walk
+                    if now - os.path.getmtime(
+                        os.path.join(self.root, rel)
+                    ) >= orphan_grace_sec:
+                        manifest_candidates.add(rel)
+                except OSError:
+                    continue
         removed_manifests = 0
         for rel in manifest_candidates - referenced_manifests:
             p = os.path.join(self.root, rel)
@@ -1339,8 +1376,11 @@ class LakeTable:
             self._manifest_cache.pop(rel, None)
         removed_snaps = 0
         for v in expiring:
-            os.remove(self._snap_path(v))
-            removed_snaps += 1
+            try:  # a concurrent expire may have removed it already
+                os.remove(self._snap_path(v))
+                removed_snaps += 1
+            except FileNotFoundError:
+                pass
         return {
             "removed_snapshots": removed_snaps,
             "removed_files": removed_files,
