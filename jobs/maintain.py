@@ -12,6 +12,8 @@ same optimistic version-race commit the merge path uses):
     rebucket  evolve the hash-bucket count for keyspace growth
     stats     O(metadata) manifest statistics (row/byte/debt totals;
               read-only, no snapshot commit, no data file opened)
+    history   commit log of retained snapshots (operation/parent/
+              counts per version; read-only)
 
     tools/submit.sh --master local[8] -- \
         jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
@@ -44,6 +46,7 @@ def main(argv: list[str] | None = None) -> int:
                         "(manifest stats; ORs with --min-deltas)")
 
     sub.add_parser("stats", help="O(metadata) manifest stats (no data read)")
+    sub.add_parser("history", help="commit log of retained snapshots (read-only)")
 
     e = sub.add_parser("expire", help="drop old snapshots + unreferenced files")
     e.add_argument("--keep-last", type=int, default=2)
@@ -72,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
             out = {"verb": "compact", "version": after}
         elif args.verb == "stats":
             out = {"verb": "stats", **t.stats()}
+        elif args.verb == "history":
+            out = {"verb": "history", "entries": t.history()}
         elif args.verb == "expire":
             stats = t.expire_snapshots(
                 keep_last=args.keep_last,

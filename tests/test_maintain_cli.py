@@ -52,3 +52,7 @@ def test_stats_and_row_mass_compact_verbs(spark, tmp_path):
     assert s2["delta_files"] == 0
     assert s2["rows_exact"] is True and s2["rows"] == live
     assert t.read().count() == live
+
+    h = _run("--table", t.root, "history")
+    ops = [e["operation"] for e in h["entries"]]
+    assert ops == ["create", "overwrite", "merge-mor", "compact"]

@@ -140,3 +140,29 @@ def test_changed_buckets_pointer_diff_matches_entry_diff(spark, tmp_path, fixtur
     b = t._files_by_bucket(t.snapshot(v1))
     slow = {k for k in (set(a) | set(b)) if a.get(k) != b.get(k)}
     assert fast == slow and fast
+
+
+def test_history_records_operations(spark, tmp_path, fixtures):
+    """history() must show the full lifecycle with each commit's
+    operation, from raw snapshot JSONs only (no manifest reads)."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_hist")
+    t.merge(events.filter(events.lsn <= 100), 0, mode="cow")
+    t.merge(events.filter((events.lsn > 100) & (events.lsn <= 200)), 1, mode="mor")
+    t.compact(min_deltas=1)
+    v_pre = t.current_version()
+    t.rebucket(16)
+    t.rollback(v_pre)
+    h = t.history()
+    ops = [e["operation"] for e in h]
+    assert ops == [
+        "create", "overwrite", "merge-cow", "merge-mor",
+        "compact", "rebucket", "rollback",
+    ]
+    assert h[-1]["rollback_of"] == v_pre
+    assert all(e["version"] == i for i, e in enumerate(h))
+    assert [e["parent"] for e in h[1:]] == list(range(len(h) - 1))
+    assert all(e["n_files"] for e in h[1:])  # counted at write time
+    # history survives expiry minus the expired versions
+    t.expire_snapshots(keep_last=2, orphan_grace_sec=0)
+    assert [e["version"] for e in t.history()] == [v["version"] for v in h[-2:]]

@@ -125,6 +125,7 @@ class LakeTable:
             "ledger": {"hwm": -1, "extra": {}},
             "parent": None,
             "committed_at": None,
+            "operation": "create",
         }
         t._write_snapshot(snap)
         return t
@@ -218,6 +219,7 @@ class LakeTable:
         by_bucket: dict[int, list[dict]] = {}
         for e in files:
             by_bucket.setdefault(e["bucket"], []).append(e)
+        snap["n_files"] = len(files)
         manifests: dict[str, str] = {}
         os.makedirs(self._manifest_dir, exist_ok=True)
         for b, entries in by_bucket.items():
@@ -532,6 +534,35 @@ class LakeTable:
             "lsn_max": lsn_max,
         }
 
+    def history(self) -> list[dict]:
+        """Commit log from the retained snapshot JSONs (the Iceberg
+        ``db.table.snapshots`` metadata-table analogue): one row per
+        retained version with its operation, parent, commit time, and
+        file/manifest counts. O(retained versions) raw JSON reads —
+        no manifest file is opened, no data touched. Expired versions
+        are absent (their JSONs are gone), matching time travel."""
+        out = []
+        for n in sorted(os.listdir(self._meta)):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            with open(os.path.join(self._meta, n)) as f:
+                raw = json.load(f)
+            entry = {
+                "version": raw["version"],
+                "operation": raw.get("operation"),
+                "parent": raw.get("parent"),
+                "committed_at": raw.get("committed_at"),
+                "n_files": raw.get(
+                    "n_files", len(raw.get("files") or []) or None
+                ),
+                "n_buckets": raw.get("n_buckets"),
+                "ledger_hwm": raw["ledger"]["hwm"],
+            }
+            if "rollback_of" in raw:
+                entry["rollback_of"] = raw["rollback_of"]
+            out.append(entry)
+        return out
+
     # ---------------- write path ----------------
 
     def overwrite(self, df: DataFrame, lsn: int = 0) -> int:
@@ -542,7 +573,12 @@ class LakeTable:
             df = df.withColumn(LSN_COL, F.lit(lsn).cast("long"))
         new_files = self._write_data(df, snap, version=snap["version"] + 1)
         new = dict(snap)
-        new.update(version=snap["version"] + 1, files=new_files, parent=snap["version"])
+        new.update(
+            version=snap["version"] + 1,
+            files=new_files,
+            parent=snap["version"],
+            operation="overwrite",
+        )
         new["schema"] = self._unify_schema(
             self.schema(snap), df.schema, protect=tuple(snap["key_cols"])
         ).jsonValue()
@@ -913,6 +949,7 @@ class LakeTable:
                 files=files,
                 parent=base["version"],
                 ledger=self._ledger_add(base["ledger"], batch_id),
+                operation="merge-mor" if kind == "delta" else "merge-cow",
             )
             try:
                 self._write_snapshot(new)
@@ -1038,7 +1075,12 @@ class LakeTable:
         version = snap["version"] + 1
         files = self._write_data(df, snap, version, kind="base")
         new = dict(snap)
-        new.update(version=version, files=kept_files + files, parent=snap["version"])
+        new.update(
+            version=version,
+            files=kept_files + files,
+            parent=snap["version"],
+            operation="compact",
+        )
         self._write_snapshot(new)
         return version
 
@@ -1190,7 +1232,9 @@ class LakeTable:
             proto["n_buckets"] = n_buckets  # _write_data buckets via proto
             version = snap["version"] + 1
             files = self._write_data(df, proto, version, kind="base")
-            proto.update(version=version, files=files, parent=snap["version"])
+            proto.update(
+                version=version, files=files, parent=snap["version"], operation="rebucket"
+            )
             try:
                 self._write_snapshot(proto)
                 return version
@@ -1235,6 +1279,7 @@ class LakeTable:
                 version=cur["version"] + 1,
                 parent=cur["version"],
                 rollback_of=to_version,
+                operation="rollback",
             )
             try:
                 self._write_snapshot(new)
