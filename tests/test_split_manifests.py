@@ -166,3 +166,28 @@ def test_history_records_operations(spark, tmp_path, fixtures):
     # history survives expiry minus the expired versions
     t.expire_snapshots(keep_last=2, orphan_grace_sec=0)
     assert [e["version"] for e in t.history()] == [v["version"] for v in h[-2:]]
+
+
+def test_production_bucket_count_smoke(spark, tmp_path, fixtures):
+    """4096 buckets (the production count the docs assume): commits,
+    stats, pointer sharing, and lookups all stay O(touched)/O(n_buckets)
+    — guards against an accidental O(n_buckets^2) constant hiding in
+    the metadata paths."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_wide", n_buckets=4096)
+    st = t.merge(events.filter(events.lsn <= 120), 0, mode="mor")
+    assert st.applied
+    raw = _raw_snap(t, t.current_version())
+    parent = _raw_snap(t, raw["parent"])
+    assert len(raw["manifests"]) <= 4096
+    changed = {
+        k
+        for k in (set(raw["manifests"]) | set(parent["manifests"]))
+        if raw["manifests"].get(k) != parent["manifests"].get(k)
+    }
+    assert len(changed) == st.touched_buckets  # O(touched) commit
+    assert os.path.getsize(t._snap_path(raw["version"])) < 1 << 19  # <512 KB
+    s = t.stats()
+    assert s["delta_files"] > 0 and s["rows"] >= N_KEYS
+    keys = [(r["repo"], r["path"]) for r in t.read().limit(2).collect()]
+    assert t.read_keys(keys).count() == 2
