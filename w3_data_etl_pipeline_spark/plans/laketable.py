@@ -216,6 +216,15 @@ class LakeTable:
         snap["committed_at"] = time.time()
         files = snap.pop("files")
         snap.pop("manifests", None)  # stale parent pointers: recompute
+        # provenance fast path: snapshot() records which manifest each
+        # bucket's entries came from; a bucket whose entry list is
+        # IDENTICALLY the parent's (same dict objects, same order —
+        # commit paths filter/concatenate entries, never rebuild them)
+        # reuses the parent pointer after an O(entries) identity scan,
+        # no fingerprint hashing. Only touched buckets pay hash +
+        # write, so commit-metadata CPU is O(touched entries +
+        # n_buckets), not O(table files).
+        src: dict[int, str] = snap.pop("_bucket_src", {})
         by_bucket: dict[int, list[dict]] = {}
         for e in files:
             by_bucket.setdefault(e["bucket"], []).append(e)
@@ -223,6 +232,16 @@ class LakeTable:
         manifests: dict[str, str] = {}
         os.makedirs(self._manifest_dir, exist_ok=True)
         for b, entries in by_bucket.items():
+            prev = src.get(b)
+            if prev is not None:
+                cached = self._manifest_cache.get(prev)
+                if (
+                    cached is not None
+                    and len(cached) == len(entries)
+                    and all(x is y for x, y in zip(entries, cached))
+                ):
+                    manifests[str(b)] = prev
+                    continue
             fp = self._bucket_fingerprint(entries)
             rel = os.path.join("manifests", f"b{b:05d}-{fp}.json")
             full = os.path.join(self.root, rel)
@@ -260,11 +279,16 @@ class LakeTable:
             snap = json.load(f)
         if "files" not in snap:
             files: list[dict] = []
-            for _b, rel in sorted(
+            src: dict[int, str] = {}
+            for b, rel in sorted(
                 snap["manifests"].items(), key=lambda kv: int(kv[0])
             ):
                 files.extend(self._load_manifest(rel))
+                src[int(b)] = rel
             snap["files"] = files
+            # provenance for _write_snapshot's unchanged-bucket fast
+            # path; stripped before serialization
+            snap["_bucket_src"] = src
         return snap
 
     def schema(self, snap: dict | None = None) -> T.StructType:
