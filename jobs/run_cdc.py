@@ -92,6 +92,8 @@ def main(argv: list[str] | None = None) -> int:
             "replayed_noops": len(run.stats) - applied,
             "events": sum(s.deduped_rows for s in run.stats),
             "table_version": table.current_version(),
+            # O(metadata) post-run table summary (manifest stats)
+            "table_stats": table.stats(),
         }
         print(json.dumps(out))
         return 0
