@@ -191,3 +191,30 @@ def test_production_bucket_count_smoke(spark, tmp_path, fixtures):
     assert s["delta_files"] > 0 and s["rows"] >= N_KEYS
     keys = [(r["repo"], r["path"]) for r in t.read().limit(2).collect()]
     assert t.read_keys(keys).count() == 2
+
+
+def test_timestamp_time_travel(spark, tmp_path, fixtures):
+    """version_at/read_as_of resolve wall-clock timestamps to the
+    snapshot current at that instant; pre-history timestamps raise."""
+    import time as _time
+
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_ts")
+    t0 = _raw_snap(t, 0)["committed_at"]
+    n_boot = t.read().count()
+    marks = []
+    for i in range(3):
+        lo = i * 100 + 1
+        t.merge(
+            events.filter((events.lsn >= lo) & (events.lsn <= lo + 99)), i, mode="cow"
+        )
+        marks.append((_time.time(), t.current_version(), t.read().count()))
+        _time.sleep(0.05)  # commit timestamps must be distinguishable
+    for ts, v, n in marks:
+        assert t.version_at(ts) == v
+        assert t.read_as_of(ts).count() == n
+    assert t.version_at(_time.time()) == t.current_version()
+    # overwrite happened after create: ts between them resolves to boot
+    assert t.read_as_of(marks[0][0] - 0.04).count() in (n_boot, marks[0][2])
+    with pytest.raises(ValueError):
+        t.version_at(t0 - 1000)

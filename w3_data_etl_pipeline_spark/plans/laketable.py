@@ -558,6 +558,31 @@ class LakeTable:
             "lsn_max": lsn_max,
         }
 
+    def version_at(self, ts: float) -> int:
+        """Largest RETAINED version committed at or before ``ts``
+        (Iceberg timestamp time travel). O(retained versions) raw
+        JSON reads. Raises ValueError when ``ts`` predates the oldest
+        retained snapshot — that history has been expired."""
+        best = None
+        for n in os.listdir(self._meta):
+            if not (n.startswith("v") and n.endswith(".json")):
+                continue
+            with open(os.path.join(self._meta, n)) as f:
+                raw = json.load(f)
+            at = raw.get("committed_at")
+            if at is not None and at <= ts and (best is None or raw["version"] > best):
+                best = raw["version"]
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} "
+                "(history expired?)"
+            )
+        return best
+
+    def read_as_of(self, ts: float, include_meta: bool = False) -> DataFrame:
+        """Timestamp time travel: the table as of wall-clock ``ts``."""
+        return self.read(self.version_at(ts), include_meta=include_meta)
+
     def history(self) -> list[dict]:
         """Commit log from the retained snapshot JSONs (the Iceberg
         ``db.table.snapshots`` metadata-table analogue): one row per
