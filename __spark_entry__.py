@@ -53,6 +53,9 @@ _DEMOTED_TAIL = [
     "distinct_mktsegment",      # strict prefix of dim_mktsegment
     "time_parts_events",        # P11 twin of date_parts_orders (P10)
     "ref_weekday_traffic",      # same shape as ref_hourly_traffic
+    "ref_hourly_traffic",       # hour-of-day A5 twin; A5 stays in-window
+                                # via ref_traffic_by_type (makes room
+                                # for cdc_lineage_audit)
     "ref_year_quarter_traffic", # 1-row date-part agg
     "ref_band_traffic",         # banding covered by price_banding + range_join_bands
     "distinct_users_by_type",   # overlaps ref_traffic_by_type

@@ -483,6 +483,81 @@ def cdc_mor_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_lineage_audit",
+    """
+    SELECT CAST(event_id % 3 AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS applied_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_lsn,
+           CAST(MAX(event_id) AS BIGINT) AS max_lsn
+    FROM events GROUP BY 1
+    """,
+)
+def cdc_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's per-partition lineage/metrics pillar under the
+    value-hash gate: events are applied as three MOR batches
+    (event_id % 3); every merge emits one lineage row per touched
+    bucket (offset range + applied count + commit version); the audit
+    aggregates those rows per batch and must reproduce the input
+    stream's own per-batch totals exactly — a row lost or
+    double-counted anywhere in the lineage path flips the hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_lin_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        for i in range(3):
+            table.merge(ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i, mode="mor")
+        out_schema = T.StructType(
+            [
+                T.StructField("batch_id", T.LongType()),
+                T.StructField("applied_events", T.LongType()),
+                T.StructField("min_lsn", T.LongType()),
+                T.StructField("max_lsn", T.LongType()),
+            ]
+        )
+        rows = (
+            table.lineage()
+            .groupBy("batch_id")
+            .agg(
+                F.sum("applied_count").alias("applied_events"),
+                F.min("min_lsn").alias("min_lsn"),
+                F.max("max_lsn").alias("max_lsn"),
+            )
+            .collect()
+        )
+        # O(batches) rows, materialized before the tempdir is removed
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_change_feed",
     """
     WITH s1 AS (
