@@ -759,6 +759,18 @@ class LakeTable:
         with the same batch_id (ledger no-op) and safe under
         duplicate/stale events (max-LSN guard).
 
+        Stale-DELETE contract (the one reordering the guard cannot
+        absorb): once a key's delete has left the tombstone horizon —
+        immediately for COW (tombstones are not persisted), at the
+        compaction fold for MOR — the key's stored LSN memory is gone,
+        so a stale lower-LSN upsert arriving in a LATER batch legally
+        resurrects the key. Same boundary as Iceberg/Delta COW
+        deletes; sources must not reorder a key's events across its
+        delete by more than the compaction cadence (a Kafka-style
+        key-partitioned source never does). Verified by the
+        randomized batching property test
+        (tests/test_merge_property.py).
+
         The within-batch max-LSN dedup is FUSED into the single
         bucket-partitioned pass both modes already make (sort by
         (key, lsn desc, commit desc) inside each bucket partition,
