@@ -54,6 +54,7 @@ EXTENDED = [
     "neardup_clusters",
     "token_budget_sample",
     "stateful_running_state",
+    "cdc_lineage_audit",
 ]
 
 
