@@ -1183,3 +1183,91 @@ def test_rollback_across_rebucket_survives_expiry(spark, tmp_path, fixtures):
     assert t.snapshot()["n_buckets"] == 8  # the whole target snapshot restores
     t.expire_snapshots(keep_last=2, scan_orphans=True)
     assert _engine_shas(t) == target_shas
+
+
+def test_stream_kitchen_sink_all_policies(spark, tmp_path, fixtures):
+    """Every streaming feature composed in ONE WAL drain: a full-image
+    segment, a segment with dead-letter rows (NULL key / negative
+    LSN), then — after a simulated kill/resume — a Debezium partial-
+    image segment; applied MOR with row-mass auto-compaction and
+    snapshot expiry. Final state must equal the serial fold that
+    skips quarantined rows and applies patch override semantics."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    snap, events, snap_rows, event_rows = fixtures
+    wal = tmp_path / "wal_ks"
+    ckpt = str(tmp_path / "ckpt_ks")
+    qdir = str(tmp_path / "quarantine_ks")
+    os.makedirs(wal)
+
+    def land(df, name):
+        staging = str(tmp_path / ("ks_stage_" + name))
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, str(wal / name))
+
+    seg0 = events.filter(events.lsn <= 700)
+    bad = (
+        events.filter((events.lsn > 1990))
+        .withColumn("path", F.lit(None).cast("string"))
+    )
+    seg1 = events.filter((events.lsn > 700) & (events.lsn <= 1400)).unionByName(bad)
+    patch = (
+        events.filter((events.lsn > 1400) & (events.lsn <= 1990) & (events.op != "D"))
+        .withColumn("op", F.lit("P"))
+        .withColumn("lang", F.lit(None).cast("string"))
+    )
+
+    t = _new_table(spark, tmp_path, snap, "t_ks", n_buckets=8)
+    land(seg0, "seg0.parquet")
+    land(seg1, "seg1.parquet")
+    run1 = run_stream(
+        spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False, mode="mor",
+        auto_compact_delta_rows=200, expire_keep=2, quarantine_dir=qdir,
+    )
+    assert sum(1 for s in run1.stats if s.applied) == 2
+    # kill/resume: more WAL lands, the checkpoint continues the stream
+    land(patch.select(*seg0.columns), "seg2.parquet")
+    run2 = run_stream(
+        spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False, mode="mor",
+        auto_compact_delta_rows=200, expire_keep=2, quarantine_dir=qdir,
+    )
+    assert sum(1 for s in run2.stats if s.applied) == 1
+
+    # dead letters landed with reasons; none reached the table
+    qrows = spark.read.parquet(qdir).collect()
+    assert qrows and all(r["_reject_reason"] == "null_key" for r in qrows)
+
+    # delta mass stayed bounded the whole run
+    assert sum(
+        f["rows"] for f in t.snapshot()["files"] if f.get("kind") == "delta"
+    ) <= 200 * 8
+
+    # serial fold: skip dead letters, patches override non-NULL cols
+    state = {}
+    for r in sorted(snap_rows, key=lambda x: x["lsn"]):
+        state[(r["repo"], r["path"])] = dict(r)
+    for e in sorted(event_rows, key=lambda x: x["lsn"]):
+        k = (e["repo"], e["path"])
+        if e["lsn"] <= 1400:
+            if e["op"] == "D":
+                state.pop(k, None)
+            else:
+                state[k] = dict(e)
+        elif e["lsn"] <= 1990 and e["op"] != "D":
+            cur = state.get(k, {})
+            patched = {
+                c: (e[c] if (c != "lang" and e[c] is not None) else cur.get(c))
+                for c in ("content", "lang", "commit")
+            }
+            patched.update({"repo": e["repo"], "path": e["path"], "lsn": e["lsn"]})
+            state[k] = patched
+        # lsn > 1990: landed only as NULL-key dead letters, never applied
+    exp = {
+        k: hashlib.sha256((v.get("content") or "").encode()).hexdigest()
+        for k, v in state.items()
+    }
+    assert _engine_shas(t) == exp
