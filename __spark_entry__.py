@@ -60,6 +60,10 @@ _DEMOTED_TAIL = [
     "ref_band_traffic",         # banding covered by price_banding + range_join_bands
     "distinct_users_by_type",   # overlaps ref_traffic_by_type
     "rollup_orders",            # ROLLUP ⊂ grouping_sets_orders
+    "star_join_revenue",        # J3 join+filter stays in-window via
+                                # ref_region_traffic; entry() still
+                                # smoke-runs this query every round
+                                # (makes room for paragraph_dedup_docs)
     "cube_lineitem",            # CUBE ⊂ grouping_sets_orders
     "funnel_counts",            # 1-row output; pytest-covered
 ]

@@ -175,3 +175,34 @@ def test_shingle_stream_edge_cases(spark):
             assert abs(out[(ia, ib)] - j) < 1e-9, (ia, ib, out.get((ia, ib)), j)
         else:
             assert (ia, ib) not in out
+
+
+def test_paragraph_dedup_drops_repeated_chunks(spark, tmp_path):
+    """A 10-word chunk repeated verbatim in a later doc (or later in
+    the SAME doc) survives only at its first (doc_id, pos); unique
+    chunks are untouched and reassembly preserves chunk order."""
+    import hashlib
+
+    from w3_data_etl_pipeline_spark.queries_text import paragraph_dedup_docs
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact chunk
+    u = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))  # noqa: E731
+    rows = [
+        Row(doc_id=0, text=boiler + " " + u("x", 10), lang="en", source="s", n_chars=1),
+        Row(doc_id=1, text=u("y", 10) + " " + boiler, lang="en", source="s", n_chars=1),
+        Row(doc_id=2, text=boiler + " " + boiler, lang="en", source="s", n_chars=1),
+    ]
+    sf = str(tmp_path / "sf_pd")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    out = {r["doc_id"]: r for r in paragraph_dedup_docs(spark, sf).collect()}
+    assert (out[0]["n_chunks"], out[0]["kept_chunks"]) == (2, 2)  # first owner
+    assert (out[1]["n_chunks"], out[1]["kept_chunks"]) == (2, 1)
+    assert (out[2]["n_chunks"], out[2]["kept_chunks"]) == (2, 0)
+    assert out[0]["dedup_sha"] == hashlib.sha256(
+        (boiler + " " + u("x", 10)).encode()
+    ).hexdigest()
+    assert out[1]["dedup_sha"] == hashlib.sha256(u("y", 10).encode()).hexdigest()
+    assert out[2]["dedup_sha"] == hashlib.sha256(b"").hexdigest()

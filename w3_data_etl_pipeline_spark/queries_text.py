@@ -470,3 +470,91 @@ def path_normalize_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         "file_path", "file_directory", "file_name", "file_extension", "file_type"
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level (chunk) dedup — C4/RefinedWeb-style intra-corpus
+# repeated-passage removal
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "paragraph_dedup_docs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(ws[(i * 10 + 1):(i * 10 + 10)], ' ') AS chunk
+      FROM w, UNNEST(range(CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS u(i)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           sha256(COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), ''
+           )) AS dedup_sha
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-passage removal (the C4 'deduplicate at the
+    paragraph level' step, RefinedWeb's exact-substring cousin): split
+    every document into fixed 10-word chunks (the corpus is
+    single-line, so word windows stand in for paragraphs), keep only
+    the globally FIRST occurrence of each chunk (ordered by (doc_id,
+    pos)), and reassemble what remains of each document, returned as
+    its sha256 plus kept/total chunk counts.
+
+    Scale path: first-occurrence is computed as a per-chunk
+    min(struct(doc_id, pos)) HASH AGGREGATION (map-side partial
+    combine absorbs the boilerplate-chunk hot keys that would
+    straggle a row_number window) followed by an equi-join back on
+    the chunk; reassembly is one doc_id shuffle. Two exchanges total,
+    all codegen — no Python, no window over a skewed key."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(10.0)).cast("long")
+    chunks = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(ws, i * 10 + 1, 10), " "),
+                )
+            ).alias("pos", "chunk"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    marked = chunks.join(firsts, "chunk").withColumn(
+        "kept",
+        (F.col("doc_id") == F.col("first.doc_id"))
+        & (F.col("pos") == F.col("first.pos")),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_chunks"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "chunk"))
+                        )
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ),
+            256,
+        ).alias("dedup_sha"),
+    )
