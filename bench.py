@@ -55,6 +55,7 @@ EXTENDED = [
     "token_budget_sample",
     "stateful_running_state",
     "cdc_lineage_audit",
+    "paragraph_dedup_docs",
 ]
 
 
