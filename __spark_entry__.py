@@ -66,6 +66,10 @@ _DEMOTED_TAIL = [
                                 # (makes room for paragraph_dedup_docs)
     "cube_lineitem",            # CUBE ⊂ grouping_sets_orders
     "funnel_counts",            # 1-row output; pytest-covered
+    "range_frame_weekly_revenue",  # RANGE-frame twin of in-window
+                                   # moving_avg_daily_revenue (ROWS)
+    "unpivot_charge_components",   # inverse of in-window
+                                   # pivot_event_counts
 ]
 
 

@@ -380,3 +380,98 @@ def jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# RANGE-interval window frame: gap-correct trailing 7-day revenue.
+# ROWS BETWEEN counts rows; RANGE BETWEEN bounds the ORDER-BY VALUE,
+# so calendar gaps shrink the frame instead of silently reaching
+# further back — the other frame semantics the window space has.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "range_frame_weekly_revenue",
+    """
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2)
+    SELECT segment, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (
+             PARTITION BY segment ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+    FROM daily
+    """,
+)
+def range_frame_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same agg-before-window scale shape as moving_avg_daily_revenue
+    (broadcast dim join -> (segment, day) hash agg -> segment window),
+    but with a RANGE frame over the integer day index: a day with no
+    orders contributes nothing AND is not skipped over — the frame is
+    the value interval [day-6, day]. Decimal sums inside the frame
+    keep the hash deterministic; cast to double only at the edge."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("day_idx"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("segment").orderBy("day_idx").rangeBetween(-6, 0)
+    return daily.select(
+        "segment",
+        "day_idx",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt): wide per-flag charge components -> long (flag,
+# metric, value) rows — the inverse of pivot_event_counts.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "unpivot_charge_components",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS gross,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS discount_amt,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_amt
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'gross' AS metric, gross AS amount FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'discount_amt', discount_amt FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'tax_amt', tax_amt FROM wide
+    """,
+)
+def unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact-decimal hash agg to a 3-metric wide row per return
+    flag, then DataFrame.unpivot (Spark's melt) to long form — the
+    inverse reshaping of pivot_event_counts. The unpivot is a local
+    O(rows x metrics) expansion AFTER aggregation: reshape the 3-row
+    summary, never the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    m = F.col("l_extendedprice").cast("decimal(18,2)")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(m).cast("double").alias("gross"),
+        F.sum(m * F.col("l_discount").cast("decimal(18,2)")).cast("double").alias("discount_amt"),
+        F.sum(m * F.col("l_tax").cast("decimal(18,2)")).cast("double").alias("tax_amt"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["gross", "discount_amt", "tax_amt"], "metric", "amount"
+    )
