@@ -75,8 +75,18 @@ def main() -> int:
     ]
     doc = out[:2] + hdr + summary + [""] + out[2:]
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH", "PLANS.md")
+    # preserve hand-written audit sections: everything from the marker
+    # on survives regeneration verbatim
+    marker = "<!-- MANUAL AUDITS (kept by tools/explain_audit.py) -->"
+    manual = ""
+    if os.path.exists(path):
+        prev = open(path).read()
+        if marker in prev:
+            manual = prev[prev.index(marker):]
     with open(path, "w") as f:
         f.write("\n".join(doc))
+        if manual:
+            f.write("\n" + manual)
     print("\n".join(hdr + summary))
     print(f"\nwrote {path}")
     return 0
