@@ -34,6 +34,9 @@ AUDIT = [
     "ref_region_traffic",
     "semi_join_discounted_orders",
     "sessionize_events",
+    "paragraph_dedup_docs",
+    "range_frame_weekly_revenue",
+    "unpivot_charge_components",
 ]
 
 

@@ -515,8 +515,11 @@ def paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     min(struct(doc_id, pos)) HASH AGGREGATION (map-side partial
     combine absorbs the boilerplate-chunk hot keys that would
     straggle a row_number window) followed by an equi-join back on
-    the chunk; reassembly is one doc_id shuffle. Two exchanges total,
-    all codegen — no Python, no window over a skewed key."""
+    the chunk; reassembly is one doc_id shuffle. Executed plan
+    (BENCH/PLANS.md): one chunk exchange feeding the firsts agg — AQE
+    broadcasts the firsts side at small SF; at corpus scale the join
+    chunk-partitions both sides instead — plus the doc_id exchange.
+    All codegen — no Python, no window over a skewed key."""
     d = t(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(ws) / F.lit(10.0)).cast("long")
