@@ -14,6 +14,9 @@ same optimistic version-race commit the merge path uses):
               read-only, no snapshot commit, no data file opened)
     history   commit log of retained snapshots (operation/parent/
               counts per version; read-only)
+    compact-lineage  consolidate tiny per-batch lineage audit files
+              (append-only scheme: consolidate first, then delete
+              the snapshotted originals — writers never affected)
 
     tools/submit.sh --master local[8] -- \
         jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
@@ -48,6 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("stats", help="O(metadata) manifest stats (no data read)")
     sub.add_parser("history", help="commit log of retained snapshots (read-only)")
 
+    cl = sub.add_parser("compact-lineage",
+                        help="consolidate tiny per-batch lineage audit files")
+    cl.add_argument("--max-files", type=int, default=64,
+                    help="no-op when the lineage dir holds <= N files")
+
     e = sub.add_parser("expire", help="drop old snapshots + unreferenced files")
     e.add_argument("--keep-last", type=int, default=2)
     e.add_argument("--no-orphan-scan", action="store_true",
@@ -77,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
             out = {"verb": "stats", **t.stats()}
         elif args.verb == "history":
             out = {"verb": "history", "entries": t.history()}
+        elif args.verb == "compact-lineage":
+            out = {"verb": "compact-lineage", **t.compact_lineage(args.max_files)}
         elif args.verb == "expire":
             stats = t.expire_snapshots(
                 keep_last=args.keep_last,

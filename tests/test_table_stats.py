@@ -176,3 +176,37 @@ def test_streaming_row_mass_policy(spark, tmp_path, fixtures):
     t.compact()
     assert t.read().count() == live_expected
     assert t.stats()["rows_exact"] is True
+
+
+def test_compact_lineage_preserves_audit_rows(spark, tmp_path, fixtures):
+    """Consolidating the lineage dir must keep every audit row (same
+    totals), shrink the file count to one, stay idempotent, and keep
+    accepting appends from later merges."""
+    import os
+
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_lin")
+    for i, (lo, hi) in enumerate([(1, 150), (151, 300), (301, 450)]):
+        t.merge(events.filter((events.lsn >= lo) & (events.lsn <= hi)), i, mode="mor")
+
+    def lineage_files():
+        return [
+            os.path.join(dp, n)
+            for dp, _, ns in os.walk(t.lineage_dir)
+            for n in ns
+            if n.endswith(".parquet")
+        ]
+
+    before_rows = t.lineage().count()
+    before_sum = t.lineage().groupBy().sum("applied_count").collect()[0][0]
+    assert len(lineage_files()) >= 3
+    out = t.compact_lineage(max_files=1)
+    assert out["compacted_files"] >= 3 and out["rows"] == before_rows
+    assert len(lineage_files()) == 1
+    assert t.lineage().count() == before_rows
+    assert t.lineage().groupBy().sum("applied_count").collect()[0][0] == before_sum
+    # idempotent (already at 1 file)
+    assert t.compact_lineage(max_files=1)["compacted_files"] in (0, 1)
+    # later merges append fresh files; totals keep growing
+    t.merge(events.filter(events.lsn > 450), 9, mode="mor")
+    assert t.lineage().count() > before_rows

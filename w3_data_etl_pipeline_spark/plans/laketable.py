@@ -558,6 +558,52 @@ class LakeTable:
             "lsn_max": lsn_max,
         }
 
+    def compact_lineage(self, max_files: int = 64) -> dict:
+        """Consolidate the per-(batch, bucket) lineage parquet files —
+        a 10^5-microbatch stream otherwise leaves 10^5 tiny audit
+        files whose open overhead dominates ``lineage()`` reads.
+
+        Safety model (the lineage dir is append-only, never
+        rewritten): the file list is snapshotted first, those files
+        are merged driver-side (pyarrow, O(lineage rows) memory — run
+        periodically so the audit stays small) into ONE consolidated
+        file committed via tmp+rename, and only the snapshotted
+        originals are then deleted. A concurrent WRITER is never
+        affected (its new files are outside the snapshot); a
+        concurrent ``lineage()`` reader may transiently double-count
+        rows in the instant between the rename and the deletes —
+        never lose them. No multi-file atomic swap exists on a plain
+        filesystem; audit consumers needing an exact point-in-time
+        view should read between maintenance runs."""
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(self.lineage_dir):
+            return {"compacted_files": 0, "rows": 0}
+        files = sorted(
+            os.path.join(dp, n)
+            for dp, _dirs, names in os.walk(self.lineage_dir)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        if len(files) <= max_files:
+            return {"compacted_files": 0, "rows": 0, "files": len(files)}
+        import pyarrow as pa
+
+        tables = [pq.read_table(p) for p in files]
+        merged = pa.concat_tables(tables)
+        out = os.path.join(
+            self.lineage_dir, f"lineage-compacted-{uuid.uuid4().hex[:8]}.parquet"
+        )
+        tmp = out + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, out)
+        for p in files:
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass  # a concurrent compaction got it first
+        return {"compacted_files": len(files), "rows": merged.num_rows}
+
     def version_at(self, ts: float) -> int:
         """Largest RETAINED version committed at or before ``ts``
         (Iceberg timestamp time travel). O(retained versions) raw
