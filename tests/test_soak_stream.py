@@ -41,6 +41,7 @@ def test_thirty_batch_mor_stream_steady_state(spark, tmp_path):
             mode="mor",
             auto_compact_delta_rows=120,
             expire_keep=3,
+            lineage_compact_every=8,
         )
         assert st.applied
         s = t.stats()
@@ -49,6 +50,15 @@ def test_thirty_batch_mor_stream_steady_state(spark, tmp_path):
 
     # exactly-once ledger is a contiguous prefix: hwm == last batch id
     assert t.stats()["ledger_hwm"] == N_BATCHES - 1
+
+    # lineage stayed consolidated (policy ran every 8 batches) but no
+    # audit row was lost: one row per (applied batch, touched bucket)
+    lin_files = [
+        n for dp, _, ns in os.walk(t.lineage_dir) for n in ns if n.endswith(".parquet")
+    ]
+    assert len(lin_files) < N_BATCHES  # 30 batches would leave >= 30 files unbounded
+    assert t.lineage().select("batch_id").distinct().count() == N_BATCHES
+
 
     # snapshot count bounded by the expiry window (merge + compact
     # commits between expiries add bounded slack)

@@ -54,6 +54,7 @@ def apply_batch(
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
+    lineage_compact_every: int | None = None,
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body.
@@ -126,6 +127,14 @@ def apply_batch(
             keep_last=expire_keep,
             scan_orphans=(batch_id % EXPIRE_ORPHAN_SCAN_EVERY == 0),
         )
+    if stats.applied and lineage_compact_every and (
+        batch_id % lineage_compact_every == lineage_compact_every - 1
+    ):
+        # bounds the audit-file count: every batch appends O(buckets)
+        # tiny lineage files; consolidating whenever more than a
+        # cadence's worth accumulated keeps lineage() reads at O(N)
+        # file opens in steady state
+        table.compact_lineage(max_files=lineage_compact_every)
     return stats
 
 
@@ -142,6 +151,7 @@ def run_stream_from(
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
+    lineage_compact_every: int | None = None,
 ) -> CdcRun:
     """Drive ANY streaming DataFrame of change events through the
     engine — the foreachBatch body is source-agnostic (file WAL here,
@@ -165,6 +175,7 @@ def run_stream_from(
                 expire_keep=expire_keep,
                 quarantine_dir=quarantine_dir,
                 patches=patches,
+                lineage_compact_every=lineage_compact_every,
             )
         )
 
@@ -193,6 +204,7 @@ def run_stream(
     expire_keep: int | None = None,
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
+    lineage_compact_every: int | None = None,
 ) -> CdcRun:
     """File-WAL convenience wrapper over ``run_stream_from``: tail
     parquet WAL segments with ``availableNow``, then stop."""
@@ -213,6 +225,7 @@ def run_stream(
         expire_keep=expire_keep,
         quarantine_dir=quarantine_dir,
         patches=patches,
+        lineage_compact_every=lineage_compact_every,
     )
 
 
