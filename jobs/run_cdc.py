@@ -50,6 +50,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--auto-compact-rows", type=int, default=None,
                    help="fold buckets crossing N pending delta ROWS (manifest stats; ORs with --auto-compact)")
     p.add_argument("--expire-keep", type=int, default=None, help="retain only last N snapshots")
+    p.add_argument("--lineage-compact-every", type=int, default=None,
+                   help="consolidate lineage audit files every N applied batches")
     p.add_argument("--no-enrich", action="store_true")
     p.add_argument("--quarantine-dir", default=None,
                    help="dead-letter sink for malformed events (per-batch overwrite)")
@@ -83,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
             auto_compact_delta_rows=args.auto_compact_rows,
             expire_keep=args.expire_keep,
             quarantine_dir=args.quarantine_dir,
+            lineage_compact_every=args.lineage_compact_every,
             patches=False if args.no_patch_probe else "auto",
         )
         applied = sum(1 for s in run.stats if s.applied)
