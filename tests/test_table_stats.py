@@ -210,3 +210,30 @@ def test_compact_lineage_preserves_audit_rows(spark, tmp_path, fixtures):
     # later merges append fresh files; totals keep growing
     t.merge(events.filter(events.lsn > 450), 9, mode="mor")
     assert t.lineage().count() > before_rows
+
+
+def test_compact_lineage_lock_prevents_double_consolidation(spark, tmp_path, fixtures):
+    """A held (fresh) lock makes a second compaction a no-op — two
+    concurrent consolidations of the same file list would double every
+    audit row; a stale lock (crashed holder) is broken through."""
+    import os
+    import time as _time
+
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_linlock")
+    for i in range(3):
+        lo = i * 150 + 1
+        t.merge(events.filter((events.lsn >= lo) & (events.lsn <= lo + 149)), i, mode="mor")
+    rows = t.lineage().count()
+    lock = os.path.join(t.lineage_dir, ".compact.lock")
+    open(lock, "w").close()
+    out = t.compact_lineage(max_files=1)
+    assert out == {"compacted_files": 0, "rows": 0, "skipped": "locked"}
+    assert t.lineage().count() == rows
+    # stale lock: break through and consolidate
+    old = _time.time() - 700
+    os.utime(lock, (old, old))
+    out = t.compact_lineage(max_files=1)
+    assert out["compacted_files"] >= 3 and out["rows"] == rows
+    assert not os.path.exists(lock)
+    assert t.lineage().count() == rows

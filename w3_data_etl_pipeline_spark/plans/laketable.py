@@ -579,30 +579,55 @@ class LakeTable:
 
         if not os.path.isdir(self.lineage_dir):
             return {"compacted_files": 0, "rows": 0}
-        files = sorted(
-            os.path.join(dp, n)
-            for dp, _dirs, names in os.walk(self.lineage_dir)
-            for n in names
-            if n.endswith(".parquet")
-        )
-        if len(files) <= max_files:
-            return {"compacted_files": 0, "rows": 0, "files": len(files)}
-        import pyarrow as pa
-
-        tables = [pq.read_table(p) for p in files]
-        merged = pa.concat_tables(tables)
-        out = os.path.join(
-            self.lineage_dir, f"lineage-compacted-{uuid.uuid4().hex[:8]}.parquet"
-        )
-        tmp = out + ".tmp"
-        pq.write_table(merged, tmp)
-        os.replace(tmp, out)
-        for p in files:
+        # advisory lock: two concurrent compactions would each
+        # consolidate the same snapshotted file list and leave TWO
+        # all-rows files — doubled audit rows forever (the delete
+        # try/except only protects the original tiny files). One
+        # compaction at a time; a crashed holder's lock goes stale
+        # after 10 minutes.
+        lock = os.path.join(self.lineage_dir, ".compact.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+        except FileExistsError:
             try:
-                os.remove(p)
+                stale = time.time() - os.path.getmtime(lock) > 600
+            except OSError:
+                stale = False
+            if not stale:
+                return {"compacted_files": 0, "rows": 0, "skipped": "locked"}
+            os.remove(lock)
+            return self.compact_lineage(max_files)
+        try:
+            files = sorted(
+                os.path.join(dp, n)
+                for dp, _dirs, names in os.walk(self.lineage_dir)
+                for n in names
+                if n.endswith(".parquet")
+            )
+            if len(files) <= max_files:
+                return {"compacted_files": 0, "rows": 0, "files": len(files)}
+            import pyarrow as pa
+
+            tables = [pq.read_table(p) for p in files]
+            merged = pa.concat_tables(tables)
+            out = os.path.join(
+                self.lineage_dir, f"lineage-compacted-{uuid.uuid4().hex[:8]}.parquet"
+            )
+            tmp = out + ".tmp"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, out)
+            for p in files:
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            return {"compacted_files": len(files), "rows": merged.num_rows}
+        finally:
+            try:
+                os.remove(lock)
             except FileNotFoundError:
-                pass  # a concurrent compaction got it first
-        return {"compacted_files": len(files), "rows": merged.num_rows}
+                pass
 
     def version_at(self, ts: float) -> int:
         """Largest RETAINED version committed at or before ``ts``
