@@ -127,3 +127,65 @@ def test_any_batching_converges_to_oracle(spark, tmp_path):
             for r in t.state_fingerprint().collect()
         }
         assert got == exp, f"trial {trial} ({mode}) diverged from oracle"
+
+
+def test_random_schema_evolution_converges_full_row(spark, tmp_path):
+    """Batches randomly carry extra columns (additive evolution) or an
+    int-typed variant of a long column (widening promotion); the final
+    table must match the serial oracle FULL-ROW per key: a winner that
+    lacked a column leaves NULL there (full-row replace semantics),
+    evolved columns backfill NULL for untouched keys, and content shas
+    stay byte-identical. Three seeded trials across cow/mor."""
+    extra_pool = [
+        ("stars", T.IntegerType(), lambda lsn: lsn % 50),
+        ("forks", T.LongType(), lambda lsn: lsn * 3),
+        ("description", T.StringType(), lambda lsn: f"d{lsn % 7}"),
+    ]
+    for trial, mode in [(11, "cow"), (12, "mor"), (13, "cow")]:
+        rng = random.Random(2000 + trial)
+        snap_rows, event_rows = _gen(rng)
+        n_batches = 5
+        per = len(event_rows) // n_batches
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / f"t_evo{trial}"),
+            SOURCE_FILES,
+            ["repo", "path"],
+            n_buckets=8,
+        )
+        t.overwrite(spark.createDataFrame(snap_rows, BOOT_SCHEMA), lsn=0)
+        enriched_rows = []  # what the oracle sees: rows AS SENT per batch
+        for i in range(n_batches):
+            lo, hi = i * per, (i + 1) * per if i < n_batches - 1 else len(event_rows)
+            batch_rows = [dict(e) for e in event_rows[lo:hi]]
+            cols = [c for c in extra_pool if rng.random() < 0.5]
+            fields = list(EVENT_SCHEMA.fields)
+            for name, typ, fn in cols:
+                # half the time send forks as int: widening promotion
+                if name == "forks" and rng.random() < 0.5:
+                    typ = T.IntegerType()
+                fields.append(T.StructField(name, typ))
+                for r in batch_rows:
+                    r[name] = fn(r["lsn"])
+            enriched_rows.extend(dict(r) for r in batch_rows)
+            df = spark.createDataFrame(batch_rows, T.StructType(fields))
+            assert t.merge(df, i, mode=mode).applied
+        # serial oracle over the enriched rows (full-row replace)
+        state = {}
+        for r in snap_rows:
+            state[(r["repo"], r["path"])] = dict(r)
+        for e in sorted(enriched_rows, key=lambda x: (x["lsn"], x["commit"])):
+            k = (e["repo"], e["path"])
+            if e["op"] == "D":
+                state.pop(k, None)
+            else:
+                state[k] = {c: v for c, v in e.items() if c != "op"}
+        got = {(r["repo"], r["path"]): r.asDict() for r in t.read().collect()}
+        assert set(got) == set(state), f"trial {trial} key set diverged"
+        for name, _t, _f in extra_pool:
+            assert name in next(iter(got.values())), f"{name} not evolved in"
+        for k, exp in state.items():
+            row = got[k]
+            assert row["content"] == exp.get("content"), (trial, k)
+            for name, _t, _f in extra_pool:
+                assert row[name] == exp.get(name), (trial, k, name, row[name])
