@@ -638,8 +638,11 @@ class LakeTable:
         for n in os.listdir(self._meta):
             if not (n.startswith("v") and n.endswith(".json")):
                 continue
-            with open(os.path.join(self._meta, n)) as f:
-                raw = json.load(f)
+            try:
+                with open(os.path.join(self._meta, n)) as f:
+                    raw = json.load(f)
+            except FileNotFoundError:
+                continue  # expired by a concurrent maintenance run
             at = raw.get("committed_at")
             if at is not None and at <= ts and (best is None or raw["version"] > best):
                 best = raw["version"]
@@ -665,8 +668,11 @@ class LakeTable:
         for n in sorted(os.listdir(self._meta)):
             if not (n.startswith("v") and n.endswith(".json")):
                 continue
-            with open(os.path.join(self._meta, n)) as f:
-                raw = json.load(f)
+            try:
+                with open(os.path.join(self._meta, n)) as f:
+                    raw = json.load(f)
+            except FileNotFoundError:
+                continue  # expired by a concurrent maintenance run
             entry = {
                 "version": raw["version"],
                 "operation": raw.get("operation"),
