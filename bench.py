@@ -56,6 +56,8 @@ EXTENDED = [
     "stateful_running_state",
     "cdc_lineage_audit",
     "paragraph_dedup_docs",
+    "range_frame_weekly_revenue",
+    "unpivot_charge_components",
 ]
 
 
