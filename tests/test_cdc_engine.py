@@ -1271,3 +1271,35 @@ def test_stream_kitchen_sink_all_policies(spark, tmp_path, fixtures):
         for k, v in state.items()
     }
     assert _engine_shas(t) == exp
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path, fixtures):
+    """changes(v_before, v_after) where the interval includes an
+    additive-evolution commit: rows read through the WIDENED schema on
+    both sides — pre-evolution state reads the new column as NULL, the
+    feed carries the column, and a key whose only difference is the
+    new column's arrival counts as an update."""
+    snap, events, *_ = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_cdf_evo", n_buckets=4)
+    b0 = events.filter(events.lsn <= 500)
+    apply_batch(t, b0, 0, enrich=False)
+    v1 = t.current_version()
+    ev2 = datagen.change_events(
+        spark, 200, N_EVENT_KEYS, first_lsn=2001, with_lang_confidence=True
+    )
+    apply_batch(t, ev2, 1, enrich=False)
+    feed = t.changes(v1)
+    assert "lang_confidence" in feed.columns
+    rows = feed.collect()
+    assert rows
+    touched = {(r["repo"], r["path"]) for r in ev2.collect() if r["op"] != "D"}
+    for r in rows:
+        if r["_change_type"] in ("insert", "update") and (r["repo"], r["path"]) in touched:
+            # post-image of a key the evolved batch upserted carries the column
+            assert r["lang_confidence"] is not None or r["_change_type"] == "update"
+    # at least one post-image actually carries a non-NULL evolved value
+    assert any(
+        r["lang_confidence"] is not None
+        for r in rows
+        if r["_change_type"] in ("insert", "update")
+    )
