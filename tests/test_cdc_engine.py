@@ -1303,3 +1303,28 @@ def test_change_feed_across_schema_evolution(spark, tmp_path, fixtures):
         for r in rows
         if r["_change_type"] in ("insert", "update")
     )
+
+
+def test_rollback_across_schema_evolution(spark, tmp_path, fixtures):
+    """Rolling back past an additive-evolution commit restores the
+    NARROW schema (the whole target snapshot, schema included); the
+    ledger forgets the evolved batch, and replaying it re-widens and
+    converges to the same final state."""
+    snap, events, *_ = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_rb_evo", n_buckets=4)
+    apply_batch(t, events.filter(events.lsn <= 400), 0, enrich=False)
+    v_narrow = t.current_version()
+    ev2 = datagen.change_events(
+        spark, 150, N_EVENT_KEYS, first_lsn=2001, with_lang_confidence=True
+    )
+    apply_batch(t, ev2, 1, enrich=False)
+    assert "lang_confidence" in t.read().columns
+    wide_shas = _engine_shas(t)
+    t.rollback(v_narrow)
+    assert "lang_confidence" not in t.read().columns  # schema restored
+    # replay the evolved batch (same id: rollback restored the ledger
+    # too, so it is NOT a no-op)
+    st = apply_batch(t, ev2, 1, enrich=False)
+    assert st.applied
+    assert "lang_confidence" in t.read().columns
+    assert _engine_shas(t) == wide_shas
