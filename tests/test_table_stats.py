@@ -237,3 +237,19 @@ def test_compact_lineage_lock_prevents_double_consolidation(spark, tmp_path, fix
     assert out["compacted_files"] >= 3 and out["rows"] == rows
     assert not os.path.exists(lock)
     assert t.lineage().count() == rows
+
+
+def test_files_metadata_table(spark, tmp_path, fixtures):
+    """files() mirrors the manifest: per-file rows/bytes/lsn bounds
+    agree with stats() totals, kinds match, and it never opens data."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_files")
+    t.merge(events.filter(events.lsn <= 200), 0, mode="mor")
+    df = t.files()
+    s = t.stats()
+    agg = df.groupBy().sum("rows", "bytes").collect()[0]
+    assert agg[0] == s["rows"] and agg[1] == s["bytes"]
+    kinds = {r["kind"] for r in df.select("kind").distinct().collect()}
+    assert kinds == {"base", "delta"}
+    assert df.count() == s["base_files"] + s["delta_files"]
+    assert df.filter(df.lsn_max > 200).count() == 0  # bounds respected

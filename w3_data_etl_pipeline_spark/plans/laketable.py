@@ -558,6 +558,38 @@ class LakeTable:
             "lsn_max": lsn_max,
         }
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Manifest entries as a DataFrame — the Iceberg
+        ``db.table.files`` metadata table analogue (path, bucket,
+        kind, rows, bytes, lsn bounds per live data file). O(metadata):
+        built from the snapshot manifest, no data file opened. Entries
+        from pre-stats manifests carry NULL stats columns."""
+        snap = self.snapshot(version)
+        schema = T.StructType(
+            [
+                T.StructField("path", T.StringType()),
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("kind", T.StringType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("lsn_min", T.LongType()),
+                T.StructField("lsn_max", T.LongType()),
+            ]
+        )
+        rows = [
+            (
+                f["path"],
+                int(f["bucket"]),
+                f.get("kind", "base"),
+                f.get("rows"),
+                f.get("bytes"),
+                f.get("lsn_min"),
+                f.get("lsn_max"),
+            )
+            for f in snap["files"]
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def compact_lineage(self, max_files: int = 64) -> dict:
         """Consolidate the per-(batch, bucket) lineage parquet files —
         a 10^5-microbatch stream otherwise leaves 10^5 tiny audit
