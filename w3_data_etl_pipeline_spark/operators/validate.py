@@ -31,10 +31,15 @@ def with_reject_reason(
     key_cols: list[str],
     lsn_col: str = "lsn",
     op_col: str = "op",
+    allow_partial: bool = True,
 ) -> DataFrame:
     """Annotate each event with the FIRST violated rule (NULL when the
     row is clean). Rule order is fixed so engine and oracle agree:
-    null_key, then bad_lsn, then bad_op."""
+    null_key, then bad_lsn, then bad_op. With ``allow_partial=False``
+    (a pipeline that disabled patch hydration) op='P' classifies as
+    ``bad_op`` — merge applies full images only, so an unhydrated
+    partial image would overwrite stored values with its NULLs."""
+    ops = VALID_OPS if allow_partial else tuple(o for o in VALID_OPS if o != "P")
     null_key = None
     for k in key_cols:
         c = F.col(k).isNull()
@@ -43,7 +48,7 @@ def with_reject_reason(
         F.when(null_key, F.lit("null_key"))
         .when(F.col(lsn_col).isNull() | (F.col(lsn_col) < 0), F.lit("bad_lsn"))
         .when(
-            F.col(op_col).isNull() | ~F.col(op_col).isin(*VALID_OPS),
+            F.col(op_col).isNull() | ~F.col(op_col).isin(*ops),
             F.lit("bad_op"),
         )
     )
@@ -55,11 +60,12 @@ def split_events(
     key_cols: list[str],
     lsn_col: str = "lsn",
     op_col: str = "op",
+    allow_partial: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) — quarantined rows keep every input column
     plus ``_reject_reason``. Both sides are lazy projections of one
     annotated plan; no data moves until each side's sink runs."""
-    ann = with_reject_reason(events, key_cols, lsn_col, op_col)
+    ann = with_reject_reason(events, key_cols, lsn_col, op_col, allow_partial)
     clean = ann.filter(F.col(REASON_COL).isNull()).drop(REASON_COL)
     bad = ann.filter(F.col(REASON_COL).isNotNull())
     return clean, bad

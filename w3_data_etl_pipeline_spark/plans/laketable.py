@@ -252,12 +252,28 @@ class LakeTable:
                 # same name => same content, so a concurrent identical
                 # write replaced by either party is byte-equal
                 os.replace(tmp, full)
+                # same bounded-FIFO discipline as _load_manifest: a
+                # long-running stream's write path must not accumulate
+                # O(history) dead entry lists in driver memory
+                if len(self._manifest_cache) >= self._MANIFEST_CACHE_MAX:
+                    self._manifest_cache.pop(next(iter(self._manifest_cache)))
                 self._manifest_cache[rel] = entries
             manifests[str(b)] = rel
         snap["manifests"] = manifests
         path = self._snap_path(snap["version"])
-        with open(path, "x") as f:  # 'x' => optimistic-concurrency commit race
+        # atomic CONTENT, exclusive NAME: dump to a private tmp, then
+        # os.link(tmp, path) — link fails with FileExistsError if a
+        # concurrent committer won the version (the optimistic race,
+        # same as the old open('x')), and a reader listing _meta/ can
+        # never observe a half-written v*.json (the old in-place dump
+        # could tear under version_at()/history()/expire_snapshots()).
+        stmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(stmp, "w") as f:
             json.dump(snap, f)
+        try:
+            os.link(stmp, path)
+        finally:
+            os.remove(stmp)
         tmp = path + f".ptr.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(str(snap["version"]))
@@ -628,7 +644,20 @@ class LakeTable:
                 stale = False
             if not stale:
                 return {"compacted_files": 0, "rows": 0, "skipped": "locked"}
-            os.remove(lock)
+            # single-winner takeover: os.rename the stale lock to a
+            # unique name — exactly one racer succeeds (a plain
+            # os.remove lets B's staleness check predate A's takeover,
+            # B then removes the lock A just recreated and BOTH
+            # compactions run, doubling the audit rows forever)
+            taken = lock + f".stale.{uuid.uuid4().hex[:8]}"
+            try:
+                os.rename(lock, taken)
+            except OSError:
+                return {"compacted_files": 0, "rows": 0, "skipped": "locked"}
+            try:
+                os.remove(taken)  # we won; the dead holder's lock is ours
+            except FileNotFoundError:
+                pass
             return self.compact_lineage(max_files)
         try:
             files = sorted(
@@ -675,6 +704,8 @@ class LakeTable:
                     raw = json.load(f)
             except FileNotFoundError:
                 continue  # expired by a concurrent maintenance run
+            except json.JSONDecodeError:
+                continue  # pre-atomic-commit torn file (legacy writer)
             at = raw.get("committed_at")
             if at is not None and at <= ts and (best is None or raw["version"] > best):
                 best = raw["version"]
@@ -705,6 +736,8 @@ class LakeTable:
                     raw = json.load(f)
             except FileNotFoundError:
                 continue  # expired by a concurrent maintenance run
+            except json.JSONDecodeError:
+                continue  # pre-atomic-commit torn file (legacy writer)
             entry = {
                 "version": raw["version"],
                 "operation": raw.get("operation"),
@@ -919,9 +952,23 @@ class LakeTable:
                 F.min("lsn").alias("min_lsn"),
                 F.max("lsn").alias("max_lsn"),
                 F.count("*").alias("applied_count"),
+                # rides the existing pre-pass for free: merge treats any
+                # non-'D' op as a FULL-image upsert, so an op='P'
+                # (partial image: NULL = keep stored value) reaching here
+                # would silently overwrite stored values with NULLs.
+                # Callers must hydrate first (LakeTable.hydrate_patches /
+                # apply_batch(patches=...)).
+                F.max((F.col("op") == "P").cast("int")).alias("_has_p"),
             )
             .collect()
         )
+        if any(r["_has_p"] for r in lin_rows):
+            raise ValueError(
+                f"batch {batch_id} contains op='P' partial-image events; "
+                "merge() applies full images only — hydrate them first "
+                "(LakeTable.hydrate_patches) or enable patch probing in "
+                "apply_batch (patches='auto')"
+            )
         touched = [r["_bucket"] for r in lin_rows]
         touched_set = set(touched)
         old_files = [f for f in snap["files"] if f["bucket"] in touched_set]

@@ -76,7 +76,14 @@ def apply_batch(
         # with overwrite, so a checkpoint replay of this batch
         # rewrites (not duplicates) its dead letters — the quarantine
         # sink inherits the ledger's exactly-once semantics.
-        events, bad = split_events(events, table.snapshot()["key_cols"])
+        # patches=False => op='P' is quarantined as bad_op here instead
+        # of reaching merge(), which applies full images only and would
+        # raise on an unhydrated partial
+        events, bad = split_events(
+            events,
+            table.snapshot()["key_cols"],
+            allow_partial=(patches is not False),
+        )
         bad.write.mode("overwrite").parquet(
             os.path.join(quarantine_dir, f"batch_id={batch_id}")
         )
