@@ -43,6 +43,9 @@ _DEMOTED_TAIL = [
     # rows-only by construction (in-query accuracy asserts instead)
     "approx_distinct_users",
     "embedding_ivf_topk",
+    "max_lsn_dedup",        # strict subset of cdc_last_writer_wins
+                            # (in-window) + the whole CDC pytest suite;
+                            # makes room for cdc_clustered_file_skip
     # facets of text_signals_docs (identical expressions, one scan)
     "token_counts_docs",
     "quality_docs",

@@ -791,12 +791,12 @@ def test_concurrent_data_writes_never_clobber(spark, tmp_path, fixtures):
     orig_write = tB._write_data
     state = {"raced": False}
 
-    def interleaved(df, snap_, version, kind="base", pre_bucketed=False):
+    def interleaved(df, snap_, version, kind="base", pre_bucketed=False, **kw):
         if not state["raced"]:
             state["raced"] = True
             st_a = tA.merge(b0, 0, mode="mor")  # winner claims `version`
             assert st_a.applied and st_a.version == version
-        return orig_write(df, snap_, version, kind=kind, pre_bucketed=pre_bucketed)
+        return orig_write(df, snap_, version, kind=kind, pre_bucketed=pre_bucketed, **kw)
 
     tB._write_data = interleaved
     st_b = tB.merge(b1, 1, mode="mor")  # loser: rebases, commits version+1
@@ -871,12 +871,12 @@ def test_compact_retries_on_commit_race(spark, tmp_path, fixtures):
     orig_write = tB._write_data
     state = {"raced": False}
 
-    def interleaved(df, snap_, version, kind="base", pre_bucketed=False):
+    def interleaved(df, snap_, version, kind="base", pre_bucketed=False, **kw):
         if not state["raced"]:
             state["raced"] = True
             st = tA.merge(b1, 1, mode="mor")  # competitor claims `version`
             assert st.applied and st.version == version
-        return orig_write(df, snap_, version, kind=kind, pre_bucketed=pre_bucketed)
+        return orig_write(df, snap_, version, kind=kind, pre_bucketed=pre_bucketed, **kw)
 
     tB._write_data = interleaved
     v = tB.compact(min_deltas=1)

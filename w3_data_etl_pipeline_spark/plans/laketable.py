@@ -190,14 +190,22 @@ class LakeTable:
     # Pre-split snapshots (inline "files") load unchanged.
 
     _MANIFEST_CACHE_MAX = 8192
-    _STAT_KEYS = ("path", "kind", "rows", "bytes", "lsn_min", "lsn_max")
+    _STAT_KEYS = (
+        "path", "kind", "epoch", "rows", "bytes", "lsn_min", "lsn_max", "cmin", "cmax",
+    )
 
     @classmethod
     def _bucket_fingerprint(cls, entries: list[dict]) -> str:
         import hashlib
 
+        # json.dumps(sort_keys) so the cmin/cmax dicts hash
+        # deterministically regardless of build order
         lines = sorted(
-            "|".join(str(e.get(k)) for k in cls._STAT_KEYS) for e in entries
+            "|".join(
+                json.dumps(e.get(k), sort_keys=True, default=str)
+                for k in cls._STAT_KEYS
+            )
+            for e in entries
         )
         return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
@@ -214,6 +222,16 @@ class LakeTable:
     def _write_snapshot(self, snap: dict) -> None:
         snap = dict(snap)  # callers keep their materialized copy
         snap["committed_at"] = time.time()
+        # field-id reconciliation at the SINGLE commit choke point:
+        # any column the (possibly additively evolved) schema carries
+        # without an id gets a fresh one here, so every commit path
+        # (merge/overwrite/compact/rollback) keeps ids complete without
+        # knowing about them. Rename/drop pre-set the meta themselves
+        # and this is then a no-op.
+        self._ensure_field_meta(snap)
+        snap.update(
+            self._evolved_field_meta(snap, T.StructType.fromJson(snap["schema"]))
+        )
         files = snap.pop("files")
         snap.pop("manifests", None)  # stale parent pointers: recompute
         # provenance fast path: snapshot() records which manifest each
@@ -305,7 +323,152 @@ class LakeTable:
             # provenance for _write_snapshot's unchanged-bucket fast
             # path; stripped before serialization
             snap["_bucket_src"] = src
+        self._ensure_field_meta(snap)
         return snap
+
+    # -- field ids (Iceberg spec-v2 column identity) --------------------
+    #
+    # Every column owns a PERSISTENT FIELD ID; data files resolve their
+    # columns by the (id -> name) mapping of the SCHEMA EPOCH they were
+    # written under ("epoch" on each manifest entry, name_log in the
+    # snapshot). Rename and drop are therefore pure metadata commits:
+    # old files keep their physical names and the reader aliases them
+    # to the current names by id — a rename never forks history, and a
+    # re-added column (fresh id) never resurrects dropped data that
+    # happens to share its name. Pre-field-id snapshots migrate lazily:
+    # ids are assigned positionally and epoch-0 files map identically
+    # (sound because, before the first rename, current names == written
+    # names; additive evolution never changed a name).
+
+    def _ensure_field_meta(self, snap: dict) -> None:
+        if "field_ids" in snap:
+            return
+        names = [f.name for f in self.schema(snap).fields if f.name != LSN_COL]
+        snap["field_ids"] = {n: i + 1 for i, n in enumerate(names)}
+        snap["next_field_id"] = len(names) + 1
+        snap["schema_epoch"] = 0
+        snap["name_log"] = {"0": {str(i + 1): n for i, n in enumerate(names)}}
+
+    @staticmethod
+    def _evolved_field_meta(snap: dict, schema: T.StructType) -> dict:
+        """Field metadata for a commit whose (additively) evolved
+        ``schema`` may carry columns the snapshot has no id for yet.
+        New columns get fresh ids and are recorded in the CURRENT
+        epoch's map (no epoch bump: files of this epoch written before
+        the add simply lack the column and read as NULL). Returns
+        copies — never mutates ``snap``'s nested dicts (they may be
+        shared with cached manifest entries)."""
+        fids = dict(snap["field_ids"])
+        nxt = snap["next_field_id"]
+        epoch = snap["schema_epoch"]
+        log = {k: dict(v) for k, v in snap["name_log"].items()}
+        emap = log.setdefault(str(epoch), {})
+        for f_ in schema.fields:
+            if f_.name == LSN_COL or f_.name in fids:
+                continue
+            fids[f_.name] = nxt
+            emap[str(nxt)] = f_.name
+            nxt += 1
+        return {
+            "field_ids": fids,
+            "next_field_id": nxt,
+            "schema_epoch": epoch,
+            "name_log": log,
+        }
+
+    def rename_column(self, old: str, new: str, max_retries: int = 3) -> int:
+        """History-safe column rename (Iceberg ``ALTER ... RENAME``):
+        a metadata-only commit — no data file is touched. Old files
+        keep the old physical name; readers alias it by field id, so
+        reads, the change feed, and time travel all see one continuous
+        column. Key columns and ``_lsn`` never rename (the bucket
+        function and merge protocol are keyed on them)."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = self.schema(snap)
+            if old in snap["key_cols"] or old == LSN_COL:
+                raise ValueError(f"cannot rename key/meta column {old!r}")
+            if old not in schema.fieldNames():
+                raise ValueError(f"no such column {old!r}")
+            if new in schema.fieldNames() or new == LSN_COL:
+                raise ValueError(f"column {new!r} already exists")
+            fid = snap["field_ids"][old]
+            epoch = snap["schema_epoch"] + 1
+            fids = dict(snap["field_ids"])
+            del fids[old]
+            fids[new] = fid
+            log = {k: dict(v) for k, v in snap["name_log"].items()}
+            log[str(epoch)] = {
+                str(i): (new if i == fid else n)
+                for n, i in snap["field_ids"].items()
+            }
+            new_schema = T.StructType(
+                [
+                    T.StructField(new if f_.name == old else f_.name, f_.dataType, f_.nullable)
+                    for f_ in schema.fields
+                ]
+            )
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="rename-column",
+                schema=new_schema.jsonValue(),
+                field_ids=fids,
+                name_log=log,
+                schema_epoch=epoch,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"rename_column lost the commit race {max_retries + 1} times"
+        )
+
+    def drop_column(self, name: str, max_retries: int = 3) -> int:
+        """History-safe column drop: metadata-only. Old files keep the
+        physical column; readers simply never select it. A later
+        re-add under the same name gets a FRESH field id, so the
+        dropped data can never resurrect (old epochs' maps don't know
+        the new id -> those files read the column as NULL)."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = self.schema(snap)
+            if name in snap["key_cols"] or name == LSN_COL:
+                raise ValueError(f"cannot drop key/meta column {name!r}")
+            if name not in schema.fieldNames():
+                raise ValueError(f"no such column {name!r}")
+            fid = snap["field_ids"][name]
+            epoch = snap["schema_epoch"] + 1
+            fids = dict(snap["field_ids"])
+            del fids[name]
+            log = {k: dict(v) for k, v in snap["name_log"].items()}
+            log[str(epoch)] = {
+                str(i): n for n, i in fids.items()
+            }
+            new_schema = T.StructType(
+                [f_ for f_ in schema.fields if f_.name != name]
+            )
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="drop-column",
+                schema=new_schema.jsonValue(),
+                field_ids=fids,
+                name_log=log,
+                schema_epoch=epoch,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"drop_column lost the commit race {max_retries + 1} times"
+        )
 
     def schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snapshot()
@@ -323,6 +486,65 @@ class LakeTable:
         paths = [os.path.join(self.root, f) for f in files]
         # explicit schema => old files missing newly-added columns read as NULL
         return self.spark.read.schema(schema).parquet(*paths)
+
+    def _read_entries(
+        self, entries: list[dict], snap: dict, phys: T.StructType
+    ) -> DataFrame:
+        """Field-id-aware scan of manifest ENTRIES: files are grouped
+        by the schema epoch they were written under; each group is
+        read with that epoch's physical column names (resolved by
+        field id through ``name_log``) and aliased to the CURRENT
+        names, so renames never fork history. A current column whose
+        id wasn't live at a file's epoch reads as NULL — a re-added
+        name (fresh id) can never resurrect dropped data. The common
+        case — no rename/drop ever happened — collapses to a single
+        identity-mapped read, the exact plan `_read_files` produced
+        before field ids existed."""
+        fids = snap["field_ids"]
+        log = snap["name_log"]
+        by_epoch: dict[int, list[str]] = {}
+        for e in entries:
+            by_epoch.setdefault(int(e.get("epoch", 0)), []).append(e["path"])
+        ident_paths: list[str] = []
+        mapped: list[DataFrame] = []
+        for epoch, paths in sorted(by_epoch.items()):
+            emap = log.get(str(epoch))
+            if emap is None:
+                ident_paths.extend(paths)  # unknown epoch: trust names
+                continue
+            read_fields: list[T.StructField] = []
+            cols: list[F.Column] = []
+            identity = True
+            for f_ in phys.fields:
+                if f_.name in (LSN_COL, OP_COL):
+                    read_fields.append(f_)
+                    cols.append(F.col(f_.name))
+                    continue
+                fid = fids.get(f_.name)
+                old = emap.get(str(fid)) if fid is not None else None
+                if old is None:
+                    # column id didn't exist at this epoch
+                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+                    identity = False
+                else:
+                    read_fields.append(T.StructField(old, f_.dataType, True))
+                    cols.append(F.col(old).alias(f_.name))
+                    if old != f_.name:
+                        identity = False
+            if identity:
+                ident_paths.extend(paths)
+            else:
+                mapped.append(
+                    self._read_files(paths, T.StructType(read_fields)).select(*cols)
+                )
+        out = None
+        if ident_paths:
+            out = self._read_files(ident_paths, phys)
+        for df in mapped:
+            out = df if out is None else out.unionByName(df)
+        if out is None:
+            out = self.spark.createDataFrame([], phys)
+        return out
 
     def _phys_schema(self, snap: dict) -> T.StructType:
         """On-disk read schema: table schema + the _op tombstone column
@@ -345,7 +567,7 @@ class LakeTable:
 
     def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
         snap = self.snapshot(version)
-        df = self._read_files([f["path"] for f in snap["files"]], self._phys_schema(snap))
+        df = self._read_entries(snap["files"], snap, self._phys_schema(snap))
         if any(f.get("kind", "base") == "delta" for f in snap["files"]):
             df = self._resolve(df, snap)
         if not include_meta:
@@ -377,7 +599,7 @@ class LakeTable:
         ).distinct().collect():
             want_buckets.add(r["b"])
         files = [f for f in snap["files"] if f["bucket"] in want_buckets]
-        df = self._read_files([f["path"] for f in files], self._phys_schema(snap))
+        df = self._read_entries(files, snap, self._phys_schema(snap))
         # ROW-GROUP SKIPPING inside the surviving buckets: merge writes
         # each bucket's rows key-sorted (_first_per_key's window sort
         # is (_bucket, keys asc, ...) and the partitioned write keeps
@@ -399,6 +621,97 @@ class LakeTable:
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
         return df.join(F.broadcast(lookup), key_cols, "left_semi")
+
+    # ----- predicate-driven file skipping (Iceberg lower/upper_bounds) -----
+
+    _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+    @classmethod
+    def _bound_excludes(cls, entry: dict, col: str, op: str, val) -> bool:
+        """True iff the file's manifest bounds PROVE no row satisfies
+        ``col <op> val`` (NULL rows never satisfy a comparison, and
+        bounds cover exactly the non-NULL rows). Missing bounds —
+        pre-stats manifests, untracked types, all-NULL columns — never
+        exclude."""
+        lo = (entry.get("cmin") or {}).get(col)
+        hi = (entry.get("cmax") or {}).get(col)
+        if lo is None or hi is None:
+            return False
+        try:
+            if op in ("=", "=="):
+                return val < lo or val > hi
+            if op == "<":
+                return lo >= val
+            if op == "<=":
+                return lo > val
+            if op == ">":
+                return hi <= val
+            if op == ">=":
+                return hi < val
+        except TypeError:
+            return False  # incomparable predicate/bound types: keep
+        return False
+
+    def prune_files(self, snap: dict, predicates: list[tuple]) -> list[dict]:
+        """Manifest entries that can contain rows matching the AND of
+        ``predicates`` (each ``(col, op, value)``, op in _PRUNE_OPS).
+        O(metadata) — no file is opened. MOR safety: a bucket holding
+        ANY delta file is exempt (kept whole): last-writer-wins
+        resolution needs every version of a key, and skipping the
+        delta carrying a key's latest (non-matching) row would let a
+        stale matching row win. Base-only buckets prune per file —
+        each live key's single current row either matches (its file is
+        kept) or is filtered out anyway."""
+        preds = []
+        for col, op, val in predicates:
+            if op not in self._PRUNE_OPS:
+                raise ValueError(f"unsupported prune op {op!r}")
+            preds.append((col, op, self._json_bound(val)))
+        delta_buckets = {
+            f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
+        }
+        return [
+            f
+            for f in snap["files"]
+            if f["bucket"] in delta_buckets
+            or not any(
+                v is not None and self._bound_excludes(f, c, o, v)
+                for (c, o, v) in preds
+            )
+        ]
+
+    def read_where(
+        self, predicates: list[tuple], version: int | None = None
+    ) -> DataFrame:
+        """Filtered table scan with FILE-LEVEL data skipping: files
+        whose manifest value bounds exclude the predicate conjunction
+        are never opened (prune_files), the surviving files still get
+        the predicate pushed into the parquet scan (row-group
+        skipping), and the exact filter is applied on top — so the
+        result equals ``read().filter(...)`` regardless of how
+        selective the bounds were. Pair with
+        ``compact(cluster_by=[...])`` to give the bounds something to
+        bite on: after a clustered rewrite a selective predicate opens
+        O(matching) files instead of every live file."""
+        snap = self.snapshot(version)
+        files = self.prune_files(snap, predicates)
+        df = self._read_entries(files, snap, self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in files):
+            df = self._resolve(df, snap)
+        df = df.drop(LSN_COL, OP_COL)
+        cond = None
+        for col, op, val in predicates:
+            c = F.col(col)
+            e = {
+                "=": c == val,
+                "==": c == val,
+                "<": c < val,
+                "<=": c <= val,
+                ">": c > val,
+                ">=": c >= val,
+            }[op]
+            cond = e if cond is None else cond & e
+        return df.filter(cond) if cond is not None else df
 
     @staticmethod
     def _files_by_bucket(snap: dict) -> dict[int, tuple[str, ...]]:
@@ -464,7 +777,10 @@ class LakeTable:
 
         def _side(snap: dict) -> DataFrame:
             files = [f for f in snap["files"] if f["bucket"] in changed]
-            df = self._read_files([f["path"] for f in files], phys)
+            # field-id meta from snap_b: name_log is append-only, so it
+            # resolves snap_a-era epochs too — the feed sees ONE
+            # continuous column across a rename boundary
+            df = self._read_entries(files, snap_b, phys)
             if any(f.get("kind", "base") == "delta" for f in files):
                 df = self._resolve(df, snap)
             else:
@@ -590,6 +906,10 @@ class LakeTable:
                 T.StructField("bytes", T.LongType()),
                 T.StructField("lsn_min", T.LongType()),
                 T.StructField("lsn_max", T.LongType()),
+                # per-value-column bounds as JSON maps (Iceberg
+                # lower_bounds/upper_bounds); NULL for pre-stats files
+                T.StructField("cmin", T.StringType()),
+                T.StructField("cmax", T.StringType()),
             ]
         )
         rows = [
@@ -601,6 +921,8 @@ class LakeTable:
                 f.get("bytes"),
                 f.get("lsn_min"),
                 f.get("lsn_max"),
+                json.dumps(f["cmin"], sort_keys=True) if f.get("cmin") else None,
+                json.dumps(f["cmax"], sort_keys=True) if f.get("cmax") else None,
             )
             for f in snap["files"]
         ]
@@ -777,7 +1099,14 @@ class LakeTable:
         return new["version"]
 
     def _write_data(
-        self, df: DataFrame, snap: dict, version: int, kind: str = "base", pre_bucketed: bool = False
+        self,
+        df: DataFrame,
+        snap: dict,
+        version: int,
+        kind: str = "base",
+        pre_bucketed: bool = False,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> list[dict]:
         # write-once, collision-free: two optimistic writers racing for
         # the same version number must NEVER target the same directory —
@@ -796,7 +1125,19 @@ class LakeTable:
             df = df.withColumn("_bucket", self._bucket_expr(snap)).repartition(
                 max(1, min(snap["n_buckets"], par)), "_bucket"
             )
-        df.write.partitionBy("_bucket").mode("overwrite").parquet(out)
+        if cluster_by:
+            # value clustering (Iceberg sort-order rewrite): sorting
+            # each task's stream by (_bucket, cluster cols) keeps the
+            # per-bucket dirs contiguous AND makes every emitted file a
+            # contiguous value range, so the manifest cmin/cmax bounds
+            # are tight and read_where skips non-matching files.
+            # max_records_per_file splits a bucket into several such
+            # ranges — the skipping granularity knob.
+            df = df.sortWithinPartitions("_bucket", *cluster_by)
+        writer = df.write.partitionBy("_bucket").mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(out)
         files = []
         for dirpath, _dirs, names in os.walk(out):
             for n in names:
@@ -808,6 +1149,10 @@ class LakeTable:
                             "path": os.path.relpath(full, self.root),
                             "bucket": b,
                             "kind": kind,
+                            # schema epoch the physical column names were
+                            # written under — _read_entries resolves them
+                            # back to current names by field id
+                            "epoch": snap.get("schema_epoch", 0),
                         }
                     )
         # footer-only reads: measured 42 ms for 256 files on this
@@ -817,17 +1162,50 @@ class LakeTable:
             f.update(self._file_stats(os.path.join(self.root, f["path"])))
         return files
 
-    @staticmethod
-    def _file_stats(path: str) -> dict:
+    # longest string bound persisted to the manifest: parquet writers
+    # may truncate binary stats (Spark pads a truncated max so it stays
+    # a valid upper bound, but belt-and-braces we only trust values
+    # comfortably below any truncation threshold)
+    _MAX_STR_BOUND = 48
+
+    @classmethod
+    def _json_bound(cls, v):
+        """Normalize a parquet statistics value (or a predicate value)
+        into a JSON-storable, order-preserving form. Returns None for
+        types we don't track. ISO strings keep date/timestamp ordering;
+        hex keeps bytes ordering."""
+        import datetime
+
+        if isinstance(v, bool) or v is None:
+            return None  # boolean bounds prune nothing useful
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            return v if len(v) <= cls._MAX_STR_BOUND else None
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep=" ", timespec="microseconds")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.hex() if len(v) <= cls._MAX_STR_BOUND else None
+        return None
+
+    @classmethod
+    def _file_stats(cls, path: str) -> dict:
         """Per-file manifest stats — the analogue of an Iceberg
         manifest entry's ``record_count`` / ``file_size_in_bytes`` /
-        column bounds. Footer-only: no data pages are read, one
-        metadata parse per file THIS commit wrote (on a real cluster
-        these stats ride the task commit messages instead; locally the
-        driver reads the footers it just wrote — O(files per commit)).
-        Advisory by contract: a commit never fails over stats, and
-        every consumer treats missing keys as unknown (pre-upgrade
-        manifests carry none)."""
+        ``lower_bounds``/``upper_bounds``. Footer-only: no data pages
+        are read, one metadata parse per file THIS commit wrote (on a
+        real cluster these stats ride the task commit messages instead;
+        locally the driver reads the footers it just wrote — O(files
+        per commit)). ``cmin``/``cmax`` hold per-VALUE-column bounds
+        for every scalar column whose every row group carries exact
+        min/max — the inputs to predicate-driven file skipping
+        (prune_files/read_where), the top 100 TB lever beyond bucket
+        pruning: an analytical filter over a clustered table opens only
+        the files whose bounds intersect it. Advisory by contract: a
+        commit never fails over stats, and every consumer treats
+        missing keys as unknown (pre-upgrade manifests carry none)."""
         import pyarrow.parquet as pq
 
         out: dict = {"rows": None, "bytes": None, "lsn_min": None, "lsn_max": None}
@@ -835,19 +1213,37 @@ class LakeTable:
             out["bytes"] = os.path.getsize(path)
             md = pq.ParquetFile(path).metadata
             out["rows"] = md.num_rows
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            c = idx.get(LSN_COL)
-            if c is not None:
-                mins: list[int] = []
-                maxs: list[int] = []
+            cmin: dict = {}
+            cmax: dict = {}
+            for i in range(md.num_columns):
+                name = md.schema.column(i).name
+                if name == OP_COL or "." in name:  # scalar leaves only
+                    continue
+                mins: list = []
+                maxs: list = []
+                complete = True
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(c).statistics
-                    if st is not None and st.has_min_max:
-                        mins.append(st.min)
-                        maxs.append(st.max)
-                if mins:
-                    out["lsn_min"] = int(min(mins))
-                    out["lsn_max"] = int(max(maxs))
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        complete = False
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if not (complete and mins):
+                    continue
+                lo = cls._json_bound(min(mins))
+                hi = cls._json_bound(max(maxs))
+                if lo is None or hi is None:
+                    continue
+                if name == LSN_COL:
+                    out["lsn_min"] = int(lo)
+                    out["lsn_max"] = int(hi)
+                else:
+                    cmin[name] = lo
+                    cmax[name] = hi
+            if cmin:
+                out["cmin"] = cmin
+                out["cmax"] = cmax
         except Exception:
             pass  # advisory only
         return out
@@ -1029,7 +1425,7 @@ class LakeTable:
         # exchange. The output is already partitioned by _bucket so
         # the write adds no further exchange.
         phys = T.StructType(schema.fields + [T.StructField(OP_COL, T.StringType(), True)])
-        tgt = self._read_files([f["path"] for f in old_files], phys).withColumn(
+        tgt = self._read_entries(old_files, snap, phys).withColumn(
             "_bucket", self._bucket_expr(snap)
         ).withColumn("_src", F.lit(0))
         ev_aligned = deduped.select(
@@ -1214,6 +1610,8 @@ class LakeTable:
         min_deltas: int | None = None,
         min_delta_rows: int | None = None,
         max_retries: int = 3,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> int:
         """Fold MOR deltas into base files and collapse small files.
 
@@ -1243,17 +1641,33 @@ class LakeTable:
         the wrong bucket first. A delta file from a pre-stats manifest
         has unknown mass and conservatively marks its bucket
         foldable. Thresholds OR together. Returns the current version
-        unchanged when no bucket crosses (no empty snapshots)."""
+        unchanged when no bucket crosses (no empty snapshots).
+
+        cluster_by=[cols]: the rewrite additionally SORTS each bucket
+        by the given value columns and (with max_records_per_file)
+        splits it into value-contiguous files, making the manifest
+        cmin/cmax bounds selective — the Iceberg sort-order
+        rewrite_data_files analogue that turns read_where's file
+        skipping from a no-op (hash-bucketed layout: every file spans
+        the full value range) into O(matching files)."""
         for _ in range(max_retries + 1):
             try:
-                return self._compact_once(min_deltas, min_delta_rows)
+                return self._compact_once(
+                    min_deltas, min_delta_rows, cluster_by, max_records_per_file
+                )
             except FileExistsError:
                 continue  # lost the version race: recompute the fold
         raise CommitConflictError(
             f"compact lost the commit race {max_retries + 1} times"
         )
 
-    def _compact_once(self, min_deltas: int | None, min_delta_rows: int | None = None) -> int:
+    def _compact_once(
+        self,
+        min_deltas: int | None,
+        min_delta_rows: int | None = None,
+        cluster_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
         snap = self.snapshot()
         if min_deltas is None and min_delta_rows is None:
             fold_files = snap["files"]
@@ -1285,12 +1699,19 @@ class LakeTable:
         # resolving a bucket subset is safe: _bucket is a pure function
         # of the key, so every row of a key lives in exactly one bucket
         # and all of that bucket's files are in the fold set
-        df = self._read_files([f["path"] for f in fold_files], self._phys_schema(snap))
+        df = self._read_entries(fold_files, snap, self._phys_schema(snap))
         if any(f.get("kind", "base") == "delta" for f in fold_files):
             df = self._resolve(df, snap)
         df = df.drop(OP_COL)
         version = snap["version"] + 1
-        files = self._write_data(df, snap, version, kind="base")
+        files = self._write_data(
+            df,
+            snap,
+            version,
+            kind="base",
+            cluster_by=cluster_by,
+            max_records_per_file=max_records_per_file,
+        )
         new = dict(snap)
         new.update(
             version=version,
@@ -1335,7 +1756,7 @@ class LakeTable:
             r["_bucket"] for r in ev.select("_bucket").distinct().collect()
         }  # O(n_buckets) metadata collect, same as merge's lineage pre-pass
         files = [f for f in snap["files"] if f["bucket"] in touched]
-        base = self._read_files([f["path"] for f in files], self._phys_schema(snap))
+        base = self._read_entries(files, snap, self._phys_schema(snap))
         if any(f.get("kind", "base") == "delta" for f in files):
             from ..operators.dedupe import latest_by_key
 

@@ -785,6 +785,65 @@ def time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_clustered_file_skip",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, event_type, value FROM s WHERE value >= 50.0
+    """,
+)
+def cdc_clustered_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-column data skipping on the oracle gate (the Iceberg
+    manifest lower_bounds/upper_bounds analogue): the events stream is
+    merged, the table is rewritten CLUSTERED on `value`
+    (compact(cluster_by) — Iceberg's sort-order rewrite), and the
+    selective read goes through read_where, which opens ONLY the files
+    whose manifest bounds intersect `value >= 50` (file-level
+    skipping, pinned by tests/test_file_skipping.py) yet must equal
+    the oracle's full-scan LWW + filter. At 100 TB this is the
+    difference between an analytical predicate scanning every live
+    file and scanning O(matching) files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_skip_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev, 0)
+        table.compact(cluster_by=["value"], max_records_per_file=8)
+        rows = table.read_where([("value", ">=", 50.0)]).collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_quarantine",
     """
     SELECT event_id,
