@@ -51,6 +51,9 @@ _DEMOTED_TAIL = [
     "quality_docs",
     "fingerprint_docs",
     # near-duplicate coverage of in-window queries
+    "jsonl_roundtrip_docs",     # format-boundary fidelity; pytest +
+                                # locally gated (makes room for
+                                # cdc_rename_evolution)
     "supplier_acctbal_by_nation",  # multi-key GROUP BY (A6) covered by price_banding
     "setops_customers",            # UNION/INTERSECT/EXCEPT; pytest + locally gated
     "distinct_mktsegment",      # strict prefix of dim_mktsegment

@@ -661,12 +661,42 @@ class LakeTable:
         delta carrying a key's latest (non-matching) row would let a
         stale matching row win. Base-only buckets prune per file —
         each live key's single current row either matches (its file is
-        kept) or is filtered out anyway."""
+        kept) or is filtered out anyway.
+
+        Rename-safe: bounds live in manifests under the PHYSICAL name
+        the file was written with, so each predicate column resolves
+        through its field id to the file's epoch name before the
+        lookup (after ``rename a->c; rename b->a``, a predicate on
+        current ``a`` must check old files' ``b`` bounds — a raw
+        name lookup would read original ``a``'s and mis-prune). A
+        base file whose epoch PREDATES the column's existence holds
+        only NULLs for it, and NULL never satisfies a comparison, so
+        it prunes outright."""
         preds = []
         for col, op, val in predicates:
             if op not in self._PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
             preds.append((col, op, self._json_bound(val)))
+        fids = snap.get("field_ids") or {}
+        log = snap.get("name_log") or {}
+
+        def _phys(col: str, epoch: int) -> str | None:
+            """Column's physical name at ``epoch``; None => the column
+            (by id) did not exist in files of that epoch."""
+            fid = fids.get(col)
+            if fid is None:
+                return col  # meta column / pre-field-id snapshot
+            emap = log.get(str(epoch))
+            if emap is None:
+                return col  # unknown epoch: trust the current name
+            return emap.get(str(fid))
+
+        def _excludes(f: dict, col: str, op: str, val) -> bool:
+            pcol = _phys(col, int(f.get("epoch", 0)))
+            if pcol is None:
+                return True  # column born after this file: all NULL
+            return self._bound_excludes(f, pcol, op, val)
+
         delta_buckets = {
             f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
         }
@@ -675,8 +705,7 @@ class LakeTable:
             for f in snap["files"]
             if f["bucket"] in delta_buckets
             or not any(
-                v is not None and self._bound_excludes(f, c, o, v)
-                for (c, o, v) in preds
+                v is not None and _excludes(f, c, o, v) for (c, o, v) in preds
             )
         ]
 

@@ -844,6 +844,76 @@ def cdc_clustered_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_rename_evolution",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, value AS metric
+    FROM s WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_rename_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-id rename evolution on the oracle gate (Iceberg spec-v2
+    column identity): the first half of the stream is merged under the
+    name `value`, the column is renamed to `metric` (metadata-only —
+    zero files rewritten), and the second half arrives as a MOR delta
+    under the NEW name. The final read therefore resolves old-epoch
+    base files (physical name `value`) against new-epoch deltas by
+    FIELD ID — one continuous column, equal to the oracle's plain LWW
+    over the whole stream. At 100 TB this is what makes a rename a
+    metadata commit instead of a table rewrite."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_rename_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        mid = e.agg(F.percentile_approx("event_id", 0.5)).collect()[0][0]
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid), 0)
+        table.rename_column("value", "metric")
+        table.merge(
+            ev.filter(F.col("lsn") > mid).withColumnRenamed("value", "metric"),
+            1,
+            mode="mor",
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("metric", T.DoubleType()),
+            ]
+        )
+        rows = table.read().select("user_id", "event_type", "metric").collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_quarantine",
     """
     SELECT event_id,
