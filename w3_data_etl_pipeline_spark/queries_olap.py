@@ -147,37 +147,54 @@ _MEDIA_BUCKETS = ",\n           ".join(
     f"""
     WITH c AS (
       SELECT doc_id,
-             list_transform(string_split(text, ''), x -> ord(x) // 16) AS bs,
-             length(text) AS nb
+             3 * (length(text) // 3) AS body,
+             list_transform(
+               string_split(substr(text, 1, 3 * (length(text) // 3)), ''),
+               x -> ord(x) // 16) AS bs
       FROM documents)
-    SELECT doc_id AS media_id, 'image' AS kind, CAST(nb AS BIGINT) AS n_bytes,
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(length('P6' || chr(10) || CAST(body // 3 AS VARCHAR)
+                 || ' 1' || chr(10) || '255' || chr(10)) + body AS BIGINT)
+             AS n_bytes,
            {_MEDIA_BUCKETS}
     FROM c
     """,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal path driven from the documents table: text bytes as
-    the opaque binary payload -> mapInPandas byte-bucket histogram,
-    emitted as 16 integer count columns. The oracle reproduces the
-    histogram in DuckDB from codepoints (documents are ASCII, so
-    codepoint buckets == byte buckets — asserted by the hash match)."""
-    from .operators.multimodal import extract_feature_counts
+    """Multimodal path driven from the documents table, with the REAL
+    codec load-bearing end to end: each document's bytes are framed
+    JVM-side into a genuine binary PPM container (width = len//3,
+    height 1), the mapInPandas pass runs the actual P6 parser
+    (operators.multimodal.decode_media — header validation, geometry,
+    byte layout), and the 16 bucket-count columns are decoded PIXEL
+    stats. The oracle reproduces them in DuckDB from the codepoints of
+    the framed prefix (documents are ASCII, so codepoint buckets ==
+    pixel-byte buckets) plus the exact header length — a hash mismatch
+    means the parser mis-read real container bytes."""
+    from .operators.multimodal import decode_media, extract_feature_counts
 
     d = t(spark, sf_dir, "documents")
+    w = (F.length("text") / 3).cast("long")
+    header = F.encode(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" 1\n255\n")), "utf-8"
+    )
+    body = F.encode(
+        F.expr("substr(text, 1, 3 * CAST(length(text) / 3 AS INT))"), "utf-8"
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("bytes"),
+        F.concat(header, body).alias("bytes"),
         F.struct(
-            F.lit("synthetic/v1").alias("format"),
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
+            F.lit("image/ppm").alias("format"),
+            w.cast("int").alias("width"),
+            F.lit(1).alias("height"),
             F.lit(16000).alias("sample_rate"),
             F.lit(1000).alias("duration_ms"),
             F.lit(1).alias("n_frames"),
         ).alias("meta"),
     )
-    return extract_feature_counts(media)
+    return extract_feature_counts(media, decoder=decode_media)
 
 
 # ---------------------------------------------------------------------------
