@@ -58,6 +58,10 @@ EXTENDED = [
     "paragraph_dedup_docs",
     "range_frame_weekly_revenue",
     "unpivot_charge_components",
+    # round 4: file skipping, field-id evolution, real-codec media
+    "cdc_clustered_file_skip",
+    "cdc_rename_evolution",
+    "media_features",
 ]
 
 
@@ -78,6 +82,7 @@ def bench_cdc(
     mode: str = "cow",
     content_max: int = 4096,
     enrich: bool = True,
+    hot_key_frac: float = 0.0,
 ) -> float:
     """events/sec through enrich + fused-dedup bucketed MERGE commits
     (batch mode: measures the engine apply path without file-stream
@@ -104,6 +109,19 @@ def bench_cdc(
         events = datagen.change_events(
             spark, n_events, int(n_keys * 1.2), content_max=content_max
         )
+        if hot_key_frac:
+            # adversarial hot KEY: this fraction of the stream lands on
+            # one (repo, path) — the worst case for the bucket shuffle
+            # (a hot key is indivisible storage-side, exactly like one
+            # Kafka partition key)
+            from pyspark.sql import functions as F
+
+            hot = F.pmod(F.col("lsn"), F.lit(int(round(1 / hot_key_frac)))) == 0
+            events = events.withColumn(
+                "repo", F.when(hot, F.lit("org0/hotrepo")).otherwise(F.col("repo"))
+            ).withColumn(
+                "path", F.when(hot, F.lit("src/hot.rs")).otherwise(F.col("path"))
+            )
         per = n_events // n_batches
         batches = []
         for i in range(n_batches):
@@ -164,8 +182,15 @@ def main() -> None:
         t0 = time.time()
         _ = fn(spark, sf_dir).count()
         timings_warm[name] = round(time.time() - t0, 3)
-    cdc_eps = bench_cdc(spark, mode="cow")
-    cdc_eps_mor = bench_cdc(spark, mode="mor")
+    if os.environ.get("SPARK_GRAFT_SKIP_CDC"):
+        # scale-escalation runs (BENCH/make_sfN.py) time the query set
+        # only; the CDC microbench is sf-independent
+        cdc_eps = cdc_eps_mor = cdc_eps_mor_hot = 0.0
+    else:
+        cdc_eps = bench_cdc(spark, mode="cow")
+        cdc_eps_mor = bench_cdc(spark, mode="mor")
+        # skew datapoint: 50% of events on ONE (repo, path)
+        cdc_eps_mor_hot = bench_cdc(spark, mode="mor", hot_key_frac=0.5)
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     # pure-CPU host probe (Mmd5/s across 8 processes, same probe the
@@ -193,6 +218,7 @@ def main() -> None:
                 "sf": sf,
                 "cdc_events_per_sec": round(cdc_eps, 1),
                 "cdc_events_per_sec_mor": round(cdc_eps_mor, 1),
+                "cdc_events_per_sec_mor_hotkey": round(cdc_eps_mor_hot, 1),
                 "cpus": int(cpus),
             }
         )

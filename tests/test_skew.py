@@ -47,3 +47,44 @@ def test_salted_repartition_balances_hot_keys(spark):
     # content preserved bit-for-bit (same multiset of rows)
     assert salted.exceptAll(hot).count() == 0
     assert hot.exceptAll(salted).count() == 0
+
+
+def test_merge_hot_key_guard(spark, tmp_path):
+    """A batch whose rows concentrate on ONE key (one bucket) trips the
+    merge's gated pre-reduce (detected for free from the lineage
+    pre-pass counts) and still converges to the exact oracle state —
+    the salted per-(salt, key) max-LSN reduce must keep the same
+    global winner per key, tombstones included."""
+    from pyspark.sql import functions as F
+
+    from w3_data_etl_pipeline_spark import oracle
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+    n = 150_000
+    base = datagen.change_events(spark, n, 500, dup_every=0, content_max=48)
+    hot = F.pmod(F.col("lsn"), F.lit(2)) == 0  # 50% on one key
+    events = base.withColumn(
+        "repo", F.when(hot, F.lit("org0/hot")).otherwise(F.col("repo"))
+    ).withColumn("path", F.when(hot, F.lit("src/hot.rs")).otherwise(F.col("path")))
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SOURCE_FILES, ["repo", "path"], n_buckets=8
+    )
+    st = t.merge(events, 0)
+    assert st.applied and st.skew_prereduced, "hot-key guard never fired"
+
+    event_rows = [r.asDict() for r in events.collect()]
+    exp = oracle.expected_fingerprint(oracle.reduce_events([], event_rows))
+    got = {
+        (r["repo"], r["path"]): r["content_sha"]
+        for r in t.state_fingerprint().collect()
+    }
+    assert got == exp
+
+    # uniform batches keep the single-shuffle plan (guard stays off)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), SOURCE_FILES, ["repo", "path"], n_buckets=8
+    )
+    st2 = t2.merge(base.limit(20_000), 0)
+    assert st2.applied and not st2.skew_prereduced

@@ -85,6 +85,7 @@ class MergeStats:
     deduped_rows: int = 0  # events consumed from the batch (pre-dedup count)
     touched_buckets: int = 0
     output_rows: int = 0
+    skew_prereduced: bool = False  # hot-key guard pre-reduce fired
     lineage: list[dict] = field(default_factory=list)
 
 
@@ -1408,6 +1409,41 @@ class LakeTable:
         n_part = max(1, min(snap["n_buckets"], 2 * par))
         tie = [F.col("commit").desc_nulls_last()] if "commit" in value_cols else []
 
+        # HOT-KEY GUARD: a key is indivisible in the bucket shuffle
+        # (its bucket is one reduce task), so a Zipf-hot key turns the
+        # merge into one straggler task dragging 2x-cores-1 idle
+        # peers. Detection is FREE — the lineage pre-pass above
+        # already counted rows per bucket. When one bucket is
+        # pathological (>4x the mean and >50k rows), pre-reduce the
+        # batch with a SALTED per-(salt, key) max-LSN window: the salt
+        # (hash of lsn, so (key, lsn) ties stay co-grouped for the
+        # commit tie-break) splits the hot key across n_part balanced
+        # groups, each keeping one winner, so <= n_part rows per key
+        # reach the bucket shuffle. Gated because it costs an extra
+        # full-row exchange — worth it only when the straggler term
+        # dominates; uniform batches keep the single-shuffle plan.
+        skew_prereduced = False
+        counts = [r["applied_count"] for r in lin_rows]
+        if counts:
+            mx = max(counts)
+            if mx > 50_000 and mx > 4 * (sum(counts) / len(counts)):
+                skew_prereduced = True
+                salt = F.pmod(F.xxhash64("lsn"), F.lit(n_part))
+                pre_tie = (
+                    [F.col("commit").desc_nulls_last()]
+                    if "commit" in deduped.columns
+                    else []
+                )
+                w = Window.partitionBy("_salt", *keys).orderBy(
+                    F.col("lsn").desc_nulls_last(), *pre_tie
+                )
+                deduped = (
+                    deduped.withColumn("_salt", salt)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_salt")
+                )
+
         if mode == "mor":
             # merge-on-read: repartition the batch by _bucket (the
             # only shuffle), dedup per key inside each bucket
@@ -1440,9 +1476,11 @@ class LakeTable:
                 if touched
                 else []
             )
-            return self._commit_merge(
+            st = self._commit_merge(
                 snap, schema, batch_id, version, new_files, lin_rows, touched, kind="delta"
             )
+            st.skew_prereduced = skew_prereduced
+            return st
 
         # COW as ONE bucket-partitioned pass (no join): union the
         # touched buckets' rows with the RAW batch, repartition by
@@ -1484,9 +1522,11 @@ class LakeTable:
         new_files = (
             self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
         )
-        return self._commit_merge(
+        st = self._commit_merge(
             snap, schema, batch_id, version, new_files, lin_rows, touched, kind="base"
         )
+        st.skew_prereduced = skew_prereduced
+        return st
 
     @staticmethod
     def _first_per_key(df: DataFrame, keys: list[str], order: list[F.Column]) -> DataFrame:
