@@ -76,17 +76,18 @@ def main() -> int:
         table = LakeTable.create(spark, root, SOURCE_FILES, ["repo", "path"], n_buckets=64)
         table.overwrite(spark.read.parquet(snap_dir), lsn=0)
 
+        # single-pass staging: per-segment filter writes would regenerate
+        # the full stream once per segment (O(n_batches * n_events))
+        from pyspark.sql import functions as F
+
         events = datagen.change_events(
             spark, n_batches * per_batch, int(n_keys * 1.2), content_max=content_max
         )
-        segs = []
-        for i in range(n_batches):
-            lo, hi = i * per_batch + 1, (i + 1) * per_batch
-            seg = os.path.join(work, f"wal_{i:04d}")
-            events.filter((events.lsn >= lo) & (events.lsn <= hi)).write.mode(
-                "overwrite"
-            ).parquet(seg)
-            segs.append(seg)
+        wal_root = os.path.join(work, "wal")
+        events.withColumn(
+            "seg", ((F.col("lsn") - 1) / per_batch).cast("long")
+        ).write.partitionBy("seg").mode("overwrite").parquet(wal_root)
+        segs = [os.path.join(wal_root, f"seg={i}") for i in range(n_batches)]
 
         def apply_one(tbl: LakeTable, i: int):
             return apply_batch(
@@ -143,7 +144,7 @@ def main() -> int:
             f"""
             WITH ev AS (
               SELECT repo, path, lsn, op, content
-              FROM read_parquet('{work}/wal_*/*.parquet')
+              FROM read_parquet('{wal_root}/seg=*/*.parquet')
             ),
             base AS (
               SELECT repo, path, lsn, 'I' AS op, content
