@@ -87,6 +87,7 @@ class MergeStats:
     output_rows: int = 0
     skew_prereduced: bool = False  # hot-key guard pre-reduce fired
     lineage: list[dict] = field(default_factory=list)
+    stage_id: str | None = None  # set when the commit was staged (WAP), not applied
 
 
 class LakeTable:
@@ -1319,6 +1320,7 @@ class LakeTable:
         batch_id: int,
         mode: str = "cow",
         assume_deduped: bool = False,
+        stage_id: str | None = None,
     ) -> MergeStats:
         """Apply one microbatch of change events (raw or pre-deduped).
 
@@ -1353,6 +1355,15 @@ class LakeTable:
         mode='mor' (merge-on-read): appends the deduped batch as delta
         files; write cost ∝ batch bytes (the CDC-throughput path),
         readers pay one max-LSN window until compact() folds deltas.
+
+        stage_id (write-audit-publish, Iceberg's wap.id analogue):
+        when set, the merge runs in full — data files become durable —
+        but the commit is written to a STAGED ref instead of claiming
+        a snapshot version: ``current`` does not move and readers see
+        nothing. Audit the result with ``read_staged(stage_id)``, then
+        ``publish(stage_id)`` (strict fast-forward against whatever
+        main looks like then) or ``abandon(stage_id)``. Returns
+        MergeStats(applied=False, stage_id=...).
         """
         snap = self.snapshot()
         if self._ledger_contains(snap["ledger"], batch_id):
@@ -1476,9 +1487,14 @@ class LakeTable:
                 if touched
                 else []
             )
-            st = self._commit_merge(
-                snap, schema, batch_id, version, new_files, lin_rows, touched, kind="delta"
-            )
+            if stage_id is not None:
+                st = self._commit_staged(
+                    snap, schema, batch_id, new_files, lin_rows, touched, "delta", stage_id
+                )
+            else:
+                st = self._commit_merge(
+                    snap, schema, batch_id, version, new_files, lin_rows, touched, kind="delta"
+                )
             st.skew_prereduced = skew_prereduced
             return st
 
@@ -1522,9 +1538,14 @@ class LakeTable:
         new_files = (
             self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
         )
-        st = self._commit_merge(
-            snap, schema, batch_id, version, new_files, lin_rows, touched, kind="base"
-        )
+        if stage_id is not None:
+            st = self._commit_staged(
+                snap, schema, batch_id, new_files, lin_rows, touched, "base", stage_id
+            )
+        else:
+            st = self._commit_merge(
+                snap, schema, batch_id, version, new_files, lin_rows, touched, kind="base"
+            )
         st.skew_prereduced = skew_prereduced
         return st
 
@@ -1671,6 +1692,238 @@ class LakeTable:
             touched_buckets=len(touched),
             lineage=lineage,
         )
+
+    # ---------------- write-audit-publish (staged commits) ----------------
+    #
+    # Iceberg's WAP pattern (wap.id + cherry-pick / audit branch +
+    # fast_forward) for CDC ingest: apply a suspect batch WITHOUT
+    # moving ``current``, run validation queries against the staged
+    # result, then publish (a pure-metadata fast-forward commit) or
+    # abandon (data files become grace-gated orphans). Staged refs
+    # live OUTSIDE the v*.json namespace on purpose: a staged commit
+    # must never occupy a version number, or every optimistic claim
+    # loop in merge/compact/rename/rollback would collide with it
+    # forever (current never reaches it, so version=current+1 would
+    # retry the same taken number).
+
+    def _staged_path(self, stage_id: str) -> str:
+        if (
+            not stage_id
+            or stage_id != os.path.basename(stage_id)
+            or ".." in stage_id
+            or stage_id.startswith(".")
+        ):
+            raise ValueError(f"invalid stage_id {stage_id!r}")
+        return os.path.join(self._meta, f"staged-{stage_id}.json")
+
+    def staged_ids(self) -> list[str]:
+        """Stage ids with a live staged commit (audit-pending)."""
+        try:
+            names = os.listdir(self._meta)
+        except FileNotFoundError:
+            return []
+        return sorted(
+            n[len("staged-") : -len(".json")]
+            for n in names
+            if n.startswith("staged-") and n.endswith(".json")
+        )
+
+    def _load_staged(self, stage_id: str) -> dict:
+        try:
+            with open(self._staged_path(stage_id)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"no staged commit {stage_id!r}") from None
+
+    def _commit_staged(
+        self,
+        snap: dict,
+        schema: T.StructType,
+        batch_id: int,
+        new_files: list[dict],
+        lin_rows,
+        touched: list[int],
+        kind: str,
+        stage_id: str,
+    ) -> MergeStats:
+        """Stage 1 of WAP: persist everything publish() needs as a
+        staged ref — the new file entries (data already durable), the
+        unified schema, the base's per-touched-bucket file lists (the
+        COW conflict check), its schema epoch (the rename/drop
+        conflict check), and the lineage pre-pass rows (lineage is
+        written at PUBLISH with the final version, so abandoned
+        stages leave no audit rows). Exclusive-create: a duplicate
+        stage_id is an error, not an overwrite."""
+        by_bucket = self._files_by_bucket(snap)
+        doc = {
+            "stage_id": stage_id,
+            "batch_id": int(batch_id),
+            "kind": kind,
+            "schema": schema.jsonValue(),
+            "base_version": snap["version"],
+            "base_schema_epoch": snap.get("schema_epoch", 0),
+            "base_touched": {
+                str(b): list(by_bucket.get(b, ())) for b in touched
+            },
+            "touched": [int(b) for b in touched],
+            "new_files": new_files,
+            "lin_rows": [
+                {
+                    "_bucket": int(r["_bucket"]),
+                    "min_lsn": int(r["min_lsn"]),
+                    "max_lsn": int(r["max_lsn"]),
+                    "applied_count": int(r["applied_count"]),
+                }
+                for r in lin_rows
+            ],
+            "created_at": time.time(),
+        }
+        path = self._staged_path(stage_id)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        try:
+            os.link(tmp, path)  # atomic content, exclusive name
+        finally:
+            os.remove(tmp)
+        return MergeStats(
+            batch_id=batch_id,
+            applied=False,
+            version=snap["version"],
+            deduped_rows=sum(r["applied_count"] for r in lin_rows),
+            touched_buckets=len(touched),
+            stage_id=stage_id,
+        )
+
+    def read_staged(self, stage_id: str, include_meta: bool = False) -> DataFrame:
+        """Audit view: exactly the table publish() would produce if it
+        ran against the STAGE-TIME base (a later main commit can still
+        conflict a COW publish — that is what publish re-checks)."""
+        doc = self._load_staged(stage_id)
+        base = self.snapshot(doc["base_version"])
+        schema = T.StructType.fromJson(doc["schema"])
+        pseudo = dict(base)
+        self._ensure_field_meta(pseudo)
+        pseudo.update(self._evolved_field_meta(pseudo, schema))
+        touched_set = set(doc["touched"])
+        if doc["kind"] == "delta":
+            files = base["files"] + doc["new_files"]
+        else:
+            files = [
+                f for f in base["files"] if f["bucket"] not in touched_set
+            ] + doc["new_files"]
+        pseudo["schema"] = doc["schema"]
+        pseudo["files"] = files
+        df = self._read_entries(files, pseudo, self._phys_schema(pseudo))
+        if any(f.get("kind", "base") == "delta" for f in files):
+            df = self._resolve(df, pseudo)
+        return df.drop(OP_COL) if include_meta else df.drop(LSN_COL, OP_COL)
+
+    def publish(self, stage_id: str, max_retries: int = 10) -> MergeStats:
+        """Stage 2 of WAP: fast-forward the staged commit onto main.
+        Pure metadata — no data is rewritten. Semantics mirror
+        _commit_merge's optimistic rebase: a delta stage commutes with
+        any main advance (read resolution is by _lsn); a COW stage
+        publishes only if main left every bucket it rewrote untouched,
+        else ``CommitConflictError`` tells the caller to re-merge the
+        batch against current. A rename/drop on main since the stage
+        (schema-epoch change) also conflicts: the staged files were
+        written under the old identity map. If main already applied
+        this batch_id (e.g. a replay raced the audit), the stage is
+        dropped and applied=False returned — exactly-once holds."""
+        doc = self._load_staged(stage_id)
+        batch_id = doc["batch_id"]
+        touched_set = set(doc["touched"])
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            if self._ledger_contains(cur["ledger"], batch_id):
+                self.abandon(stage_id)
+                return MergeStats(
+                    batch_id=batch_id,
+                    applied=False,
+                    version=cur["version"],
+                    stage_id=stage_id,
+                )
+            if cur.get("schema_epoch", 0) != doc["base_schema_epoch"]:
+                raise CommitConflictError(
+                    f"publish {stage_id!r}: schema identity changed since the "
+                    f"stage (rename/drop on main); re-run the merge against "
+                    f"the current snapshot v{cur['version']}"
+                )
+            if doc["kind"] != "delta":
+                cur_by = self._files_by_bucket(cur)
+                for b in touched_set:
+                    if tuple(cur_by.get(b, ())) != tuple(
+                        doc["base_touched"].get(str(b), [])
+                    ):
+                        raise CommitConflictError(
+                            f"publish {stage_id!r}: concurrent commit modified "
+                            f"rewritten bucket {b}; re-run the merge against "
+                            f"the current snapshot v{cur['version']}"
+                        )
+                files = [
+                    f for f in cur["files"] if f["bucket"] not in touched_set
+                ] + doc["new_files"]
+            else:
+                files = cur["files"] + doc["new_files"]
+            schema = self._unify_schema(
+                self.schema(cur),
+                T.StructType.fromJson(doc["schema"]),
+                protect=tuple(cur["key_cols"]),
+            )
+            version = cur["version"] + 1
+            lineage = [
+                {
+                    "batch_id": int(batch_id),
+                    "partition_bucket": r["_bucket"],
+                    "min_lsn": r["min_lsn"],
+                    "max_lsn": r["max_lsn"],
+                    "applied_count": r["applied_count"],
+                    "snapshot_version": version,
+                }
+                for r in doc["lin_rows"]
+            ]
+            lin_path = (
+                self._write_lineage(lineage, version, batch_id) if lineage else None
+            )
+            new = dict(cur)
+            new.update(
+                version=version,
+                schema=schema.jsonValue(),
+                files=files,
+                parent=cur["version"],
+                ledger=self._ledger_add(cur["ledger"], batch_id),
+                operation="publish-mor" if doc["kind"] == "delta" else "publish-cow",
+            )
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                if lin_path is not None and os.path.exists(lin_path):
+                    os.remove(lin_path)
+                continue
+            try:
+                os.remove(self._staged_path(stage_id))
+            except FileNotFoundError:
+                pass
+            return MergeStats(
+                batch_id=batch_id,
+                applied=True,
+                version=version,
+                deduped_rows=sum(r["applied_count"] for r in doc["lin_rows"]),
+                touched_buckets=len(doc["touched"]),
+                lineage=lineage,
+                stage_id=stage_id,
+            )
+        raise CommitConflictError(f"publish {stage_id!r}: commit retries exhausted")
+
+    def abandon(self, stage_id: str) -> bool:
+        """Drop a staged commit. Its data files become unreferenced
+        and are collected by the grace-gated orphan walk."""
+        try:
+            os.remove(self._staged_path(stage_id))
+            return True
+        except FileNotFoundError:
+            return False
 
     # ---------------- maintenance ----------------
 
@@ -2048,6 +2301,15 @@ class LakeTable:
         referenced: set[str] = set()
         for v in retained:
             referenced.update(f["path"] for f in self.snapshot(v)["files"])
+        # staged (write-audit-publish) commits pin their data files:
+        # no v*.json references them yet, so without this the orphan
+        # walk would collect an audit-pending batch out from under
+        # publish() once it aged past the grace window
+        for sid in self.staged_ids():
+            try:
+                referenced.update(e["path"] for e in self._load_staged(sid)["new_files"])
+            except (ValueError, json.JSONDecodeError):
+                continue  # abandoned or in-flight concurrently; skip
         candidates = set()
         for v in expiring:
             candidates.update(f["path"] for f in self.snapshot(v)["files"])
