@@ -1193,3 +1193,100 @@ def cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_wap_publish",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the correctness gate (Iceberg wap.id /
+    fast_forward analogue): batch 0 (even LSNs) lands directly; a
+    CORRUPTED odd half is then staged under batch_id 1 — main must not
+    move, the audit view (``read_staged``) must expose the corruption
+    — and is abandoned; the CORRECT odd half is staged under the SAME
+    batch_id (abandon must not burn the exactly-once ledger), audited
+    clean, and published. Published state must equal plain
+    last-writer-wins SQL over the uncorrupted events: a staged file
+    leaking into main, an abandon that half-applies, or a publish that
+    loses rows all flip the value hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_wap_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        even = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0)
+        odd = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        table.merge(even, 0, mode="mor")
+        v_main = table.current_version()
+
+        corrupted = odd.withColumn("value", -F.col("value") - F.lit(9999.0))
+        st_bad = table.merge(corrupted, 1, mode="mor", stage_id="suspect")
+        if st_bad.applied or table.current_version() != v_main:
+            raise AssertionError("staging moved main")
+        n_corrupt = (
+            table.read_staged("suspect").filter(F.col("value") < -9000).count()
+        )
+        if n_corrupt == 0:
+            raise AssertionError("audit view does not show the staged batch")
+        table.abandon("suspect")
+
+        table.merge(odd, 1, mode="mor", stage_id="good")
+        if table.current_version() != v_main:
+            raise AssertionError("second stage moved main")
+        st = table.publish("good")
+        if not st.applied:
+            raise AssertionError("abandon burned the ledger for batch 1")
+        if table.staged_ids():
+            raise AssertionError("published/abandoned stages left refs behind")
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
