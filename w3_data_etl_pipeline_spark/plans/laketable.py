@@ -88,6 +88,7 @@ class MergeStats:
     skew_prereduced: bool = False  # hot-key guard pre-reduce fired
     lineage: list[dict] = field(default_factory=list)
     stage_id: str | None = None  # set when the commit was staged (WAP), not applied
+    rejected: bool = False  # staged commit failed its audit and was abandoned
 
 
 class LakeTable:
@@ -1795,10 +1796,25 @@ class LakeTable:
             stage_id=stage_id,
         )
 
-    def read_staged(self, stage_id: str, include_meta: bool = False) -> DataFrame:
-        """Audit view: exactly the table publish() would produce if it
-        ran against the STAGE-TIME base (a later main commit can still
-        conflict a COW publish — that is what publish re-checks)."""
+    def read_staged(
+        self, stage_id: str, include_meta: bool = False, scope: str = "table"
+    ) -> DataFrame:
+        """Audit view of a staged commit.
+
+        scope='table' (default): exactly the table publish() would
+        produce if it ran against the STAGE-TIME base (a later main
+        commit can still conflict a COW publish — that is what publish
+        re-checks). Full-table invariants run here; cost is a table
+        scan.
+
+        scope='batch': only the STAGED files — the batch's deduped
+        change rows for a delta (MOR) stage, the rewritten touched
+        buckets for a COW stage. O(batch) / O(touched data), the
+        scale-correct view for per-batch audits in a streaming loop
+        (delete tombstones are dropped unless include_meta, since they
+        carry no new column values to validate)."""
+        if scope not in ("table", "batch"):
+            raise ValueError(f"scope must be 'table' or 'batch', got {scope!r}")
         doc = self._load_staged(stage_id)
         base = self.snapshot(doc["base_version"])
         schema = T.StructType.fromJson(doc["schema"])
@@ -1806,7 +1822,9 @@ class LakeTable:
         self._ensure_field_meta(pseudo)
         pseudo.update(self._evolved_field_meta(pseudo, schema))
         touched_set = set(doc["touched"])
-        if doc["kind"] == "delta":
+        if scope == "batch":
+            files = list(doc["new_files"])
+        elif doc["kind"] == "delta":
             files = base["files"] + doc["new_files"]
         else:
             files = [
@@ -1815,7 +1833,12 @@ class LakeTable:
         pseudo["schema"] = doc["schema"]
         pseudo["files"] = files
         df = self._read_entries(files, pseudo, self._phys_schema(pseudo))
-        if any(f.get("kind", "base") == "delta" for f in files):
+        if scope == "batch":
+            if not include_meta and OP_COL in df.columns:
+                df = df.filter(
+                    F.coalesce(F.col(OP_COL) != F.lit("D"), F.lit(True))
+                )
+        elif any(f.get("kind", "base") == "delta" for f in files):
             df = self._resolve(df, pseudo)
         return df.drop(OP_COL) if include_meta else df.drop(LSN_COL, OP_COL)
 

@@ -42,6 +42,51 @@ class CdcRun:
     query: object = None  # the live StreamingQuery when available_now=False
 
 
+def _audited_merge(
+    table: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    mode: str,
+    audit,
+    quarantine_dir: str | None,
+) -> MergeStats:
+    """Stage -> audit -> publish-or-abandon for one microbatch; the
+    write-audit-publish arm of apply_batch. One retry absorbs the
+    same concurrent-COW conflict the direct arm retries on (a publish
+    conflict means main rewrote a staged bucket between stage and
+    fast-forward; restaging re-merges against the winner)."""
+    stage = f"batch-{batch_id}"
+    for attempt in (0, 1):
+        # leftover from a killed or conflicted attempt of this
+        # batch_id: the merge is deterministic, drop and restage
+        table.abandon(stage)
+        stats = table.merge(events, batch_id, mode=mode, stage_id=stage)
+        if stats.stage_id is None:
+            return stats  # ledgered already (replay after publish) — no-op
+        if audit(table.read_staged(stage, scope="batch")):
+            try:
+                return table.publish(stage)
+            except CommitConflictError:
+                if attempt:
+                    raise
+                continue
+        table.abandon(stage)
+        if quarantine_dir:
+            # same exactly-once overwrite semantics as the dead-letter
+            # gate: a checkpoint replay of a rejected batch rewrites
+            # (not duplicates) its reject file
+            events.write.mode("overwrite").parquet(
+                os.path.join(quarantine_dir, "rejected", f"batch_id={batch_id}")
+            )
+        return MergeStats(
+            batch_id=batch_id,
+            applied=False,
+            version=table.current_version(),
+            rejected=True,
+        )
+    raise AssertionError("unreachable")
+
+
 def apply_batch(
     table: LakeTable,
     events: DataFrame,
@@ -55,9 +100,24 @@ def apply_batch(
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
     lineage_compact_every: int | None = None,
+    audit=None,
 ) -> MergeStats:
     """One microbatch apply. Safe to call repeatedly with the same
     batch_id (ledger no-op) — this is the foreachBatch body.
+
+    audit: optional ``Callable[[DataFrame], bool]`` turning the apply
+    into write-audit-publish: the merge runs staged (``current`` never
+    moves), the callable receives the batch-scope audit view
+    (``read_staged(scope='batch')`` — the deduped change rows about to
+    become visible, O(batch) not O(table)), and a truthy return
+    publishes (pure metadata fast-forward) while a falsy return
+    abandons the stage — the suspect batch NEVER becomes readable, its
+    raw events are dead-lettered under ``quarantine_dir/rejected/``
+    when one is configured, and the ledger stays unburned so a
+    corrected replay under the same batch_id can still apply. Crash
+    safety: a leftover stage from a killed attempt of this batch_id is
+    dropped and restaged (the merge is deterministic); a replay after
+    publish is the usual ledger no-op.
 
     Order: (salt ->) enrich -> merge. Enrichment is a pure map stage
     whose Arrow hop carries only the UDF's input columns (path, lang
@@ -101,14 +161,17 @@ def apply_batch(
         events = salted_repartition(events, ["repo", "path"], "lsn", salt_partitions)
     if enrich and "lang" in events.columns:
         events = enrich_changes(events)
-    try:
-        stats = table.merge(events, batch_id, mode=mode)
-    except CommitConflictError:
-        # a concurrent COW commit rewrote buckets this merge also
-        # rewrote; merge() re-reads the current snapshot, so one
-        # re-run resolves against the winner's files (delta appends
-        # rebase inside the commit and never reach here)
-        stats = table.merge(events, batch_id, mode=mode)
+    if audit is not None:
+        stats = _audited_merge(table, events, batch_id, mode, audit, quarantine_dir)
+    else:
+        try:
+            stats = table.merge(events, batch_id, mode=mode)
+        except CommitConflictError:
+            # a concurrent COW commit rewrote buckets this merge also
+            # rewrote; merge() re-reads the current snapshot, so one
+            # re-run resolves against the winner's files (delta appends
+            # rebase inside the commit and never reach here)
+            stats = table.merge(events, batch_id, mode=mode)
     # table maintenance AFTER the ledgered commit: a kill between the
     # merge commit and either step replays the batch as a ledger no-op
     # and maintenance simply runs on the next trigger — exactly-once
@@ -159,6 +222,7 @@ def run_stream_from(
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
     lineage_compact_every: int | None = None,
+    audit=None,
 ) -> CdcRun:
     """Drive ANY streaming DataFrame of change events through the
     engine — the foreachBatch body is source-agnostic (file WAL here,
@@ -183,6 +247,7 @@ def run_stream_from(
                 quarantine_dir=quarantine_dir,
                 patches=patches,
                 lineage_compact_every=lineage_compact_every,
+                audit=audit,
             )
         )
 
@@ -212,6 +277,7 @@ def run_stream(
     quarantine_dir: str | None = None,
     patches: bool | str = "auto",
     lineage_compact_every: int | None = None,
+    audit=None,
 ) -> CdcRun:
     """File-WAL convenience wrapper over ``run_stream_from``: tail
     parquet WAL segments with ``availableNow``, then stop."""
@@ -233,6 +299,7 @@ def run_stream(
         quarantine_dir=quarantine_dir,
         patches=patches,
         lineage_compact_every=lineage_compact_every,
+        audit=audit,
     )
 
 
