@@ -1948,6 +1948,87 @@ class LakeTable:
         except FileNotFoundError:
             return False
 
+    # ---------------- tags (named immutable refs) ----------------
+    #
+    # Iceberg's `tag` retention refs: a human name pinned to one
+    # snapshot version. Tags make a point-in-time state addressable
+    # ("training-run-17", "audited-2026-Q2") and RETAINED — the
+    # expiry walk keeps a tagged snapshot and everything it
+    # references alive regardless of keep_last, so time travel to a
+    # tag never hits the expired-history error. Like staged refs,
+    # tags live outside the v*.json namespace and never occupy a
+    # version number.
+
+    def _tag_path(self, name: str) -> str:
+        if (
+            not name
+            or name != os.path.basename(name)
+            or ".." in name
+            or name.startswith(".")
+        ):
+            raise ValueError(f"invalid tag name {name!r}")
+        return os.path.join(self._meta, f"tag-{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under ``name``.
+        Exclusive-create: re-tagging an existing name is an error
+        (drop it first) — a tag that silently moved would defeat its
+        audit purpose. Raises if the target snapshot is already
+        expired."""
+        snap = self.snapshot(version)  # raises if expired/unknown
+        doc = {
+            "name": name,
+            "version": snap["version"],
+            "created_at": time.time(),
+        }
+        path = self._tag_path(name)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        try:
+            os.link(tmp, path)  # atomic content, exclusive name
+        finally:
+            os.remove(tmp)
+        return snap["version"]
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned version for every live tag."""
+        try:
+            names = os.listdir(self._meta)
+        except FileNotFoundError:
+            return {}
+        out: dict[str, int] = {}
+        for n in sorted(names):
+            if not (n.startswith("tag-") and n.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self._meta, n)) as f:
+                    doc = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue  # dropped or in-flight concurrently
+            out[doc["name"]] = int(doc["version"])
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(self._tag_path(name)) as f:
+                return int(json.load(f)["version"])
+        except FileNotFoundError:
+            raise ValueError(f"no tag {name!r}") from None
+
+    def read_tag(self, name: str, include_meta: bool = False) -> DataFrame:
+        """Time travel by name: the table as of the tagged snapshot."""
+        return self.read(self.tag_version(name), include_meta=include_meta)
+
+    def drop_tag(self, name: str) -> bool:
+        """Unpin a tag; the snapshot it pointed at becomes expirable
+        again on the next expire_snapshots run."""
+        try:
+            os.remove(self._tag_path(name))
+            return True
+        except FileNotFoundError:
+            return False
+
     # ---------------- maintenance ----------------
 
     def compact(
@@ -2320,6 +2401,10 @@ class LakeTable:
         )
         cur = self.current_version()
         retained = set(versions[-keep_last:]) | {cur}
+        # tagged snapshots are retention-pinned (Iceberg tag refs):
+        # a tag names an auditable point-in-time state, so neither its
+        # manifest nor any data file it references may be collected
+        retained |= {v for v in self.tags().values() if v in set(versions)}
         expiring = [v for v in versions if v not in retained]
         referenced: set[str] = set()
         for v in retained:
