@@ -58,10 +58,12 @@ EXTENDED = [
     "paragraph_dedup_docs",
     "range_frame_weekly_revenue",
     "unpivot_charge_components",
-    # round 4: file skipping, field-id evolution, real-codec media
+    # round 4: file skipping, field-id evolution, real-codec media,
+    # write-audit-publish
     "cdc_clustered_file_skip",
     "cdc_rename_evolution",
     "media_features",
+    "cdc_wap_publish",
 ]
 
 

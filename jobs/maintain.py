@@ -17,6 +17,10 @@ same optimistic version-race commit the merge path uses):
     compact-lineage  consolidate tiny per-batch lineage audit files
               (append-only scheme: consolidate first, then delete
               the snapshotted originals — writers never affected)
+    tag / drop-tag / tags   named immutable refs: pin a snapshot
+              through expiry until dropped (rollback accepts --to-tag)
+    publish / abandon / staged   write-audit-publish: fast-forward or
+              drop a staged commit, list audit-pending stage ids
 
     tools/submit.sh --master local[8] -- \
         jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
@@ -66,10 +70,30 @@ def main(argv: list[str] | None = None) -> int:
                         "when no other writer can exist)")
 
     r = sub.add_parser("rollback", help="restore a previous version (files + ledger)")
-    r.add_argument("--to-version", type=int, required=True)
+    grp = r.add_mutually_exclusive_group(required=True)
+    grp.add_argument("--to-version", type=int)
+    grp.add_argument("--to-tag", help="rollback target by tag name")
 
     b = sub.add_parser("rebucket", help="evolve the hash-bucket count")
     b.add_argument("--n-buckets", type=int, required=True)
+
+    tg = sub.add_parser("tag", help="pin a snapshot under a name (retention ref)")
+    tg.add_argument("name")
+    tg.add_argument("--version", type=int, default=None,
+                    help="snapshot to pin (default: current)")
+
+    dt = sub.add_parser("drop-tag", help="unpin a tag (snapshot becomes expirable)")
+    dt.add_argument("name")
+
+    sub.add_parser("tags", help="list tags (name -> pinned version; read-only)")
+
+    pu = sub.add_parser("publish", help="fast-forward a staged (WAP) commit onto main")
+    pu.add_argument("stage_id")
+
+    ab = sub.add_parser("abandon", help="drop a staged (WAP) commit")
+    ab.add_argument("stage_id")
+
+    sub.add_parser("staged", help="list audit-pending staged commits (read-only)")
 
     args = p.parse_args(argv)
     spark = get_spark("lake_maintain", master=SparkConf().get("spark.master", None))
@@ -95,8 +119,25 @@ def main(argv: list[str] | None = None) -> int:
             )
             out = {"verb": "expire", **{k: v for k, v in stats.items()}}
         elif args.verb == "rollback":
-            after = t.rollback(args.to_version)
-            out = {"verb": "rollback", "rollback_of": args.to_version, "version": after}
+            tv = args.to_version if args.to_version is not None else t.tag_version(args.to_tag)
+            after = t.rollback(tv)
+            out = {"verb": "rollback", "rollback_of": tv, "version": after}
+        elif args.verb == "tag":
+            v = t.create_tag(args.name, version=args.version)
+            out = {"verb": "tag", "name": args.name, "pinned_version": v}
+        elif args.verb == "drop-tag":
+            out = {"verb": "drop-tag", "name": args.name, "dropped": t.drop_tag(args.name)}
+        elif args.verb == "tags":
+            out = {"verb": "tags", "tags": t.tags()}
+        elif args.verb == "publish":
+            st = t.publish(args.stage_id)
+            out = {"verb": "publish", "stage_id": args.stage_id,
+                   "applied": st.applied, "version": st.version}
+        elif args.verb == "abandon":
+            out = {"verb": "abandon", "stage_id": args.stage_id,
+                   "abandoned": t.abandon(args.stage_id)}
+        elif args.verb == "staged":
+            out = {"verb": "staged", "stage_ids": t.staged_ids()}
         else:
             after = t.rebucket(args.n_buckets)
             out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}

@@ -56,3 +56,37 @@ def test_stats_and_row_mass_compact_verbs(spark, tmp_path):
     h = _run("--table", t.root, "history")
     ops = [e["operation"] for e in h["entries"]]
     assert ops == ["create", "overwrite", "merge-mor", "compact"]
+
+
+def test_tag_and_wap_verbs(spark, tmp_path):
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake2"), SOURCE_FILES, ["repo", "path"], n_buckets=4
+    )
+    t.overwrite(datagen.source_snapshot(spark, 60, content_max=128),
+                lsn=datagen.GENESIS_LSN)
+    genesis_rows = t.read().count()
+    ev = datagen.change_events(spark, 200, 60, content_max=128)
+
+    tg = _run("--table", t.root, "tag", "genesis")
+    assert tg["pinned_version"] == t.current_version()
+
+    # stage a batch (WAP), then drive the audit decision via the CLI
+    t.merge(ev, 0, mode="mor", stage_id="audit-0")
+    st = _run("--table", t.root, "staged")
+    assert st["stage_ids"] == ["audit-0"]
+    pu = _run("--table", t.root, "publish", "audit-0")
+    assert pu["applied"] and pu["version"] == t.current_version()
+    assert t.staged_ids() == []
+
+    # rollback by tag name, then unpin
+    rb = _run("--table", t.root, "rollback", "--to-tag", "genesis")
+    assert rb["rollback_of"] == tg["pinned_version"]
+    assert t.read().count() == genesis_rows
+    ts = _run("--table", t.root, "tags")
+    assert ts["tags"] == {"genesis": tg["pinned_version"]}
+    dt = _run("--table", t.root, "drop-tag", "genesis")
+    assert dt["dropped"] is True and t.tags() == {}
