@@ -95,6 +95,12 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("staged", help="list audit-pending staged commits (read-only)")
 
+    sk = sub.add_parser("skip-columns",
+                        help="opt columns into the per-file equality index "
+                             "(exact set / bloom) used for '=' file skipping")
+    sk.add_argument("--cols", default="",
+                    help="comma-separated column names; empty stops indexing")
+
     args = p.parse_args(argv)
     spark = get_spark("lake_maintain", master=SparkConf().get("spark.master", None))
     try:
@@ -138,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
                    "abandoned": t.abandon(args.stage_id)}
         elif args.verb == "staged":
             out = {"verb": "staged", "stage_ids": t.staged_ids()}
+        elif args.verb == "skip-columns":
+            cols = [c for c in args.cols.split(",") if c]
+            v = t.alter_skip_columns(cols)
+            out = {"verb": "skip-columns", "cols": cols, "version": v}
         else:
             after = t.rebucket(args.n_buckets)
             out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}

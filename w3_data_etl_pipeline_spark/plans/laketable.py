@@ -473,6 +473,52 @@ class LakeTable:
             f"drop_column lost the commit race {max_retries + 1} times"
         )
 
+    _EQ_INDEXABLE = ("string", "long", "integer", "short", "byte")
+
+    def alter_skip_columns(self, cols: list[str], max_retries: int = 3) -> int:
+        """Opt columns into the per-file EQUALITY index (Iceberg's
+        Puffin bloom-blob analogue): every file a later commit writes
+        additionally records, per listed column, its exact distinct
+        set (ndv <= 64) or a 1 KiB bloom (ndv <= 4096), and
+        read_where()/prune_files() use them to skip files for
+        ``col = val`` predicates that min/max bounds can't touch on an
+        unclustered layout. Metadata-only commit; columns are tracked
+        by FIELD ID so the index survives renames. Restricted to
+        string/integer types — equality on floats or timestamps is
+        ill-posed across engines. Pass [] to stop indexing (existing
+        entries keep pruning; they describe immutable files)."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = self.schema(snap)
+            types = {f_.name: f_.dataType.typeName() for f_ in schema.fields}
+            fids = snap.get("field_ids") or {}
+            want = []
+            for c in cols:
+                if c == LSN_COL or c not in types:
+                    raise ValueError(f"no such column {c!r}")
+                if types[c] not in self._EQ_INDEXABLE:
+                    raise ValueError(
+                        f"column {c!r} ({types[c]}) is not equality-indexable"
+                    )
+                if c not in fids:
+                    raise ValueError(f"column {c!r} has no field id")
+                want.append(fids[c])
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="set-skip-columns",
+                skip_fids=sorted(want),
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"alter_skip_columns lost the commit race {max_retries + 1} times"
+        )
+
     def schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snapshot()
         return T.StructType.fromJson(snap["schema"])
@@ -629,6 +675,66 @@ class LakeTable:
 
     _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
 
+    # equality-skipping index parameters (Iceberg Puffin bloom-blob
+    # analogue, stored inline in the manifest entry since manifests
+    # are already split + content-addressed): a 1 KiB bloom per
+    # indexed column per file, 6 probes, double-hashed from md5.
+    # Sized for the per-file distinct counts a bucketed layout
+    # produces (<=4096 ndv => fpp <= ~2%); files with more distinct
+    # values than _BLOOM_MAX_NDV store nothing (unknown never
+    # mis-prunes, it just doesn't prune).
+    _BLOOM_BITS = 8192
+    _BLOOM_K = 6
+    _BLOOM_MAX_NDV = 4096
+    _CSET_MAX = 64  # exact distinct-set cap (categorical columns)
+
+    @staticmethod
+    def _eq_hash(v) -> tuple[int, int]:
+        """Two independent 64-bit hashes of an equality-indexable
+        value (string or integer), identical at build and probe time.
+        Floats/timestamps are not indexable (equality on them is
+        ill-posed across engines)."""
+        import hashlib
+
+        if isinstance(v, bool) or not isinstance(v, (str, int)):
+            raise TypeError(f"not equality-indexable: {type(v).__name__}")
+        raw = v.encode("utf-8") if isinstance(v, str) else b"i:%d" % v
+        d = hashlib.md5(raw).digest()
+        return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
+
+    @classmethod
+    def _bloom_build(cls, values) -> str | None:
+        """base64 bitset over the distinct values, or None when any
+        value is not indexable."""
+        import base64
+
+        bits = bytearray(cls._BLOOM_BITS // 8)
+        try:
+            for v in values:
+                h1, h2 = cls._eq_hash(v)
+                for j in range(cls._BLOOM_K):
+                    p = (h1 + j * h2) % cls._BLOOM_BITS
+                    bits[p >> 3] |= 1 << (p & 7)
+        except TypeError:
+            return None
+        return base64.b64encode(bytes(bits)).decode("ascii")
+
+    @classmethod
+    def _bloom_maybe(cls, b64: str, val) -> bool:
+        """False => the value is PROVABLY absent from the file."""
+        import base64
+
+        try:
+            h1, h2 = cls._eq_hash(val)
+        except TypeError:
+            return True  # unindexable probe value: cannot prune
+        bits = base64.b64decode(b64)
+        for j in range(cls._BLOOM_K):
+            p = (h1 + j * h2) % cls._BLOOM_BITS
+            if not (bits[p >> 3] >> (p & 7)) & 1:
+                return False
+        return True
+
     @classmethod
     def _bound_excludes(cls, entry: dict, col: str, op: str, val) -> bool:
         """True iff the file's manifest bounds PROVE no row satisfies
@@ -636,6 +742,21 @@ class LakeTable:
         bounds cover exactly the non-NULL rows). Missing bounds —
         pre-stats manifests, untracked types, all-NULL columns — never
         exclude."""
+        if op in ("=", "=="):
+            # equality index first: exact distinct set (categorical
+            # columns), then the per-file bloom — both PROVE absence,
+            # independent of any clustering, where min/max bounds on a
+            # hashed layout span the domain and prove nothing
+            s = (entry.get("cset") or {}).get(col)
+            if s is not None:
+                try:
+                    if cls._json_bound(val) not in s:
+                        return True
+                except TypeError:
+                    pass
+            bb = (entry.get("cbloom") or {}).get(col)
+            if bb is not None and not cls._bloom_maybe(bb, val):
+                return True
         lo = (entry.get("cmin") or {}).get(col)
         hi = (entry.get("cmax") or {}).get(col)
         if lo is None or hi is None:
@@ -1189,9 +1310,16 @@ class LakeTable:
                     )
         # footer-only reads: measured 42 ms for 256 files on this
         # host — noise against a multi-second commit (a thread pool
-        # was tried and its dispatch overhead exceeded the I/O)
+        # was tried and its dispatch overhead exceeded the I/O).
+        # Equality-index columns (skip_fids, opt-in) additionally read
+        # back just those columns of the files this commit wrote —
+        # page-cache-warm, O(batch) worst case.
+        want = set(snap.get("skip_fids") or [])
+        eq_cols = tuple(
+            n for n, i in (snap.get("field_ids") or {}).items() if i in want
+        )
         for f in files:
-            f.update(self._file_stats(os.path.join(self.root, f["path"])))
+            f.update(self._file_stats(os.path.join(self.root, f["path"]), eq_cols))
         return files
 
     # longest string bound persisted to the manifest: parquet writers
@@ -1223,7 +1351,7 @@ class LakeTable:
         return None
 
     @classmethod
-    def _file_stats(cls, path: str) -> dict:
+    def _file_stats(cls, path: str, eq_cols: tuple = ()) -> dict:
         """Per-file manifest stats — the analogue of an Iceberg
         manifest entry's ``record_count`` / ``file_size_in_bytes`` /
         ``lower_bounds``/``upper_bounds``. Footer-only: no data pages
@@ -1276,6 +1404,43 @@ class LakeTable:
             if cmin:
                 out["cmin"] = cmin
                 out["cmax"] = cmax
+            if eq_cols:
+                # equality index (opt-in via alter_skip_columns): one
+                # COLUMN readback per file this commit wrote — the only
+                # stats item that touches data pages. ndv <= _CSET_MAX
+                # stores the exact distinct set (zero false positives,
+                # the categorical-column case); <= _BLOOM_MAX_NDV a
+                # 1 KiB bloom; beyond that nothing (unknown never
+                # mis-prunes). Files land bucketed by key hash, so a
+                # key-correlated column's per-file ndv stays far below
+                # the table's.
+                import pyarrow.parquet as pq2
+
+                present = {md.schema.column(i).name for i in range(md.num_columns)}
+                want = [c for c in eq_cols if c in present]
+                if want:
+                    tbl = pq2.read_table(path, columns=want)
+                    cset: dict = {}
+                    cbloom: dict = {}
+                    for c in want:
+                        vals = [
+                            v for v in tbl.column(c).unique().to_pylist()
+                            if v is not None
+                        ]
+                        if not vals or len(vals) > cls._BLOOM_MAX_NDV:
+                            continue
+                        if len(vals) <= cls._CSET_MAX:
+                            js = [cls._json_bound(v) for v in vals]
+                            if all(v is not None for v in js):
+                                cset[c] = sorted(js, key=lambda x: (str(type(x)), str(x)))
+                                continue
+                        b = cls._bloom_build(vals)
+                        if b is not None:
+                            cbloom[c] = b
+                    if cset:
+                        out["cset"] = cset
+                    if cbloom:
+                        out["cbloom"] = cbloom
         except Exception:
             pass  # advisory only
         return out
