@@ -40,6 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window queries. All tail entries remain registered, locally gated
 # (tools/compare_oracle.py), and pytest-covered.
 _DEMOTED_TAIL = [
+    # equality-index twin of in-window cdc_clustered_file_skip; its
+    # load-bearing invariant (files opened == index-admitted) is
+    # pytest-pinned (tests/test_eq_skipping.py) and the entry carries
+    # an in-query pruning assert + full DuckDB oracle in the tail gate
+    "cdc_eq_skip",
+    # historical reads stay load-bearing in-window inside
+    # cdc_rollback_replay (rollback restores the target version's file
+    # set) and cdc_change_feed (diffs two versions); the dedicated
+    # time-travel read keeps its full oracle in the tail gate
+    # (makes room for cdc_wap_publish)
+    "time_travel_read",
     # rows-only by construction (in-query accuracy asserts instead)
     "approx_distinct_users",
     "embedding_ivf_topk",

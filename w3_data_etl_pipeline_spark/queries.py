@@ -1290,3 +1290,84 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_eq_skip",
+    """
+    SELECT event_id, user_id, event_type, value AS val
+    FROM events WHERE event_id IN (5, 57, 333, 871, 999)
+    """,
+)
+def cdc_eq_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-index file skipping end-to-end (SURVEY §10.11): build
+    a LakeTable over events with a high-cardinality doc_key opted into
+    the per-file equality index (alter_skip_columns -> per-file bloom,
+    ndv/file > the exact-set cap), then answer five point lookups via
+    read_where. The in-query assert pins that the index actually
+    pruned (every probe admits < half the files — on this hash layout
+    min/max bounds alone admit ALL of them); the value hash pins that
+    pruning never changed an answer."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_eqskip_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("doc_key", T.StringType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["doc_key"], n_buckets=16
+        )
+        table.alter_skip_columns(["doc_key"])
+        table.merge(
+            e.select(
+                F.concat(F.lit("e"), F.col("event_id").cast("string")).alias(
+                    "doc_key"
+                ),
+                "event_id",
+                "user_id",
+                "event_type",
+                F.col("value").alias("val"),
+                F.col("event_id").alias("lsn"),
+                F.lit("U").alias("op"),
+            ),
+            0,
+            mode="cow",
+        )
+        snap = table.snapshot()
+        total = len(snap["files"])
+        rows = []
+        for probe in (5, 57, 333, 871, 999):
+            admitted = table.prune_files(snap, [("doc_key", "=", f"e{probe}")])
+            if not total or len(admitted) * 2 >= total:
+                raise AssertionError(
+                    f"equality index pruned nothing: {len(admitted)}/{total}"
+                )
+            rows.extend(
+                table.read_where([("doc_key", "=", f"e{probe}")])
+                .select("event_id", "user_id", "event_type", "val")
+                .collect()
+            )
+        out_schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
