@@ -158,3 +158,92 @@ def test_stream_with_poisoned_segment(spark, tmp_path):
     assert _fingerprint(t) == oracle.expected_fingerprint(
         oracle.reduce_events(snap_rows, event_rows)
     )
+
+
+def test_broker_audit_gated_ingest(spark, tmp_path):
+    """The Kafka-shaped broker feeding audit-gated ingest: poisoned
+    records scattered through the offset stream cause exactly their
+    microbatches to be rejected (batch granularity, dead-lettered
+    with the raw events), clean batches publish, and the final state
+    equals last-writer-wins over precisely the events NOT in the
+    dead-letter store — the rejection bookkeeping is the oracle's
+    input, so a leak on either side flips the fingerprint."""
+    import glob
+    import time
+
+    from w3_data_etl_pipeline_spark.streaming import broker as B
+    from w3_data_etl_pipeline_spark.streaming.cdc import run_stream_from
+
+    rows = [
+        r.asDict()
+        for r in datagen.change_events(spark, 600, N_KEYS, dup_every=0).collect()
+    ]
+    poison_lsns = {97, 211, 384, 548}
+    sent = [
+        dict(r, content=MARK + (r["content"] or ""))
+        if r["lsn"] in poison_lsns and r["op"] != "D"
+        else r
+        for r in rows
+    ]
+    prod = B.BrokerProducer(str(tmp_path / "b"), n_partitions=4)
+    prod.send_change_events(sent)
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t_bk"), SOURCE_FILES, ["repo", "path"], n_buckets=8
+    )
+    snap = datagen.source_snapshot(spark, N_KEYS)
+    t.overwrite(snap, lsn=datagen.GENESIS_LSN)
+    snap_rows = [r.asDict() for r in snap.collect()]
+    qdir = str(tmp_path / "q")
+
+    src = B.parse_change_events(
+        B.read_broker(spark, str(tmp_path / "b"), max_offsets_per_trigger=40)
+    )
+    run = run_stream_from(
+        src,
+        t,
+        str(tmp_path / "ckpt"),
+        enrich=False,
+        mode="mor",
+        audit=_clean_audit,
+        quarantine_dir=qdir,
+        available_now=False,
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and sum(s.deduped_rows for s in run.stats) < 600:
+        time.sleep(0.4)
+    run.query.stop()
+    run.query.awaitTermination()
+
+    rejected = [s for s in run.stats if s.rejected]
+    applied = [s for s in run.stats if s.applied]
+    assert rejected and applied, (len(rejected), len(applied))
+    assert t.read().filter(F.col("content").startswith(MARK)).isEmpty()
+
+    # the dead-letter store defines exactly what was dropped
+    rej_files = glob.glob(os.path.join(qdir, "rejected", "batch_id=*"))
+    assert len(rej_files) == len(rejected)
+    rej_lsns = {
+        r["lsn"] for r in spark.read.parquet(os.path.join(qdir, "rejected")).collect()
+    }
+    # a marked event is either dead-lettered with its batch, or was
+    # shadowed by a newer same-key event inside its own microbatch —
+    # the audit sees the post-dedup batch view (the rows about to
+    # become visible), so a shadowed poisoned row never surfaces
+    # anywhere and needs no rejection. The visibility invariant is the
+    # isEmpty() check above; here we pin that each marked event has
+    # one of the two fates.
+    marked = {r["lsn"] for r in sent if (r["content"] or "").startswith(MARK)}
+    assert marked & rej_lsns, "no poisoned batch was rejected"
+    for lsn in marked - rej_lsns:
+        ev = next(r for r in sent if r["lsn"] == lsn)
+        shadowers = [
+            r
+            for r in sent
+            if (r["repo"], r["path"]) == (ev["repo"], ev["path"]) and r["lsn"] > lsn
+        ]
+        assert shadowers, f"marked lsn {lsn} neither rejected nor shadowed"
+    clean = [r for r in sent if r["lsn"] not in rej_lsns]
+    assert _fingerprint(t) == oracle.expected_fingerprint(
+        oracle.reduce_events(snap_rows, clean)
+    )

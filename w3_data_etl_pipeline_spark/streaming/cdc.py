@@ -82,6 +82,8 @@ def _audited_merge(
             batch_id=batch_id,
             applied=False,
             version=table.current_version(),
+            deduped_rows=stats.deduped_rows,  # events the reject dropped
+            touched_buckets=stats.touched_buckets,
             rejected=True,
         )
     raise AssertionError("unreachable")
