@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="dead-letter sink for malformed events (per-batch overwrite)")
     p.add_argument("--no-patch-probe", action="store_true",
                    help="source sends full images only: skip the per-batch op='P' probe")
+    p.add_argument("--audit-predicate", default=None,
+                   help="SQL boolean every staged row must satisfy "
+                        "(write-audit-publish: the batch is staged, the "
+                        "batch-scope view is checked, and a violation "
+                        "abandons the stage and dead-letters the batch "
+                        "under <quarantine-dir>/rejected/ without burning "
+                        "the exactly-once ledger), e.g. "
+                        "\"content IS NOT NULL AND length(content) < 1048576\"")
     args = p.parse_args(argv)
 
     # master/deploy-mode/executors come from spark-submit (its
@@ -71,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
         table = _get_or_create_table(spark, args.table, args.buckets)
         if args.bootstrap and table.current_version() == 0:
             table.overwrite(spark.read.parquet(args.bootstrap), lsn=0)
+        audit = None
+        if args.audit_predicate:
+            from pyspark.sql import functions as F
+
+            pred = args.audit_predicate
+
+            def audit(df, _p=pred):  # noqa: E731 - closure over the CLI predicate
+                return df.filter(~F.expr(_p)).isEmpty()
+
         run = run_stream(
             spark,
             table,
@@ -87,12 +104,15 @@ def main(argv: list[str] | None = None) -> int:
             quarantine_dir=args.quarantine_dir,
             lineage_compact_every=args.lineage_compact_every,
             patches=False if args.no_patch_probe else "auto",
+            audit=audit,
         )
         applied = sum(1 for s in run.stats if s.applied)
+        rejected = sum(1 for s in run.stats if s.rejected)
         out = {
             "batches": len(run.stats),
             "applied": applied,
-            "replayed_noops": len(run.stats) - applied,
+            "rejected": rejected,
+            "replayed_noops": len(run.stats) - applied - rejected,
             "events": sum(s.deduped_rows for s in run.stats),
             "table_version": table.current_version(),
             # O(metadata) post-run table summary (manifest stats)

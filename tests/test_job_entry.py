@@ -77,3 +77,46 @@ def test_submit_job_drain_and_resume(spark, tmp_path):
     t = LakeTable(spark, table)
     assert t.current_version() >= 2  # bootstrap + >=1 merge commit
     assert t.read().count() > 0
+
+
+def test_submit_job_audit_predicate(spark, tmp_path):
+    """--audit-predicate turns the submitted stream into write-audit-
+    publish: a WAL whose second segment violates the predicate drains
+    with that batch rejected + dead-lettered, the table never exposes
+    a violating row, and the ledger stays unburned."""
+    import pyspark.sql.functions as F
+
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    n_events, n_keys = 600, 150
+    boot = str(tmp_path / "bootstrap")
+    datagen.source_snapshot(spark, n_keys, content_max=256).write.parquet(boot)
+
+    ev = datagen.change_events(spark, n_events, n_keys, content_max=256)
+    bad_half = ev.filter(ev.lsn > n_events // 2).withColumn(
+        "content", F.concat(F.lit("BAD::"), F.coalesce("content", F.lit("")))
+    )
+    wal = str(tmp_path / "wal")
+    os.makedirs(wal)
+    for i, seg in enumerate([ev.filter(ev.lsn <= n_events // 2), bad_half]):
+        tmp = os.path.join(wal, f"_seg{i}")
+        seg.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(wal, f"seg{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    table = str(tmp_path / "lake")
+    qdir = str(tmp_path / "q")
+    out = _submit(
+        "--table", table, "--events-dir", wal, "--checkpoint",
+        str(tmp_path / "ckpt"), "--bootstrap", boot, "--buckets", "8",
+        "--max-files-per-trigger", "1", "--mode", "mor",
+        "--quarantine-dir", qdir,
+        "--audit-predicate", "content IS NULL OR content NOT LIKE 'BAD::%'",
+    )
+    assert out["applied"] >= 1 and out["rejected"] >= 1
+    assert os.path.isdir(os.path.join(qdir, "rejected"))
+    t = LakeTable(spark, table)
+    assert t.read().filter(F.col("content").startswith("BAD::")).isEmpty()
+    assert t.staged_ids() == []
