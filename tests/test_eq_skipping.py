@@ -1,7 +1,7 @@
 """Equality data skipping (Iceberg Puffin bloom-blob analogue):
 columns opted in via alter_skip_columns get a per-file exact
-distinct set (categorical, ndv<=64) or a 1 KiB bloom (ndv<=4096) in
-the manifest, and ``col = val`` predicates prune files on an
+distinct set (categorical, ndv<=64) or an ndv-sized bloom (inline up
+to 1 KiB, content-addressed sidecar beyond) in the manifest, and ``col = val`` predicates prune files on an
 UNCLUSTERED layout where min/max bounds span the domain and prove
 nothing. Pinned the same way as the bounds tests: files opened
 (DataFrame.inputFiles) == files the index admits, result always
@@ -147,3 +147,41 @@ def test_alter_validation(spark, tmp_path):
     t.alter_skip_columns([])
     t.merge(_rows(spark, n=64), 0)
     assert all("cset" not in f and "cbloom" not in f for f in t.snapshot()["files"])
+
+
+def test_sidecar_blooms_and_gc(spark, tmp_path):
+    """Files with high per-file ndv get NDV-SIZED blooms written as
+    content-addressed sidecars under _meta/index/ (the Puffin-file
+    analogue) — the fixed-inline design would saturate exactly where
+    skipping matters most. Sidecars referenced only by expired
+    snapshots are GC'd; retained ones survive and keep pruning."""
+    t = LakeTable.create(spark, str(tmp_path / "ts"), SCHEMA, ["user_id"], n_buckets=4)
+    t.alter_skip_columns(["doc"])
+    t.merge(_rows(spark, n=20_000), 0)  # ~5000 ndv/file >> inline cap
+    snap = t.snapshot()
+    refs = [f["cbloom"]["doc"] for f in snap["files"]]
+    assert refs and all(r.startswith("idx:") for r in refs)
+    for r in refs:
+        p = os.path.join(t.root, r[4:])
+        assert os.path.exists(p) and os.path.getsize(p) >= 4096
+    # pruning works through the sidecar: one true file (+fpp)
+    admitted = t.prune_files(snap, [("doc", "=", "doc-12345")])
+    assert 1 <= len(admitted) <= 2
+    assert t.read_where([("doc", "=", "doc-12345")]).count() == 1
+    assert len(t.prune_files(snap, [("doc", "=", "doc-999999")])) <= 1
+
+    # rewrite every bucket (all files replaced -> new sidecars), then
+    # expire: the old snapshot's sidecars are unreferenced and must go,
+    # the live ones must survive
+    t.merge(_rows(spark, n=20_000, tag="X"), 1)
+    t.expire_snapshots(keep_last=1, orphan_grace_sec=0)
+    live_refs = {
+        f["cbloom"]["doc"][4:] for f in t.snapshot()["files"]
+    }
+    on_disk = {
+        os.path.join("_meta", "index", n)
+        for n in os.listdir(os.path.join(t.root, "_meta", "index"))
+    }
+    assert on_disk == live_refs, "sidecar GC: exactly the live refs remain"
+    # and the live index still prunes after GC
+    assert t.read_where([("doc", "=", "docX-777")]).count() == 1

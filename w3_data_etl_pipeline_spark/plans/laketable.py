@@ -103,6 +103,9 @@ class LakeTable:
         # cache safely; bounded FIFO so a 10^5-commit stream doesn't
         # accumulate O(history) dead manifests in driver memory
         self._manifest_cache: dict[str, list] = {}
+        # sidecar bloom bytes (content-addressed, immutable): bounded
+        # FIFO keyed by relpath, hit repeatedly within one prune pass
+        self._bloom_cache: dict[str, bytes] = {}
 
     # ---------------- snapshot plumbing ----------------
 
@@ -676,16 +679,18 @@ class LakeTable:
     _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
 
     # equality-skipping index parameters (Iceberg Puffin bloom-blob
-    # analogue, stored inline in the manifest entry since manifests
-    # are already split + content-addressed): a 1 KiB bloom per
-    # indexed column per file, 6 probes, double-hashed from md5.
-    # Sized for the per-file distinct counts a bucketed layout
-    # produces (<=4096 ndv => fpp <= ~2%); files with more distinct
-    # values than _BLOOM_MAX_NDV store nothing (unknown never
-    # mis-prunes, it just doesn't prune).
-    _BLOOM_BITS = 8192
-    _BLOOM_K = 6
-    _BLOOM_MAX_NDV = 4096
+    # analogue). Blooms are NDV-SIZED at ~10 bits/element (k=7 probes
+    # => fpp ~0.8%) — a fixed-size bloom saturates exactly at the file
+    # sizes where skipping matters most. Small blooms (<= _BLOOM_INLINE
+    # bits) inline into the manifest entry; larger ones are written as
+    # content-addressed SIDECAR files under _meta/index/ (the Puffin
+    # file analogue) referenced by path, capped at _BLOOM_MAX_BITS
+    # (1 MiB => files up to ~838k distinct values; beyond that nothing
+    # is stored — unknown never mis-prunes, it just doesn't prune).
+    _BLOOM_K = 7
+    _BLOOM_BITS_PER_EL = 10
+    _BLOOM_INLINE = 8192  # bits; <= 1 KiB base64s into the manifest
+    _BLOOM_MAX_BITS = 1 << 23
     _CSET_MAX = 64  # exact distinct-set cap (categorical columns)
 
     @staticmethod
@@ -703,45 +708,110 @@ class LakeTable:
         return int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big")
 
     @classmethod
-    def _bloom_build(cls, values) -> str | None:
-        """base64 bitset over the distinct values, or None when any
-        value is not indexable."""
-        import base64
-
-        bits = bytearray(cls._BLOOM_BITS // 8)
-        try:
-            for v in values:
-                h1, h2 = cls._eq_hash(v)
-                for j in range(cls._BLOOM_K):
-                    p = (h1 + j * h2) % cls._BLOOM_BITS
-                    bits[p >> 3] |= 1 << (p & 7)
-        except TypeError:
-            return None
-        return base64.b64encode(bytes(bits)).decode("ascii")
+    def _bloom_bits_for(cls, ndv: int) -> int | None:
+        m = 1024
+        while m < cls._BLOOM_BITS_PER_EL * ndv:
+            m <<= 1
+            if m > cls._BLOOM_MAX_BITS:
+                return None
+        return m
 
     @classmethod
-    def _bloom_maybe(cls, b64: str, val) -> bool:
-        """False => the value is PROVABLY absent from the file."""
-        import base64
+    def _bloom_build(cls, values) -> bytes | None:
+        """Bitset over the distinct values (numpy-vectorized probe
+        scatter), or None when the column is not indexable or too
+        distinct for the size cap."""
+        import numpy as np
 
+        m = cls._bloom_bits_for(len(values))
+        if m is None:
+            return None
+        try:
+            pairs = [cls._eq_hash(v) for v in values]
+        except TypeError:
+            return None
+        h1 = np.array([p[0] for p in pairs], dtype=np.uint64)
+        h2 = np.array([p[1] for p in pairs], dtype=np.uint64)
+        mask = np.uint64(m - 1)  # m is a power of two
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for j in range(cls._BLOOM_K):
+            pos = (h1 + np.uint64(j) * h2) & mask
+            np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                             np.left_shift(np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)))
+        return bits.tobytes()
+
+    @classmethod
+    def _bloom_probe(cls, raw: bytes, val) -> bool:
+        """False => the value is PROVABLY absent from the file."""
         try:
             h1, h2 = cls._eq_hash(val)
         except TypeError:
             return True  # unindexable probe value: cannot prune
-        bits = base64.b64decode(b64)
+        m = len(raw) * 8
         for j in range(cls._BLOOM_K):
-            p = (h1 + j * h2) % cls._BLOOM_BITS
-            if not (bits[p >> 3] >> (p & 7)) & 1:
+            p = (h1 + j * h2) % m
+            if not (raw[p >> 3] >> (p & 7)) & 1:
                 return False
         return True
 
+    def _bloom_maybe(self, ref: str, val) -> bool:
+        """Resolve an inline (``b64:...``) or sidecar (``idx:<rel>``)
+        bloom reference and probe it. Sidecar bytes are cached (small
+        bounded FIFO — probes during one prune_files pass hit the same
+        few files repeatedly)."""
+        import base64
+
+        if ref.startswith("b64:"):
+            return self._bloom_probe(base64.b64decode(ref[4:]), val)
+        rel = ref[4:]  # "idx:<relpath>"
+        raw = self._bloom_cache.get(rel)
+        if raw is None:
+            try:
+                with open(os.path.join(self.root, rel), "rb") as f:
+                    raw = f.read()
+            except FileNotFoundError:
+                return True  # sidecar GC'd ahead of us: cannot prune
+            if len(self._bloom_cache) >= 64:
+                self._bloom_cache.pop(next(iter(self._bloom_cache)))
+            self._bloom_cache[rel] = raw
+        return self._bloom_probe(raw, val)
+
+    def _bloom_store(self, raw: bytes) -> str:
+        """Inline small blooms; write large ones as content-addressed
+        sidecars (idempotent: same bits => same path, os.link race is
+        benign)."""
+        import base64
+        import hashlib
+
+        if len(raw) * 8 <= self._BLOOM_INLINE:
+            return "b64:" + base64.b64encode(raw).decode("ascii")
+        name = hashlib.sha1(raw).hexdigest() + ".bloom"
+        rel = os.path.join("_meta", "index", name)
+        path = os.path.join(self.root, rel)
+        if not os.path.exists(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "wb") as f:
+                f.write(raw)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                pass  # concurrent writer stored identical content
+            finally:
+                os.remove(tmp)
+        return "idx:" + rel
+
     @classmethod
-    def _bound_excludes(cls, entry: dict, col: str, op: str, val) -> bool:
+    def _bound_excludes(
+        cls, entry: dict, col: str, op: str, val, bloom_resolver=None
+    ) -> bool:
         """True iff the file's manifest bounds PROVE no row satisfies
         ``col <op> val`` (NULL rows never satisfy a comparison, and
         bounds cover exactly the non-NULL rows). Missing bounds —
         pre-stats manifests, untracked types, all-NULL columns — never
-        exclude."""
+        exclude. ``bloom_resolver`` (an instance's ``_bloom_maybe``)
+        additionally resolves sidecar bloom refs; without it only
+        inline blooms participate."""
         if op in ("=", "=="):
             # equality index first: exact distinct set (categorical
             # columns), then the per-file bloom — both PROVE absence,
@@ -755,8 +825,17 @@ class LakeTable:
                 except TypeError:
                     pass
             bb = (entry.get("cbloom") or {}).get(col)
-            if bb is not None and not cls._bloom_maybe(bb, val):
-                return True
+            if bb is not None:
+                if bloom_resolver is not None:
+                    if not bloom_resolver(bb, val):
+                        return True
+                elif bb.startswith("b64:"):
+                    # classmethod context (no table handle): inline
+                    # blooms only; sidecar refs stay unknown => keep
+                    import base64
+
+                    if not cls._bloom_probe(base64.b64decode(bb[4:]), val):
+                        return True
         lo = (entry.get("cmin") or {}).get(col)
         hi = (entry.get("cmax") or {}).get(col)
         if lo is None or hi is None:
@@ -819,7 +898,9 @@ class LakeTable:
             pcol = _phys(col, int(f.get("epoch", 0)))
             if pcol is None:
                 return True  # column born after this file: all NULL
-            return self._bound_excludes(f, pcol, op, val)
+            return self._bound_excludes(
+                f, pcol, op, val, bloom_resolver=self._bloom_maybe
+            )
 
         delta_buckets = {
             f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
@@ -1350,8 +1431,7 @@ class LakeTable:
             return v.hex() if len(v) <= cls._MAX_STR_BOUND else None
         return None
 
-    @classmethod
-    def _file_stats(cls, path: str, eq_cols: tuple = ()) -> dict:
+    def _file_stats(self, path: str, eq_cols: tuple = ()) -> dict:
         """Per-file manifest stats — the analogue of an Iceberg
         manifest entry's ``record_count`` / ``file_size_in_bytes`` /
         ``lower_bounds``/``upper_bounds``. Footer-only: no data pages
@@ -1391,8 +1471,8 @@ class LakeTable:
                     maxs.append(st.max)
                 if not (complete and mins):
                     continue
-                lo = cls._json_bound(min(mins))
-                hi = cls._json_bound(max(maxs))
+                lo = self._json_bound(min(mins))
+                hi = self._json_bound(max(maxs))
                 if lo is None or hi is None:
                     continue
                 if name == LSN_COL:
@@ -1409,11 +1489,12 @@ class LakeTable:
                 # COLUMN readback per file this commit wrote — the only
                 # stats item that touches data pages. ndv <= _CSET_MAX
                 # stores the exact distinct set (zero false positives,
-                # the categorical-column case); <= _BLOOM_MAX_NDV a
-                # 1 KiB bloom; beyond that nothing (unknown never
-                # mis-prunes). Files land bucketed by key hash, so a
-                # key-correlated column's per-file ndv stays far below
-                # the table's.
+                # the categorical-column case); above that an
+                # ndv-sized bloom at ~10 bits/element — inline in the
+                # manifest up to 1 KiB, a content-addressed sidecar
+                # under _meta/index/ beyond (the Puffin-file analogue),
+                # nothing past the 1 MiB cap (~838k distinct values;
+                # unknown never mis-prunes).
                 import pyarrow.parquet as pq2
 
                 present = {md.schema.column(i).name for i in range(md.num_columns)}
@@ -1427,16 +1508,16 @@ class LakeTable:
                             v for v in tbl.column(c).unique().to_pylist()
                             if v is not None
                         ]
-                        if not vals or len(vals) > cls._BLOOM_MAX_NDV:
+                        if not vals:
                             continue
-                        if len(vals) <= cls._CSET_MAX:
-                            js = [cls._json_bound(v) for v in vals]
+                        if len(vals) <= self._CSET_MAX:
+                            js = [self._json_bound(v) for v in vals]
                             if all(v is not None for v in js):
                                 cset[c] = sorted(js, key=lambda x: (str(type(x)), str(x)))
                                 continue
-                        b = cls._bloom_build(vals)
+                        b = self._bloom_build(vals)
                         if b is not None:
-                            cbloom[c] = b
+                            cbloom[c] = self._bloom_store(b)
                     if cset:
                         out["cset"] = cset
                     if cbloom:
@@ -2586,6 +2667,30 @@ class LakeTable:
         candidates = set()
         for v in expiring:
             candidates.update(f["path"] for f in self.snapshot(v)["files"])
+
+        # sidecar bloom refs must be collected NOW, while the expiring
+        # snapshots' manifests still exist (their deletion below makes
+        # snapshot(v) unreadable); the actual removal happens after the
+        # manifest GC, same referenced-vs-candidates scheme
+        def _idx_refs(entries) -> set[str]:
+            out: set[str] = set()
+            for f in entries:
+                for ref in (f.get("cbloom") or {}).values():
+                    if isinstance(ref, str) and ref.startswith("idx:"):
+                        out.add(ref[4:])
+            return out
+
+        referenced_idx: set[str] = set()
+        for v in retained:
+            referenced_idx |= _idx_refs(self.snapshot(v)["files"])
+        for sid in self.staged_ids():
+            try:
+                referenced_idx |= _idx_refs(self._load_staged(sid)["new_files"])
+            except (ValueError, json.JSONDecodeError):
+                continue
+        idx_candidates: set[str] = set()
+        for v in expiring:
+            idx_candidates |= _idx_refs(self.snapshot(v)["files"])
         if scan_orphans:
             now = time.time()
             walked = {
@@ -2661,6 +2766,34 @@ class LakeTable:
                 os.remove(p)
                 removed_manifests += 1
             self._manifest_cache.pop(rel, None)
+        # sidecar bloom GC mirrors the manifest scheme: content
+        # addressing means a shared index survives as long as ANY
+        # retained snapshot's entry references it; expiring-referenced
+        # sidecars have known provenance (collected above, before the
+        # manifest GC), orphan-walk finds are grace-gated like
+        # everything else
+        idx_dir = os.path.join(self._meta, "index")
+        if scan_orphans and os.path.isdir(idx_dir):
+            now = time.time()
+            for n in os.listdir(idx_dir):
+                rel = os.path.join("_meta", "index", n)
+                if rel in referenced_idx or rel in idx_candidates:
+                    continue
+                try:
+                    if now - os.path.getmtime(
+                        os.path.join(self.root, rel)
+                    ) >= orphan_grace_sec:
+                        idx_candidates.add(rel)
+                except OSError:
+                    continue
+        removed_idx = 0
+        for rel in idx_candidates - referenced_idx:
+            try:
+                os.remove(os.path.join(self.root, rel))
+                removed_idx += 1
+            except FileNotFoundError:
+                pass
+            self._bloom_cache.pop(rel, None)
         removed_snaps = 0
         for v in expiring:
             try:  # a concurrent expire may have removed it already
@@ -2672,6 +2805,7 @@ class LakeTable:
             "removed_snapshots": removed_snaps,
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
+            "removed_index_files": removed_idx,
         }
 
     def state_fingerprint(self) -> DataFrame:
