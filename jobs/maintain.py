@@ -51,6 +51,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-delta-rows", type=int, default=None,
                    help="partial: only buckets with >= N pending delta rows "
                         "(manifest stats; ORs with --min-deltas)")
+    c.add_argument("--cluster-by", default=None,
+                   help="comma-separated value columns: sort the rewrite so "
+                        "manifest bounds become selective (file skipping)")
+    c.add_argument("--zorder", action="store_true",
+                   help="with 2+ --cluster-by columns: Morton-code interleave "
+                        "so bounds prune on every column, not just the first")
+    c.add_argument("--max-records-per-file", type=int, default=None,
+                   help="split each bucket into value-contiguous files of <= N "
+                        "rows (the skipping granularity knob)")
 
     sub.add_parser("stats", help="O(metadata) manifest stats (no data read)")
     sub.add_parser("history", help="commit log of retained snapshots (read-only)")
@@ -108,7 +117,11 @@ def main(argv: list[str] | None = None) -> int:
         before = t.current_version()
         if args.verb == "compact":
             after = t.compact(
-                min_deltas=args.min_deltas, min_delta_rows=args.min_delta_rows
+                min_deltas=args.min_deltas,
+                min_delta_rows=args.min_delta_rows,
+                cluster_by=(args.cluster_by.split(",") if args.cluster_by else None),
+                zorder=args.zorder,
+                max_records_per_file=args.max_records_per_file,
             )
             out = {"verb": "compact", "version": after}
         elif args.verb == "stats":

@@ -1332,6 +1332,51 @@ class LakeTable:
         self._write_snapshot(new)
         return new["version"]
 
+    # numeric types _zvalue can scale into equal-width buckets
+    _Z_TYPES = ("long", "integer", "short", "byte", "double", "float", "decimal")
+
+    def _zvalue(self, df: DataFrame, cols: list[str], bits_per_col: int | None = None):
+        """Z-value (Morton code) column expression: each z-order
+        column is scaled to a ``2^B``-cell equal-width grid
+        (``width_bucket`` over its min/max in THIS rewrite set — one
+        extra agg pass) and the cells' bits are interleaved into one
+        long, entirely in codegen. NULL scales to cell 0 (sorts
+        first, like null-first lexicographic). Numeric columns only:
+        hashing a string would destroy the locality z-order exists to
+        preserve."""
+        for c in cols:
+            tn = df.schema[c].dataType.typeName()
+            if not tn.startswith(self._Z_TYPES):
+                raise ValueError(f"z-order column {c!r} ({tn}) is not numeric")
+        n = len(cols)
+        B = bits_per_col or max(4, min(16, 48 // n))
+        agg = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"lo{i}") for i, c in enumerate(cols)],
+            *[F.max(F.col(c).cast("double")).alias(f"hi{i}") for i, c in enumerate(cols)],
+        ).first()
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            lo, hi = agg[f"lo{j}"], agg[f"hi{j}"]
+            if lo is None or hi is None or not hi > lo:
+                idx = F.lit(0).cast("long")  # constant/all-NULL column
+            else:
+                # width_bucket(v, lo, hi, 2^B) in [1, 2^B] (+1 above hi)
+                idx = F.least(
+                    F.lit((1 << B) - 1),
+                    F.coalesce(
+                        F.expr(
+                            f"width_bucket(cast(`{c}` as double), "
+                            f"{lo!r}, {hi!r}, {1 << B}) - 1"
+                        ).cast("long"),
+                        F.lit(0),
+                    ),
+                )
+            for i in range(B):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(idx, i).bitwiseAND(F.lit(1)), i * n + j)
+                )
+        return z.alias("_zvalue")
+
     def _write_data(
         self,
         df: DataFrame,
@@ -1341,6 +1386,7 @@ class LakeTable:
         pre_bucketed: bool = False,
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        zorder: bool = False,
     ) -> list[dict]:
         # write-once, collision-free: two optimistic writers racing for
         # the same version number must NEVER target the same directory —
@@ -1359,7 +1405,19 @@ class LakeTable:
             df = df.withColumn("_bucket", self._bucket_expr(snap)).repartition(
                 max(1, min(snap["n_buckets"], par)), "_bucket"
             )
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) > 1:
+            # Z-ORDER clustering (Iceberg rewrite_data_files zorder /
+            # Delta OPTIMIZE ZORDER BY analogue): lexicographic sort
+            # makes bounds tight on the FIRST column only — a predicate
+            # on the second prunes nothing. Interleaving the bits of
+            # each column's equal-width bucket index gives every
+            # emitted file a small hyper-rectangle footprint in value
+            # space, so bounds stay selective on EVERY z-order column
+            # at once. Pure codegen: width_bucket per column (min/max
+            # from one extra agg pass over the rewrite set — this is a
+            # maintenance op) and a shift/or chain, no UDF, no window.
+            df = df.sortWithinPartitions("_bucket", self._zvalue(df, cluster_by))
+        elif cluster_by:
             # value clustering (Iceberg sort-order rewrite): sorting
             # each task's stream by (_bucket, cluster cols) keeps the
             # per-bucket dirs contiguous AND makes every emitted file a
@@ -2284,6 +2342,7 @@ class LakeTable:
         max_retries: int = 3,
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        zorder: bool = False,
     ) -> int:
         """Fold MOR deltas into base files and collapse small files.
 
@@ -2321,11 +2380,19 @@ class LakeTable:
         cmin/cmax bounds selective — the Iceberg sort-order
         rewrite_data_files analogue that turns read_where's file
         skipping from a no-op (hash-bucketed layout: every file spans
-        the full value range) into O(matching files)."""
+        the full value range) into O(matching files).
+
+        zorder=True (with 2+ cluster_by columns): sort on the Morton
+        code of the columns' equal-width grid cells instead of
+        lexicographically, so every emitted file covers a small
+        hyper-rectangle and bounds prune on EVERY z-order column, not
+        just the first (Iceberg rewrite zorder / Delta OPTIMIZE
+        ZORDER BY analogue; numeric columns only)."""
         for _ in range(max_retries + 1):
             try:
                 return self._compact_once(
-                    min_deltas, min_delta_rows, cluster_by, max_records_per_file
+                    min_deltas, min_delta_rows, cluster_by, max_records_per_file,
+                    zorder,
                 )
             except FileExistsError:
                 continue  # lost the version race: recompute the fold
@@ -2339,6 +2406,7 @@ class LakeTable:
         min_delta_rows: int | None = None,
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
+        zorder: bool = False,
     ) -> int:
         snap = self.snapshot()
         if min_deltas is None and min_delta_rows is None:
@@ -2383,6 +2451,7 @@ class LakeTable:
             kind="base",
             cluster_by=cluster_by,
             max_records_per_file=max_records_per_file,
+            zorder=zorder,
         )
         new = dict(snap)
         new.update(
