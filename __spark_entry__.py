@@ -45,6 +45,10 @@ _DEMOTED_TAIL = [
     # pytest-pinned (tests/test_eq_skipping.py) and the entry carries
     # an in-query pruning assert + full DuckDB oracle in the tail gate
     "cdc_eq_skip",
+    # z-order twin of the same file-skipping family; per-dimension
+    # admission pinned in tests/test_zorder.py, in-query pruning
+    # asserts + full DuckDB oracle in the tail gate
+    "cdc_zorder_skip",
     # historical reads stay load-bearing in-window inside
     # cdc_rollback_replay (rollback restores the target version's file
     # set) and cdc_change_feed (diffs two versions); the dedicated

@@ -1371,3 +1371,94 @@ def cdc_eq_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_zorder_skip",
+    """
+    SELECT event_id, user_id, event_type, value AS val
+    FROM events
+    WHERE user_id BETWEEN 2 AND 4 AND value >= 50 AND value < 80
+    """,
+)
+def cdc_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite end-to-end (SURVEY §10.12): build a
+    LakeTable over events, rewrite it Morton-code-clustered on
+    (user_id, value), and answer a two-dimensional box predicate via
+    read_where. The in-query asserts pin the z-order property — a
+    single-column slab prunes files on EITHER dimension (lexicographic
+    clustering only ever serves the first) — and the value hash pins
+    that pruning never changed an answer."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_zorder_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["event_id"], n_buckets=1
+        )
+        table.merge(
+            e.select(
+                "event_id",
+                "user_id",
+                "event_type",
+                F.col("value").alias("val"),
+                F.col("event_id").alias("lsn"),
+                F.lit("U").alias("op"),
+            ),
+            0,
+            mode="cow",
+        )
+        table.compact(
+            cluster_by=["user_id", "val"], zorder=True, max_records_per_file=100
+        )
+        snap = table.snapshot()
+        total = len(snap["files"])
+        # z-order property at this granularity: BOTH single-dimension
+        # slabs prune (lexicographic admits every file for the second
+        # column), and the two-dimensional box prunes to <= half
+        for slab in (
+            [("user_id", ">=", 2), ("user_id", "<=", 4)],
+            [("val", ">=", 50.0), ("val", "<", 80.0)],
+        ):
+            admitted = len(table.prune_files(snap, slab))
+            if not total or admitted >= total:
+                raise AssertionError(
+                    f"z-order did not prune on {slab[0][0]}: {admitted}/{total}"
+                )
+        box = [
+            ("user_id", ">=", 2),
+            ("user_id", "<=", 4),
+            ("val", ">=", 50.0),
+            ("val", "<", 80.0),
+        ]
+        if len(table.prune_files(snap, box)) * 2 > total:
+            raise AssertionError("z-order box predicate did not prune")
+        rows = (
+            table.read_where(
+                [
+                    ("user_id", ">=", 2),
+                    ("user_id", "<=", 4),
+                    ("val", ">=", 50.0),
+                    ("val", "<", 80.0),
+                ]
+            )
+            .select("event_id", "user_id", "event_type", "val")
+            .collect()
+        )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
