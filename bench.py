@@ -64,6 +64,8 @@ EXTENDED = [
     "cdc_rename_evolution",
     "media_features",
     "cdc_wap_publish",
+    "cdc_eq_skip",
+    "cdc_zorder_skip",
 ]
 
 
