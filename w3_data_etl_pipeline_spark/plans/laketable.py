@@ -1970,6 +1970,19 @@ class LakeTable:
                 if self._ledger_contains(cur["ledger"], batch_id):
                     # the winner WAS our batch (duplicate replay race)
                     return MergeStats(batch_id=batch_id, applied=False, version=cur["version"])
+                if cur["n_buckets"] != snap["n_buckets"]:
+                    # a concurrent REBUCKET changed the bucket function:
+                    # our files' bucket labels were computed under the
+                    # old count, and appending them would poison every
+                    # bucket-pruned path (point lookups, CDF, compaction
+                    # fold grouping). Delta appends normally commute,
+                    # but not across a bucket-function change — re-run
+                    # the merge so the batch re-buckets under the winner.
+                    raise CommitConflictError(
+                        f"batch {batch_id}: concurrent rebucket "
+                        f"({snap['n_buckets']} -> {cur['n_buckets']}); re-run "
+                        f"the merge against the current snapshot v{cur['version']}"
+                    ) from None
                 if kind != "delta":
                     cur_by_bucket = self._files_by_bucket(cur)
                     if any(
@@ -2067,6 +2080,7 @@ class LakeTable:
             "schema": schema.jsonValue(),
             "base_version": snap["version"],
             "base_schema_epoch": snap.get("schema_epoch", 0),
+            "base_n_buckets": snap["n_buckets"],
             "base_touched": {
                 str(b): list(by_bucket.get(b, ())) for b in touched
             },
@@ -2176,6 +2190,15 @@ class LakeTable:
                     f"publish {stage_id!r}: schema identity changed since the "
                     f"stage (rename/drop on main); re-run the merge against "
                     f"the current snapshot v{cur['version']}"
+                )
+            if cur["n_buckets"] != doc.get("base_n_buckets", cur["n_buckets"]):
+                # bucket function changed since the stage: the staged
+                # files' bucket labels are under the old count — even a
+                # delta fast-forward would poison bucket-pruned reads
+                raise CommitConflictError(
+                    f"publish {stage_id!r}: concurrent rebucket since the "
+                    f"stage; re-run the merge against the current snapshot "
+                    f"v{cur['version']}"
                 )
             if doc["kind"] != "delta":
                 cur_by = self._files_by_bucket(cur)
