@@ -1407,8 +1407,10 @@ def cdc_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("val", T.DoubleType()),
             ]
         )
+        # 8 buckets so build/rewrite parallelize; z-ranges are
+        # per-bucket, which leaves the admission geometry unchanged
         table = LakeTable.create(
-            spark, f"{work}/t", schema, ["event_id"], n_buckets=1
+            spark, f"{work}/t", schema, ["event_id"], n_buckets=8
         )
         table.merge(
             e.select(
@@ -1422,8 +1424,15 @@ def cdc_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
             0,
             mode="cow",
         )
+        # target ~5 z-ranges per bucket at ANY sf: a fixed split of
+        # 100 rows/file meant 1000 tiny files (and footer stats) at
+        # sf0.1 — file-count is the skipping granularity knob, not a
+        # constant
+        n_rows = table.stats()["rows"]
         table.compact(
-            cluster_by=["user_id", "val"], zorder=True, max_records_per_file=100
+            cluster_by=["user_id", "val"],
+            zorder=True,
+            max_records_per_file=max(25, n_rows // (8 * 5)),
         )
         snap = table.snapshot()
         total = len(snap["files"])
