@@ -91,6 +91,11 @@ _DEMOTED_TAIL = [
                                    # moving_avg_daily_revenue (ROWS)
     "unpivot_charge_components",   # inverse of in-window
                                    # pivot_event_counts
+    # writable-ref lifecycle twin of in-window cdc_wap_publish (same
+    # publish-onto-main contract, multi-batch); full DuckDB oracle +
+    # in-query isolation/lineage asserts run in the tail gate, branch
+    # machinery pytest-pinned in tests/test_branches.py
+    "cdc_branch_ff",
 ]
 
 

@@ -253,3 +253,26 @@ def test_files_metadata_table(spark, tmp_path, fixtures):
     assert kinds == {"base", "delta"}
     assert df.count() == s["base_files"] + s["delta_files"]
     assert df.filter(df.lsn_max > 200).count() == 0  # bounds respected
+
+
+def test_partitions_metadata_table(spark, tmp_path, fixtures):
+    """partitions() is the per-bucket rollup of files(): totals match
+    stats(), delta debt localizes to the buckets that actually carry
+    delta files, and the LSN high-water mark is per-bucket max."""
+    snap, events = fixtures
+    t = _new_table(spark, tmp_path, snap, "t_parts")
+    t.merge(events.filter(events.lsn <= 200), 0, mode="mor")
+    p = t.partitions()
+    s = t.stats()
+    agg = p.groupBy().sum(
+        "base_files", "delta_files", "rows", "bytes", "delta_rows"
+    ).collect()[0]
+    assert agg[0] == s["base_files"] and agg[1] == s["delta_files"]
+    assert agg[2] == s["rows"] and agg[3] == s["bytes"]
+    assert agg[4] == s["delta_rows"]
+    rows = {r["bucket"]: r.asDict() for r in p.collect()}
+    by_bucket = _delta_rows_by_bucket(t)
+    for b, d in rows.items():
+        assert d["delta_rows"] == by_bucket.get(b, 0)
+        assert d["lsn_max"] is None or d["lsn_max"] <= 200 or d["delta_files"] == 0
+    assert p.count() == len({f["bucket"] for f in t.snapshot()["files"]})

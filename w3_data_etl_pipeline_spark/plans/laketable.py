@@ -1162,6 +1162,64 @@ class LakeTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-bucket rollup of the manifest — the Iceberg
+        ``db.table.partitions`` metadata table analogue. O(metadata):
+        one row per non-empty bucket with file/row/byte totals split
+        by kind, plus the bucket's LSN high-water mark. The operator
+        view for skew and compaction triage ("which buckets carry the
+        delta debt / the row mass") without opening a data file; rows
+        are manifest sums, so delta rows are pre-resolution counts
+        (same caveat as stats())."""
+        snap = self.snapshot(version)
+        per: dict[int, dict] = {}
+        for f in snap["files"]:
+            b = per.setdefault(
+                int(f["bucket"]),
+                {
+                    "base_files": 0, "delta_files": 0,
+                    "rows": 0, "bytes": 0, "delta_rows": 0,
+                    "lsn_max": None, "no_stats": 0,
+                },
+            )
+            kind = f.get("kind", "base")
+            b["base_files" if kind == "base" else "delta_files"] += 1
+            if f.get("rows") is None:
+                b["no_stats"] += 1
+            else:
+                b["rows"] += f["rows"]
+                b["bytes"] += f.get("bytes") or 0
+                if kind == "delta":
+                    b["delta_rows"] += f["rows"]
+            if f.get("lsn_max") is not None:
+                b["lsn_max"] = (
+                    f["lsn_max"]
+                    if b["lsn_max"] is None
+                    else max(b["lsn_max"], f["lsn_max"])
+                )
+        schema = T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("base_files", T.IntegerType()),
+                T.StructField("delta_files", T.IntegerType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("delta_rows", T.LongType()),
+                T.StructField("lsn_max", T.LongType()),
+                T.StructField("files_without_stats", T.IntegerType()),
+            ]
+        )
+        rows = [
+            (
+                b,
+                d["base_files"], d["delta_files"],
+                d["rows"], d["bytes"], d["delta_rows"],
+                d["lsn_max"], d["no_stats"],
+            )
+            for b, d in sorted(per.items())
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
     def compact_lineage(self, max_files: int = 64) -> dict:
         """Consolidate the per-(batch, bucket) lineage parquet files —
         a 10^5-microbatch stream otherwise leaves 10^5 tiny audit
@@ -2365,6 +2423,222 @@ class LakeTable:
         except FileNotFoundError:
             return False
 
+    # ---------------- branches (named writable refs) ----------------
+    #
+    # Iceberg's `branch` retention refs, writable: where a tag pins one
+    # snapshot read-only and a WAP stage holds exactly ONE audited
+    # commit, a branch accepts a whole SEQUENCE of merges / compactions
+    # / schema changes through the normal commit protocol (optimistic
+    # retries, exactly-once ledger, per-batch lineage) without moving
+    # main — the multi-batch audit / repair / dev-test pattern ("apply
+    # this afternoon's WAL to `repair`, validate the whole line, then
+    # fast-forward main"). Branch snapshots live under
+    # _meta/branches/<name>/ — outside the v*.json namespace, so like
+    # tags and stages they never consume a main version number — while
+    # DATA files, split manifests, and index sidecars stay in the
+    # shared content-addressed stores: a branch commit costs the same
+    # as a main commit, and unchanged buckets share the fork point's
+    # manifests by fingerprint. expire_snapshots() on main pins every
+    # file, manifest, and sidecar any live branch references, exactly
+    # like tags and staged commits.
+    #
+    # fast_forward(name) is Iceberg's fastForwardBranch adapted to the
+    # split namespace: it publishes the branch head onto main as ONE
+    # metadata-only commit (no data rewritten — the head's manifest
+    # pointers are reused verbatim), re-stamping the branch's per-batch
+    # lineage rows to the published version so the audit trail survives
+    # the squash. Like Iceberg it requires main to be an ancestor of
+    # the branch head; because the namespaces are split that means main
+    # must still be AT the fork point — if main advanced, the branch no
+    # longer descends from current and the caller must re-merge
+    # (CommitConflictError), the same contract publish() applies to COW
+    # stages. The squash makes fast-forward one-shot per fork: continue
+    # work by re-forking from the published version (keeps the restamped
+    # audit rows exactly-once).
+
+    def _branches_root(self) -> str:
+        return os.path.join(self._meta, "branches")
+
+    def _branch_dir(self, name: str) -> str:
+        if (
+            not name
+            or name != os.path.basename(name)
+            or ".." in name
+            or name.startswith(".")
+        ):
+            raise ValueError(f"invalid branch name {name!r}")
+        return os.path.join(self._branches_root(), name)
+
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Fork ``version`` (default: current) as writable branch
+        ``name``. Exclusive-create (mkdir is the winner-picks lock).
+        The fork-point snapshot JSON is copied RAW into the branch
+        namespace — same manifest pointers, zero data or manifest
+        I/O — and becomes the branch's first version; branch merges
+        number onward from there."""
+        v = self.current_version() if version is None else int(version)
+        with open(self._snap_path(v)) as f:  # raises if expired/unknown
+            raw = json.load(f)
+        bdir = self._branch_dir(name)
+        try:
+            os.makedirs(bdir)
+        except FileExistsError:
+            raise ValueError(f"branch {name!r} already exists") from None
+        raw["operation"] = "branch-create"
+        raw["branch"] = name
+        with open(os.path.join(bdir, f"v{v:012d}.json"), "w") as f:
+            json.dump(raw, f)
+        with open(os.path.join(bdir, "branch.json"), "w") as f:
+            json.dump(
+                {"name": name, "forked_from": v, "created_at": time.time()}, f
+            )
+        # current pointer last: a handle opened mid-create sees a
+        # complete namespace or none (branch() checks branch.json)
+        with open(os.path.join(bdir, "current"), "w") as f:
+            f.write(str(v))
+        return v
+
+    def branches(self) -> dict[str, dict]:
+        """name -> {"head": int, "forked_from": int} for live branches
+        (mid-create / mid-drop namespaces are skipped)."""
+        try:
+            names = os.listdir(self._branches_root())
+        except FileNotFoundError:
+            return {}
+        out: dict[str, dict] = {}
+        for n in sorted(names):
+            bdir = os.path.join(self._branches_root(), n)
+            try:
+                with open(os.path.join(bdir, "branch.json")) as f:
+                    doc = json.load(f)
+                with open(os.path.join(bdir, "current")) as f:
+                    head = int(f.read().strip())
+            except (FileNotFoundError, json.JSONDecodeError, ValueError):
+                continue
+            out[n] = {"head": head, "forked_from": int(doc["forked_from"])}
+        return out
+
+    def branch(self, name: str) -> "LakeTable":
+        """A writable handle on branch ``name``: merge / read /
+        read_where / change_feed / time travel / compact / history /
+        even staged WAP commits all run against the branch's own
+        snapshot line through the identical machinery. Branch lineage
+        is kept in an isolated per-branch audit dir until fast_forward
+        re-stamps it onto main. Maintenance that reasons about GLOBAL
+        reachability (expire_snapshots) and ref management are
+        main-only and raise on a handle; history older than the fork
+        point is addressable on main, not the handle."""
+        bdir = self._branch_dir(name)
+        if not os.path.isfile(os.path.join(bdir, "branch.json")):
+            raise ValueError(f"no branch {name!r}")
+        return _BranchHandle(self, name)
+
+    def _restamp_branch_lineage(self, h: "LakeTable", version: int) -> str | None:
+        """Consolidate a branch's per-batch audit rows into ONE parquet
+        in main's lineage dir with snapshot_version re-stamped to the
+        publishing commit (batch ids, buckets, LSN ranges, applied
+        counts survive the squash verbatim). Driver-side pyarrow,
+        O(branch batches x buckets) rows — same cost class as
+        _write_lineage."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not os.path.isdir(h.lineage_dir):
+            return None
+        parts = sorted(
+            os.path.join(dp, n)
+            for dp, _dirs, names in os.walk(h.lineage_dir)
+            for n in names
+            if n.endswith(".parquet")
+        )
+        if not parts:
+            return None
+        tbl = pa.concat_tables([pq.read_table(p) for p in parts])
+        if tbl.num_rows == 0:
+            return None
+        i = tbl.schema.get_field_index("snapshot_version")
+        tbl = tbl.set_column(
+            i, "snapshot_version", pa.array([version] * tbl.num_rows, pa.int64())
+        )
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        path = os.path.join(
+            self.lineage_dir,
+            f"lineage-v{version:012d}-ff-{uuid.uuid4().hex[:8]}.parquet",
+        )
+        pq.write_table(tbl, path)
+        return path
+
+    def fast_forward(self, name: str, max_retries: int = 3) -> MergeStats:
+        """Publish branch ``name``'s head onto main as one
+        metadata-only commit. Main must still be at the branch's fork
+        point (see the section comment); a branch with no commits
+        fast-forwards as a no-op (applied=False). The branch ref
+        survives — ``drop_branch`` when done."""
+        bdir = self._branch_dir(name)
+        try:
+            with open(os.path.join(bdir, "branch.json")) as f:
+                bdoc = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(f"no branch {name!r}") from None
+        h = _BranchHandle(self, name)
+        head = h.snapshot()  # materialized files + manifest provenance
+        fork = int(bdoc["forked_from"])
+        if head["version"] == fork:
+            return MergeStats(
+                batch_id=-1, applied=False, version=self.current_version()
+            )
+        for _ in range(max_retries):
+            cur = self.snapshot()
+            if cur["version"] != fork:
+                raise CommitConflictError(
+                    f"fast_forward {name!r}: main advanced past the fork "
+                    f"point (v{fork} -> v{cur['version']}), so the branch no "
+                    f"longer descends from current; re-merge its batches or "
+                    f"re-fork"
+                )
+            new = dict(head)
+            new.pop("branch", None)
+            new.update(
+                version=cur["version"] + 1,
+                parent=cur["version"],
+                operation="fast-forward",
+                ff_branch=name,
+                ff_head=head["version"],
+            )
+            lin_path = self._restamp_branch_lineage(h, new["version"])
+            try:
+                self._write_snapshot(new)
+            except FileExistsError:
+                if lin_path is not None and os.path.exists(lin_path):
+                    os.remove(lin_path)
+                continue
+            return MergeStats(
+                batch_id=-1,
+                applied=True,
+                version=new["version"],
+                touched_buckets=len(
+                    {
+                        f["bucket"]
+                        for f in head["files"]
+                        if f["path"] not in {g["path"] for g in cur["files"]}
+                    }
+                ),
+            )
+        raise CommitConflictError(f"fast_forward {name!r}: commit retries exhausted")
+
+    def drop_branch(self, name: str) -> bool:
+        """Remove the branch ref, its snapshot line, and its private
+        audit rows. Data files / manifests / sidecars only the branch
+        referenced become unreferenced and are collected by the
+        grace-gated orphan walk."""
+        bdir = self._branch_dir(name)
+        found = os.path.isdir(bdir)
+        shutil.rmtree(bdir, ignore_errors=True)
+        shutil.rmtree(
+            os.path.join(self.root, "lineage-branches", name), ignore_errors=True
+        )
+        return found
+
     # ---------------- maintenance ----------------
 
     def compact(
@@ -2792,6 +3066,38 @@ class LakeTable:
         idx_candidates: set[str] = set()
         for v in expiring:
             idx_candidates |= _idx_refs(self.snapshot(v)["files"])
+        # live branches pin every data file, manifest, and index
+        # sidecar ANY of their snapshots (or their own staged commits)
+        # reference: a branch is a writable ref whose whole line must
+        # survive main GC until drop_branch. Cost is O(branch
+        # history metadata) — branches are short-lived audit/repair
+        # lines by contract (fast_forward is one-shot per fork).
+        branch_manifests: set[str] = set()
+        for bname in self.branches():
+            try:
+                h = self.branch(bname)
+                bvers = [
+                    int(n[1:-5])
+                    for n in os.listdir(h._meta)
+                    if n.startswith("v") and n.endswith(".json")
+                ]
+            except (ValueError, FileNotFoundError):
+                continue  # dropped concurrently
+            for bv in sorted(bvers):
+                try:
+                    bs = h.snapshot(bv)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # expired-by-drop or in-flight
+                referenced.update(f["path"] for f in bs["files"])
+                referenced_idx |= _idx_refs(bs["files"])
+                branch_manifests.update((bs.get("manifests") or {}).values())
+            for sid in h.staged_ids():
+                try:
+                    doc = h._load_staged(sid)
+                except (ValueError, json.JSONDecodeError):
+                    continue
+                referenced.update(e["path"] for e in doc["new_files"])
+                referenced_idx |= _idx_refs(doc["new_files"])
         if scan_orphans:
             now = time.time()
             walked = {
@@ -2832,7 +3138,7 @@ class LakeTable:
         # manifests). Content addressing makes this safe: a manifest
         # referenced by ANY retained snapshot has its exact path in that
         # snapshot's pointer map.
-        referenced_manifests: set[str] = set()
+        referenced_manifests: set[str] = set(branch_manifests)
         for v in retained:
             referenced_manifests.update(
                 (self.snapshot(v).get("manifests") or {}).values()
@@ -2914,3 +3220,47 @@ class LakeTable:
         snap = self.snapshot()
         df = self.read()
         return df.select(*snap["key_cols"], F.sha2(F.col("content"), 256).alias("content_sha"))
+
+
+class _BranchHandle(LakeTable):
+    """Writable view of one branch: the identical commit / read / merge
+    machinery with the snapshot namespace redirected to
+    ``_meta/branches/<name>/`` and audit rows to
+    ``lineage-branches/<name>/``. Shares the parent's manifest and
+    bloom caches (both content-addressed and immutable, so they are
+    namespace-safe). Operations that reason about GLOBAL reachability
+    or manage refs raise — they must run on main, the only namespace
+    from which every reference is enumerable."""
+
+    def __init__(self, parent: LakeTable, name: str):
+        super().__init__(parent.spark, parent.root)
+        self.branch_name = name
+        self._meta = parent._branch_dir(name)
+        self.lineage_dir = os.path.join(parent.root, "lineage-branches", name)
+        self._manifest_cache = parent._manifest_cache
+        self._bloom_cache = parent._bloom_cache
+
+    def _main_only(self, what: str):
+        raise ValueError(
+            f"{what} must run on the main table, not branch "
+            f"{self.branch_name!r} (global reachability / ref management "
+            f"is only enumerable from main)"
+        )
+
+    def expire_snapshots(self, *a, **k):
+        self._main_only("expire_snapshots")
+
+    def create_branch(self, *a, **k):
+        self._main_only("create_branch")
+
+    def branch(self, *a, **k):
+        self._main_only("branch")
+
+    def branches(self, *a, **k):
+        self._main_only("branches")
+
+    def fast_forward(self, *a, **k):
+        self._main_only("fast_forward")
+
+    def drop_branch(self, *a, **k):
+        self._main_only("drop_branch")

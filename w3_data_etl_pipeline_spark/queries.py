@@ -1293,6 +1293,97 @@ def cdc_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_branch_ff",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable branch refs end-to-end (Iceberg branch +
+    fastForwardBranch analogue, SURVEY §10.14): batch 0 (even LSNs)
+    lands on main; the odd half is applied to branch ``repair`` as TWO
+    separate ledgered merges — main must not move while the branch
+    line grows — then fast_forward publishes the branch head onto main
+    as one metadata commit with the branch's per-batch lineage
+    re-stamped. Final main state must equal plain last-writer-wins SQL
+    over all events: a branch write leaking into main early, a lost
+    branch batch, or a fast-forward that drops/duplicates rows all
+    flip the value hash. In-query asserts pin the isolation (main
+    version frozen during branch work) and the audit restamp (both
+    branch batch_ids present at the published version)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_branch_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0), 0, mode="mor")
+        v_fork = table.create_branch("repair")
+        br = table.branch("repair")
+        odd = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        br.merge(odd.filter(F.pmod(F.col("event_id"), F.lit(4)) == 1), 1, mode="mor")
+        br.merge(odd.filter(F.pmod(F.col("event_id"), F.lit(4)) == 3), 2, mode="mor")
+        if table.current_version() != v_fork:
+            raise AssertionError("branch writes moved main")
+        st = table.fast_forward("repair")
+        if not st.applied or st.version != v_fork + 1:
+            raise AssertionError("fast-forward did not publish one commit")
+        lin = table.lineage().filter(F.col("snapshot_version") == st.version)
+        got = {r["batch_id"] for r in lin.select("batch_id").distinct().collect()}
+        if got != {1, 2}:
+            raise AssertionError(f"lineage restamp lost batches: {got}")
+        table.drop_branch("repair")
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_eq_skip",
     """
     SELECT event_id, user_id, event_type, value AS val
