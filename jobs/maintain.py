@@ -21,6 +21,11 @@ same optimistic version-race commit the merge path uses):
               through expiry until dropped (rollback accepts --to-tag)
     publish / abandon / staged   write-audit-publish: fast-forward or
               drop a staged commit, list audit-pending stage ids
+    branch / fast-forward / drop-branch / branches   writable refs:
+              fork main into an independent snapshot line, publish its
+              head back as one metadata commit, drop it, list heads
+    partitions   O(metadata) per-bucket rollup (files/rows/bytes/
+              delta debt per bucket; read-only skew + compaction triage)
 
     tools/submit.sh --master local[8] -- \
         jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
@@ -104,6 +109,25 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("staged", help="list audit-pending staged commits (read-only)")
 
+    br = sub.add_parser("branch", help="fork main as a writable branch ref")
+    br.add_argument("name")
+    br.add_argument("--version", type=int, default=None,
+                    help="fork point (default: current)")
+
+    ff = sub.add_parser("fast-forward",
+                        help="publish a branch head onto main (metadata-only; "
+                             "conflicts if main advanced past the fork)")
+    ff.add_argument("name")
+
+    db = sub.add_parser("drop-branch",
+                        help="drop a branch ref (its private files become "
+                             "orphan-collectable)")
+    db.add_argument("name")
+
+    sub.add_parser("branches", help="list branches (name -> head/fork; read-only)")
+
+    sub.add_parser("partitions", help="O(metadata) per-bucket rollup (read-only)")
+
     sk = sub.add_parser("skip-columns",
                         help="opt columns into the per-file equality index "
                              "(exact set / bloom) used for '=' file skipping")
@@ -157,6 +181,21 @@ def main(argv: list[str] | None = None) -> int:
                    "abandoned": t.abandon(args.stage_id)}
         elif args.verb == "staged":
             out = {"verb": "staged", "stage_ids": t.staged_ids()}
+        elif args.verb == "branch":
+            v = t.create_branch(args.name, version=args.version)
+            out = {"verb": "branch", "name": args.name, "forked_from": v}
+        elif args.verb == "fast-forward":
+            st = t.fast_forward(args.name)
+            out = {"verb": "fast-forward", "name": args.name,
+                   "applied": st.applied, "version": st.version}
+        elif args.verb == "drop-branch":
+            out = {"verb": "drop-branch", "name": args.name,
+                   "dropped": t.drop_branch(args.name)}
+        elif args.verb == "branches":
+            out = {"verb": "branches", "branches": t.branches()}
+        elif args.verb == "partitions":
+            out = {"verb": "partitions",
+                   "buckets": [r.asDict() for r in t.partitions().collect()]}
         elif args.verb == "skip-columns":
             cols = [c for c in args.cols.split(",") if c]
             v = t.alter_skip_columns(cols)

@@ -90,3 +90,36 @@ def test_tag_and_wap_verbs(spark, tmp_path):
     assert ts["tags"] == {"genesis": tg["pinned_version"]}
     dt = _run("--table", t.root, "drop-tag", "genesis")
     assert dt["dropped"] is True and t.tags() == {}
+
+
+def test_branch_and_partitions_verbs(spark, tmp_path):
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lake_br"), SOURCE_FILES, ["repo", "path"], n_buckets=4
+    )
+    snap = datagen.source_snapshot(spark, 80, content_max=256)
+    t.overwrite(snap, lsn=datagen.GENESIS_LSN)
+    ev = datagen.change_events(spark, 300, 80, content_max=256)
+
+    b = _run("--table", t.root, "branch", "repair")
+    assert b["forked_from"] == t.current_version()
+    ls = _run("--table", t.root, "branches")
+    assert ls["branches"]["repair"]["head"] == b["forked_from"]
+
+    # write on the branch in-process (the CLI manages refs, the engine
+    # writes), then publish + drop via the CLI
+    t.branch("repair").merge(ev, 1, mode="mor")
+    ff = _run("--table", t.root, "fast-forward", "repair")
+    assert ff["applied"] is True and ff["version"] == b["forked_from"] + 1
+    assert t.current_version() == ff["version"]
+    d = _run("--table", t.root, "drop-branch", "repair")
+    assert d["dropped"] is True
+    assert _run("--table", t.root, "branches")["branches"] == {}
+
+    p = _run("--table", t.root, "partitions")
+    assert p["verb"] == "partitions" and len(p["buckets"]) > 0
+    s = _run("--table", t.root, "stats")
+    assert sum(r["rows"] for r in p["buckets"]) == s["rows"]
