@@ -131,3 +131,97 @@ def test_pre_stats_entries_never_pruned():
 def test_incomparable_predicate_keeps_file():
     entry = {"cmin": {"value": 1.0}, "cmax": {"value": 2.0}}
     assert not LakeTable._bound_excludes(entry, "value", ">=", "not-a-number")
+
+
+def _null_events(spark, n=2400, keys=320):
+    """value is NULL on a deterministic third of rows, so a clustered
+    rewrite (nulls sort together) yields all-null files AND no-null
+    files — both null-skipping directions get something to prune."""
+    return spark.range(1, n + 1).select(
+        (F.col("id") % keys).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        F.when(
+            F.col("id") % 3 == 0,
+            (F.pmod(F.xxhash64("id"), F.lit(10000)) / F.lit(10.0)),
+        ).alias("value"),
+        F.col("id").alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+
+
+@pytest.fixture()
+def nullable_clustered(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "tn"), SCHEMA, ["user_id"], n_buckets=8)
+    t.merge(_null_events(spark), 0)
+    t.compact(cluster_by=["value"], max_records_per_file=8)
+    return t
+
+
+def test_manifest_entries_carry_null_counts(nullable_clustered):
+    snap = nullable_clustered.snapshot()
+    assert snap["files"]
+    total_nulls = 0
+    for f in snap["files"]:
+        assert f.get("cnull") is not None
+        assert 0 <= f["cnull"]["value"] <= f["rows"]
+        assert f["cnull"]["user_id"] == 0  # key column never null
+        total_nulls += f["cnull"]["value"]
+    assert total_nulls == nullable_clustered.read().filter("value IS NULL").count()
+
+
+def test_is_not_null_skips_all_null_files(nullable_clustered):
+    t = nullable_clustered
+    snap = t.snapshot()
+    kept = t.prune_files(snap, [("value", "is_not_null", None)])
+    manual = [f for f in snap["files"] if f["cnull"]["value"] < f["rows"]]
+    assert {f["path"] for f in kept} == {f["path"] for f in manual}
+    assert len(kept) < len(snap["files"]), "no all-null file was skipped"
+    df = t.read_where([("value", "is_not_null", None)])
+    assert _norm(df.inputFiles()) == _norm(f["path"] for f in kept)
+    assert df.count() == t.read().filter(F.col("value").isNotNull()).count()
+
+
+def test_is_null_skips_null_free_files(nullable_clustered):
+    t = nullable_clustered
+    snap = t.snapshot()
+    kept = t.prune_files(snap, [("value", "is_null", None)])
+    manual = [f for f in snap["files"] if f["cnull"]["value"] > 0]
+    assert {f["path"] for f in kept} == {f["path"] for f in manual}
+    assert len(kept) < len(snap["files"]), "no null-free file was skipped"
+    got = sorted(
+        map(tuple, t.read_where([("value", "is_null", None)]).collect())
+    )
+    want = sorted(
+        map(tuple, t.read().filter(F.col("value").isNull()).collect())
+    )
+    assert got == want
+
+
+def test_null_ops_combine_with_range_predicates(nullable_clustered):
+    t = nullable_clustered
+    pred = [("value", "is_not_null", None), ("value", ">=", 600.0)]
+    got = sorted(map(tuple, t.read_where(pred).collect()))
+    want = sorted(
+        map(
+            tuple,
+            t.read()
+            .filter(F.col("value").isNotNull() & (F.col("value") >= 600.0))
+            .collect(),
+        )
+    )
+    assert got == want
+    snap = t.snapshot()
+    kept = t.prune_files(snap, pred)
+    assert len(kept) < len(t.prune_files(snap, [("value", ">=", 600.0)]))
+
+
+def test_missing_null_counts_never_prune():
+    entry = {"path": "x", "rows": 10, "cmin": {"v": 1}, "cmax": {"v": 5}}
+    assert not LakeTable._bound_excludes(entry, "v", "is_null", None)
+    assert not LakeTable._bound_excludes(entry, "v", "is_not_null", None)
+    with_counts = dict(entry, cnull={"v": 0})
+    assert LakeTable._bound_excludes(with_counts, "v", "is_null", None)
+    all_null = dict(entry, cnull={"v": 10})
+    assert LakeTable._bound_excludes(all_null, "v", "is_not_null", None)
+    no_rows = dict(entry, cnull={"v": 10}, rows=None)
+    assert not LakeTable._bound_excludes(no_rows, "v", "is_not_null", None)

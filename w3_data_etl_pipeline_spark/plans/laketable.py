@@ -676,7 +676,8 @@ class LakeTable:
 
     # ----- predicate-driven file skipping (Iceberg lower/upper_bounds) -----
 
-    _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=")
+    _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null")
+    _NULL_OPS = ("is_null", "is_not_null")
 
     # equality-skipping index parameters (Iceberg Puffin bloom-blob
     # analogue). Blooms are NDV-SIZED at ~10 bits/element (k=7 probes
@@ -812,6 +813,19 @@ class LakeTable:
         exclude. ``bloom_resolver`` (an instance's ``_bloom_maybe``)
         additionally resolves sidecar bloom refs; without it only
         inline blooms participate."""
+        if op in cls._NULL_OPS:
+            # null-count stats (Iceberg null_value_counts): IS NULL
+            # skips files with zero nulls in the column, IS NOT NULL
+            # skips files where the column is entirely NULL (the case
+            # min/max bounds cannot see — an all-NULL column has no
+            # bounds at all). Unknown counts never prune.
+            nc = (entry.get("cnull") or {}).get(col)
+            if nc is None:
+                return False
+            if op == "is_null":
+                return nc == 0
+            rows = entry.get("rows")
+            return rows is not None and nc == rows
         if op in ("=", "=="):
             # equality index first: exact distinct set (categorical
             # columns), then the per-file bloom — both PROVE absence,
@@ -879,7 +893,9 @@ class LakeTable:
         for col, op, val in predicates:
             if op not in self._PRUNE_OPS:
                 raise ValueError(f"unsupported prune op {op!r}")
-            preds.append((col, op, self._json_bound(val)))
+            preds.append(
+                (col, op, None if op in self._NULL_OPS else self._json_bound(val))
+            )
         fids = snap.get("field_ids") or {}
         log = snap.get("name_log") or {}
 
@@ -897,7 +913,9 @@ class LakeTable:
         def _excludes(f: dict, col: str, op: str, val) -> bool:
             pcol = _phys(col, int(f.get("epoch", 0)))
             if pcol is None:
-                return True  # column born after this file: all NULL
+                # column born after this file: every row is NULL, so
+                # IS NULL matches (keep) and everything else excludes
+                return op != "is_null"
             return self._bound_excludes(
                 f, pcol, op, val, bloom_resolver=self._bloom_maybe
             )
@@ -910,7 +928,8 @@ class LakeTable:
             for f in snap["files"]
             if f["bucket"] in delta_buckets
             or not any(
-                v is not None and _excludes(f, c, o, v) for (c, o, v) in preds
+                (o in self._NULL_OPS or v is not None) and _excludes(f, c, o, v)
+                for (c, o, v) in preds
             )
         ]
 
@@ -936,14 +955,19 @@ class LakeTable:
         cond = None
         for col, op, val in predicates:
             c = F.col(col)
-            e = {
-                "=": c == val,
-                "==": c == val,
-                "<": c < val,
-                "<=": c <= val,
-                ">": c > val,
-                ">=": c >= val,
-            }[op]
+            if op == "is_null":
+                e = c.isNull()
+            elif op == "is_not_null":
+                e = c.isNotNull()
+            else:
+                e = {
+                    "=": c == val,
+                    "==": c == val,
+                    "<": c < val,
+                    "<=": c <= val,
+                    ">": c > val,
+                    ">=": c >= val,
+                }[op]
             cond = e if cond is None else cond & e
         return df.filter(cond) if cond is not None else df
 
@@ -1144,6 +1168,8 @@ class LakeTable:
                 # lower_bounds/upper_bounds); NULL for pre-stats files
                 T.StructField("cmin", T.StringType()),
                 T.StructField("cmax", T.StringType()),
+                # per-column null counts (Iceberg null_value_counts)
+                T.StructField("cnull", T.StringType()),
             ]
         )
         rows = [
@@ -1157,6 +1183,7 @@ class LakeTable:
                 f.get("lsn_max"),
                 json.dumps(f["cmin"], sort_keys=True) if f.get("cmin") else None,
                 json.dumps(f["cmax"], sort_keys=True) if f.get("cmax") else None,
+                json.dumps(f["cnull"], sort_keys=True) if f.get("cnull") else None,
             )
             for f in snap["files"]
         ]
@@ -1580,20 +1607,36 @@ class LakeTable:
             out["rows"] = md.num_rows
             cmin: dict = {}
             cmax: dict = {}
+            cnull: dict = {}
             for i in range(md.num_columns):
                 name = md.schema.column(i).name
                 if name == OP_COL or "." in name:  # scalar leaves only
                     continue
                 mins: list = []
                 maxs: list = []
+                nulls: list = []
                 complete = True
+                nulls_complete = True
                 for rg in range(md.num_row_groups):
                     st = md.row_group(rg).column(i).statistics
-                    if st is None or not st.has_min_max:
-                        complete = False
+                    if st is None:
+                        complete = nulls_complete = False
                         break
-                    mins.append(st.min)
-                    maxs.append(st.max)
+                    # null counts are independent of min/max: an
+                    # all-NULL column has no bounds but a definite
+                    # null_count — exactly the file IS NOT NULL must
+                    # be able to skip (Iceberg null_value_counts)
+                    if st.null_count is None:
+                        nulls_complete = False
+                    else:
+                        nulls.append(st.null_count)
+                    if not st.has_min_max:
+                        complete = False
+                    else:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                if nulls_complete and name != LSN_COL:
+                    cnull[name] = int(sum(nulls))
                 if not (complete and mins):
                     continue
                 lo = self._json_bound(min(mins))
@@ -1609,6 +1652,8 @@ class LakeTable:
             if cmin:
                 out["cmin"] = cmin
                 out["cmax"] = cmax
+            if cnull:
+                out["cnull"] = cnull
             if eq_cols:
                 # equality index (opt-in via alter_skip_columns): one
                 # COLUMN readback per file this commit wrote — the only
