@@ -187,3 +187,49 @@ def test_branch_guards_and_validation(spark, tmp_path, corpus):
     with pytest.raises(ValueError):
         b.branches()
     assert not t.drop_branch("never-existed")
+
+
+def test_stream_into_branch_then_publish(spark, tmp_path, corpus):
+    """A branch handle IS a LakeTable, so the checkpointed streaming
+    loop ingests into it unchanged — the stream-to-audit-branch
+    pattern: tail the WAL into `staging` (main frozen the whole
+    drain), validate, then fast_forward main in one metadata commit."""
+    import glob
+    import shutil
+
+    from w3_data_etl_pipeline_spark.schemas import CHANGE_EVENTS
+    from w3_data_etl_pipeline_spark.streaming.cdc import run_stream
+
+    snap, events, snap_rows, event_rows = corpus
+    t = _table(spark, tmp_path, snap, "t_brstream")
+    v_fork = t.create_branch("staging")
+    b = t.branch("staging")
+
+    wal = tmp_path / "wal_br"
+    wal.mkdir()
+    for i in range(3):
+        lo = i * (N_EVENTS // 3) + 1
+        hi = (i + 1) * (N_EVENTS // 3) if i < 2 else N_EVENTS
+        seg = events.filter((events.lsn >= lo) & (events.lsn <= hi))
+        tmp = str(wal / f"_seg{i}")
+        seg.coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, str(wal / f"seg{i}.parquet"))
+        shutil.rmtree(tmp)
+
+    run = run_stream(
+        spark,
+        b,
+        str(wal),
+        str(tmp_path / "ckpt_br"),
+        CHANGE_EVENTS,
+        enrich=False,
+        mode="mor",
+    )
+    assert len([s for s in run.stats if s.applied]) >= 1
+    assert t.current_version() == v_fork  # main frozen during the drain
+    assert _shas(b.read()) == _expected(snap_rows, event_rows, N_EVENTS)
+
+    ff = t.fast_forward("staging")
+    assert ff.applied
+    assert _shas(t.read()) == _expected(snap_rows, event_rows, N_EVENTS)
