@@ -888,14 +888,29 @@ class LakeTable:
         name lookup would read original ``a``'s and mis-prune). A
         base file whose epoch PREDATES the column's existence holds
         only NULLs for it, and NULL never satisfies a comparison, so
-        it prunes outright."""
-        preds = []
-        for col, op, val in predicates:
-            if op not in self._PRUNE_OPS:
-                raise ValueError(f"unsupported prune op {op!r}")
-            preds.append(
-                (col, op, None if op in self._NULL_OPS else self._json_bound(val))
-            )
+        it prunes outright.
+
+        ``predicates`` may also be a SQL predicate STRING over the
+        supported subset (AND/OR/parens, comparisons, IS [NOT] NULL,
+        IN, BETWEEN — plans/predicate.py): the parsed tree is
+        evaluated compositionally — AND excludes a file when any
+        branch proves exclusion, OR only when every branch does, so
+        ``lang = 'py' OR lang IS NULL`` keeps exactly the files either
+        side admits. Unknown always keeps."""
+        from .predicate import And, Pred, evaluate_excludes, parse_predicate
+
+        if isinstance(predicates, str):
+            tree = parse_predicate(predicates)
+        else:
+            leaves = []
+            for col, op, val in predicates:
+                if op not in self._PRUNE_OPS:
+                    raise ValueError(f"unsupported prune op {op!r}")
+                if op in self._NULL_OPS:
+                    leaves.append(Pred(col, op))
+                elif val is not None:
+                    leaves.append(Pred(col, "=" if op == "==" else op, val))
+            tree = And(leaves) if leaves else None
         fids = snap.get("field_ids") or {}
         log = snap.get("name_log") or {}
 
@@ -910,14 +925,17 @@ class LakeTable:
                 return col  # unknown epoch: trust the current name
             return emap.get(str(fid))
 
-        def _excludes(f: dict, col: str, op: str, val) -> bool:
-            pcol = _phys(col, int(f.get("epoch", 0)))
+        def _leaf_excludes(f: dict, p: "Pred") -> bool:
+            pcol = _phys(p.col, int(f.get("epoch", 0)))
             if pcol is None:
                 # column born after this file: every row is NULL, so
                 # IS NULL matches (keep) and everything else excludes
-                return op != "is_null"
+                return p.op != "is_null"
+            val = None if p.op in self._NULL_OPS else self._json_bound(p.val)
+            if val is None and p.op not in self._NULL_OPS:
+                return False  # unencodable literal: unknown keeps
             return self._bound_excludes(
-                f, pcol, op, val, bloom_resolver=self._bloom_maybe
+                f, pcol, p.op, val, bloom_resolver=self._bloom_maybe
             )
 
         delta_buckets = {
@@ -927,14 +945,12 @@ class LakeTable:
             f
             for f in snap["files"]
             if f["bucket"] in delta_buckets
-            or not any(
-                (o in self._NULL_OPS or v is not None) and _excludes(f, c, o, v)
-                for (c, o, v) in preds
-            )
+            or tree is None
+            or not evaluate_excludes(tree, lambda p, _f=f: _leaf_excludes(_f, p))
         ]
 
     def read_where(
-        self, predicates: list[tuple], version: int | None = None
+        self, predicates: "list[tuple] | str", version: int | None = None
     ) -> DataFrame:
         """Filtered table scan with FILE-LEVEL data skipping: files
         whose manifest value bounds exclude the predicate conjunction
@@ -952,6 +968,11 @@ class LakeTable:
         if any(f.get("kind", "base") == "delta" for f in files):
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
+        if isinstance(predicates, str):
+            # the exact residual filter is the predicate itself — the
+            # parser accepts only Spark-evaluable SQL, so the pruned
+            # scan + this filter equals read().filter(...) verbatim
+            return df.filter(F.expr(predicates))
         cond = None
         for col, op, val in predicates:
             c = F.col(col)
