@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("partitions", help="O(metadata) per-bucket rollup (read-only)")
 
+    ex = sub.add_parser("explain-skip",
+                        help="dry-run file skipping for a SQL predicate "
+                             "(files/bytes opened vs skipped; read-only)")
+    ex.add_argument("--predicate", required=True,
+                    help="SQL subset: comparisons, IS [NOT] NULL, IN, "
+                         "BETWEEN, AND/OR/parens")
+
     sk = sub.add_parser("skip-columns",
                         help="opt columns into the per-file equality index "
                              "(exact set / bloom) used for '=' file skipping")
@@ -196,6 +203,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.verb == "partitions":
             out = {"verb": "partitions",
                    "buckets": [r.asDict() for r in t.partitions().collect()]}
+        elif args.verb == "explain-skip":
+            out = {"verb": "explain-skip", "predicate": args.predicate,
+                   **t.explain_skipping(args.predicate)}
         elif args.verb == "skip-columns":
             cols = [c for c in args.cols.split(",") if c]
             v = t.alter_skip_columns(cols)

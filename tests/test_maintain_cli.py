@@ -123,3 +123,9 @@ def test_branch_and_partitions_verbs(spark, tmp_path):
     assert p["verb"] == "partitions" and len(p["buckets"]) > 0
     s = _run("--table", t.root, "stats")
     assert sum(r["rows"] for r in p["buckets"]) == s["rows"]
+
+    ex = _run("--table", t.root, "explain-skip",
+              "--predicate", "repo = 'no-such-repo' AND path IS NOT NULL")
+    assert ex["files_total"] == s["base_files"] + s["delta_files"]
+    assert ex["bytes_total"] == ex["bytes_kept"] + ex["bytes_skipped"]
+    assert ex["files_kept"] >= ex["kept_for_delta_resolution"]

@@ -150,3 +150,23 @@ def test_null_or_range_keeps_both_sides(clustered):
         f["path"] for f in hi
     }
     assert len(kept) < len(snap["files"])
+
+
+def test_explain_skipping_reports(clustered, spark, tmp_path):
+    rep = clustered.explain_skipping("value >= 900.0 OR value < 40.0")
+    snap = clustered.snapshot()
+    kept = clustered.prune_files(snap, "value >= 900.0 OR value < 40.0")
+    assert rep["files_total"] == len(snap["files"])
+    assert rep["files_kept"] == len(kept)
+    assert rep["files_skipped"] > 0
+    assert rep["bytes_total"] == rep["bytes_kept"] + rep["bytes_skipped"]
+    assert rep["kept_for_delta_resolution"] == 0  # fully compacted table
+
+    # a table with pending deltas: exempt buckets show up in the report
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"), SCHEMA, ["user_id"], n_buckets=8
+    )
+    t2.merge(_events(spark), 0, mode="mor")
+    rep2 = t2.explain_skipping("value >= 900.0")
+    assert rep2["files_kept"] == rep2["files_total"]  # all delta-exempt
+    assert rep2["kept_for_delta_resolution"] == rep2["files_kept"]

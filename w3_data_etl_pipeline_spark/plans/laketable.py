@@ -992,6 +992,45 @@ class LakeTable:
             cond = e if cond is None else cond & e
         return df.filter(cond) if cond is not None else df
 
+    def explain_skipping(
+        self, predicates: "list[tuple] | str", version: int | None = None
+    ) -> dict:
+        """Dry-run the file-skipping decision for ``predicates`` —
+        O(metadata), no data file opened, no scan started. The
+        operator's answer to "would this predicate prune, and if not,
+        why": how many files/bytes the scan would open vs skip, and
+        how many survivors are only kept because their bucket holds
+        MOR deltas (the resolution exemption — compaction is the fix
+        if that number dominates)."""
+        snap = self.snapshot(version)
+        kept = self.prune_files(snap, predicates)
+        kept_paths = {f["path"] for f in kept}
+        delta_buckets = {
+            f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
+        }
+        base_only = [f for f in snap["files"] if f["bucket"] not in delta_buckets]
+        kept_if_no_deltas = (
+            self.prune_files(dict(snap, files=base_only), predicates)
+            if delta_buckets
+            else kept
+        )
+        total_bytes = sum(f.get("bytes") or 0 for f in snap["files"])
+        kept_bytes = sum(f.get("bytes") or 0 for f in kept)
+        return {
+            "version": snap["version"],
+            "files_total": len(snap["files"]),
+            "files_kept": len(kept),
+            "files_skipped": len(snap["files"]) - len(kept),
+            "bytes_total": total_bytes,
+            "bytes_kept": kept_bytes,
+            "bytes_skipped": total_bytes - kept_bytes,
+            "kept_for_delta_resolution": sum(
+                1 for f in kept if f["bucket"] in delta_buckets
+            ),
+            "base_files_admitted_by_stats": len(kept_if_no_deltas),
+            "paths_kept_sample": sorted(kept_paths)[:10],
+        }
+
     @staticmethod
     def _files_by_bucket(snap: dict) -> dict[int, tuple[str, ...]]:
         by: dict[int, list[str]] = {}
