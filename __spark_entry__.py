@@ -40,6 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # in-window queries. All tail entries remain registered, locally gated
 # (tools/compare_oracle.py), and pytest-covered.
 _DEMOTED_TAIL = [
+    # row-level predicate DML (DELETE FROM / UPDATE analogue); full
+    # DuckDB oracle + in-query commit/audit asserts in the tail gate,
+    # semantics pinned by tests/test_dml.py (3-valued match, pre-image
+    # RHS, bucket granularity, MOR resolution, branch isolation)
+    "cdc_delete_update",
     # equality-index twin of in-window cdc_clustered_file_skip; its
     # load-bearing invariant (files opened == index-admitted) is
     # pytest-pinned (tests/test_eq_skipping.py) and the entry carries

@@ -135,6 +135,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="SQL subset: comparisons, IS [NOT] NULL, IN, "
                          "BETWEEN, AND/OR/parens")
 
+    de = sub.add_parser("delete",
+                        help="row-level DELETE FROM ... WHERE: file-skip, "
+                             "resolve + rewrite only the touched buckets")
+    de.add_argument("--predicate", required=True,
+                    help="SQL subset: comparisons, IS [NOT] NULL, IN, "
+                         "BETWEEN, AND/OR/parens")
+
+    up = sub.add_parser("update",
+                        help="row-level UPDATE ... SET ... WHERE (RHS sees "
+                             "the pre-update row; key/LSN not assignable)")
+    up.add_argument("--predicate", required=True)
+    up.add_argument("--set", action="append", required=True, metavar="COL=EXPR",
+                    dest="assignments",
+                    help="repeatable; EXPR is any Spark SQL expression, "
+                         "cast back to the column's declared type")
+
     sk = sub.add_parser("skip-columns",
                         help="opt columns into the per-file equality index "
                              "(exact set / bloom) used for '=' file skipping")
@@ -206,6 +222,18 @@ def main(argv: list[str] | None = None) -> int:
         elif args.verb == "explain-skip":
             out = {"verb": "explain-skip", "predicate": args.predicate,
                    **t.explain_skipping(args.predicate)}
+        elif args.verb == "delete":
+            out = {"verb": "delete", "predicate": args.predicate,
+                   **t.delete_where(args.predicate)}
+        elif args.verb == "update":
+            sets = {}
+            for a in args.assignments:
+                col, _, expr = a.partition("=")
+                if not col or not expr:
+                    raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
+                sets[col.strip()] = expr.strip()
+            out = {"verb": "update", "predicate": args.predicate,
+                   **t.update_where(args.predicate, sets)}
         elif args.verb == "skip-columns":
             cols = [c for c in args.cols.split(",") if c]
             v = t.alter_skip_columns(cols)

@@ -129,3 +129,15 @@ def test_branch_and_partitions_verbs(spark, tmp_path):
     assert ex["files_total"] == s["base_files"] + s["delta_files"]
     assert ex["bytes_total"] == ex["bytes_kept"] + ex["bytes_skipped"]
     assert ex["files_kept"] >= ex["kept_for_delta_resolution"]
+
+    # row-level DML verbs on the same table (delete the python files,
+    # stamp the rest — predicate + SET parsed exactly like the API)
+    n_py = t.read().filter("lang = 'Python'").count()
+    de = _run("--table", t.root, "delete", "--predicate", "lang = 'Python'")
+    assert de["applied"] is True and de["rows_changed"] == n_py > 0
+    assert t.read().filter("lang = 'Python'").count() == 0
+    up = _run("--table", t.root, "update",
+              "--predicate", "lang IS NOT NULL",
+              "--set", "lang=concat(lang, '-x')")
+    assert up["applied"] is True and up["rows_changed"] > 0
+    assert t.read().filter("lang NOT LIKE '%-x'").count() == 0

@@ -228,6 +228,11 @@ class LakeTable:
     def _write_snapshot(self, snap: dict) -> None:
         snap = dict(snap)  # callers keep their materialized copy
         snap["committed_at"] = time.time()
+        # the dml audit record describes ONE commit; every commit path
+        # copies its parent dict, so strip it here unless this commit
+        # set it (operation is always set fresh by every path)
+        if snap.get("operation") not in ("delete", "update"):
+            snap.pop("dml", None)
         # field-id reconciliation at the SINGLE commit choke point:
         # any column the (possibly additively evolved) schema carries
         # without an id gets a fresh one here, so every commit path
@@ -968,11 +973,17 @@ class LakeTable:
         if any(f.get("kind", "base") == "delta" for f in files):
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
+        cond = self._pred_cond(predicates)
+        return df.filter(cond) if cond is not None else df
+
+    @staticmethod
+    def _pred_cond(predicates: "list[tuple] | str"):
+        """The exact row-level Column for ``predicates`` — for a SQL
+        string the predicate itself (the parser accepts only
+        Spark-evaluable SQL, so a pruned scan + this filter equals
+        read().filter(...) verbatim), for tuples the conjunction."""
         if isinstance(predicates, str):
-            # the exact residual filter is the predicate itself — the
-            # parser accepts only Spark-evaluable SQL, so the pruned
-            # scan + this filter equals read().filter(...) verbatim
-            return df.filter(F.expr(predicates))
+            return F.expr(predicates)
         cond = None
         for col, op, val in predicates:
             c = F.col(col)
@@ -990,7 +1001,7 @@ class LakeTable:
                     ">=": c >= val,
                 }[op]
             cond = e if cond is None else cond & e
-        return df.filter(cond) if cond is not None else df
+        return cond
 
     def explain_skipping(
         self, predicates: "list[tuple] | str", version: int | None = None
@@ -2873,6 +2884,152 @@ class LakeTable:
         )
         self._write_snapshot(new)
         return version
+
+    def delete_where(
+        self, predicates: "list[tuple] | str", max_retries: int = 3
+    ) -> dict:
+        """Row-level DELETE FROM ... WHERE (the Iceberg/Delta DELETE
+        analogue; the reference has no row-level DML at all — its only
+        subtractive path is the weekly drop-and-rebuild,
+        /root/reference/src/dags/w3c.py:249-396).
+
+        Rows where the predicate is TRUE are removed; FALSE and NULL
+        rows are kept (SQL three-valued DELETE semantics). Granularity
+        is the bucket: file skipping (manifest bounds / null counts /
+        equality indexes) first narrows to the files the predicate
+        could touch, their buckets are resolved (MOR deltas folded,
+        max-LSN) and rewritten as base files minus the matched rows,
+        and every other bucket's files are carried by reference —
+        commit cost ∝ touched-bucket bytes, exactly compact()'s bound,
+        NOT table size. A predicate that matches nothing (bounds
+        over-admit, zero rows hit) returns without committing an empty
+        snapshot. Optimistic commit with recompute-on-conflict, same
+        contract as merge/compact. Surviving rows keep their stored
+        _lsn, so a racing CDC stream's max-LSN rules are unchanged:
+        a later upsert of a deleted key legally re-inserts it (same
+        boundary as the stale-DELETE contract on merge()).
+        """
+        return self._dml("delete", predicates, None, max_retries)
+
+    def update_where(
+        self,
+        predicates: "list[tuple] | str",
+        assignments: dict[str, str],
+        max_retries: int = 3,
+    ) -> dict:
+        """Row-level UPDATE ... SET ... WHERE (Iceberg/Delta UPDATE
+        analogue). ``assignments`` maps column -> SQL expression; every
+        right-hand side is evaluated against the PRE-update row (SQL
+        UPDATE semantics — assignments never see each other), cast to
+        the column's declared type so the table schema is stable. Key
+        columns and the LSN column are not assignable (a key rewrite
+        would silently move rows across buckets — express that as
+        delete + insert through merge()). Matching, granularity, cost
+        bound, no-op early return, and commit semantics are exactly
+        delete_where's."""
+        if not assignments:
+            raise ValueError("update_where needs at least one assignment")
+        return self._dml("update", predicates, assignments, max_retries)
+
+    def _dml(
+        self,
+        what: str,
+        predicates: "list[tuple] | str",
+        assignments: dict[str, str] | None,
+        max_retries: int,
+    ) -> dict:
+        if assignments is not None:
+            snap = self.snapshot()
+            protected = set(snap["key_cols"]) | {LSN_COL, OP_COL}
+            table_cols = {f.name for f in self.schema(snap).fields}
+            for c in assignments:
+                if c in protected:
+                    raise ValueError(
+                        f"column {c!r} is a key/system column and cannot be "
+                        "assigned; delete + re-insert through merge() instead"
+                    )
+                if c not in table_cols:
+                    raise ValueError(f"unknown column {c!r} in SET clause")
+        for _ in range(max_retries + 1):
+            try:
+                return self._dml_once(what, predicates, assignments)
+            except FileExistsError:
+                continue  # lost the version race: recompute the rewrite
+        raise CommitConflictError(
+            f"{what}_where lost the commit race {max_retries + 1} times"
+        )
+
+    def _dml_once(
+        self,
+        what: str,
+        predicates: "list[tuple] | str",
+        assignments: dict[str, str] | None,
+    ) -> dict:
+        snap = self.snapshot()
+        admitted = self.prune_files(snap, predicates)
+        touched = {f["bucket"] for f in admitted}
+        no_op = {
+            "operation": what,
+            "version": snap["version"],
+            "applied": False,
+            "rows_changed": 0,
+            "buckets_rewritten": 0,
+            "files_skipped": len(snap["files"]) - len(admitted),
+        }
+        if not touched:
+            return no_op
+        # widen to every file of the touched buckets: a key's rows live
+        # in exactly one bucket and MOR resolution needs all of them
+        fold_files = [f for f in snap["files"] if f["bucket"] in touched]
+        kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
+        df = self._read_entries(fold_files, snap, self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in fold_files):
+            df = self._resolve(df, snap)
+        df = df.drop(OP_COL)
+        hit = self._pred_cond(predicates).eqNullSafe(F.lit(True))
+        # one counting pass (predicate pushed into the pruned scan):
+        # buys the no-op early exit when bounds over-admitted, and the
+        # honest rows_changed audit; bounded by touched-bucket bytes
+        n_hit = df.filter(hit).count()
+        if n_hit == 0:
+            return dict(no_op, files_skipped=len(snap["files"]) - len(fold_files))
+        if assignments is None:
+            out = df.filter(~hit)
+        else:
+            types = {f.name: f.dataType for f in self.schema(snap).fields}
+            new_cols = {
+                c: F.when(hit, F.expr(e).cast(types[c])).otherwise(F.col(c))
+                for c, e in assignments.items()
+            }
+            # ONE select: every RHS sees the pre-update row
+            out = df.select(
+                *[new_cols.get(c, F.col(c)).alias(c) for c in df.columns]
+            )
+        version = snap["version"] + 1
+        files = self._write_data(out, snap, version, kind="base")
+        new = dict(snap)
+        new.update(
+            version=version,
+            files=kept_files + files,
+            parent=snap["version"],
+            operation=what,
+            dml={
+                "predicate": predicates
+                if isinstance(predicates, str)
+                else [list(p) for p in predicates],
+                "set": assignments,
+                "rows_changed": n_hit,
+            },
+        )
+        self._write_snapshot(new)
+        return {
+            "operation": what,
+            "version": version,
+            "applied": True,
+            "rows_changed": n_hit,
+            "buckets_rewritten": len(touched),
+            "files_skipped": len(snap["files"]) - len(fold_files),
+        }
 
     def hydrate_patches(self, events: DataFrame) -> DataFrame:
         """Convert a microbatch containing PARTIAL-image change events

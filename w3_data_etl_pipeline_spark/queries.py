@@ -1384,6 +1384,97 @@ def cdc_branch_ff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_delete_update",
+    """
+    WITH lww AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    ), kept AS (
+      SELECT * FROM lww
+      WHERE event_type <> 'error' OR event_type IS NULL
+    )
+    SELECT user_id, event_id,
+           CASE WHEN value > 50.0 THEN event_type || '-capped'
+                ELSE event_type END AS event_type,
+           CASE WHEN value > 50.0 THEN value / 2 ELSE value END AS value
+    FROM kept
+    """,
+)
+def cdc_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate DML end-to-end (Iceberg/Delta DELETE FROM /
+    UPDATE analogue; the reference's only subtractive path is the
+    weekly drop-and-rebuild, /root/reference/src/dags/w3c.py:249-396):
+    merge all events LWW, then ``delete_where("event_type = 'error'")``
+    and ``update_where("value > 50.0", {value: value/2, event_type:
+    event_type || '-capped'})``. The oracle is the same LWW base with
+    the delete as a NOT-filter and the update as pre-image CASE
+    expressions — a delete that drops NULL-predicate rows, an update
+    whose RHS sees post-update values, a type-widening cast, or a
+    bucket the rewrite lost would all flip the value hash. In-query
+    asserts pin that both DMLs actually matched rows, that each is one
+    commit, and that the dml audit record lands on its own snapshot
+    only."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_dml_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(ev, 0, mode="mor")
+        v0 = table.current_version()
+        res_d = table.delete_where("event_type = 'error'")
+        res_u = table.update_where(
+            "value > 50.0",
+            {"value": "value / 2", "event_type": "concat(event_type, '-capped')"},
+        )
+        if not (res_d["applied"] and res_u["applied"]):
+            raise AssertionError("a DML matched zero rows on real data")
+        if (res_d["version"], res_u["version"]) != (v0 + 1, v0 + 2):
+            raise AssertionError("each DML must be exactly one commit")
+        if table.snapshot(res_u["version"])["dml"]["rows_changed"] != res_u["rows_changed"]:
+            raise AssertionError("dml audit record missing on the update snapshot")
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        rows = table.read().select(
+            "user_id", "event_id", "event_type", "value"
+        ).collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_eq_skip",
     """
     SELECT event_id, user_id, event_type, value AS val
