@@ -45,6 +45,11 @@ _DEMOTED_TAIL = [
     # semantics pinned by tests/test_dml.py (3-valued match, pre-image
     # RHS, bucket granularity, MOR resolution, branch isolation)
     "cdc_delete_update",
+    # generic MERGE INTO clause API (Delta merge analogue); full
+    # DuckDB FULL-OUTER-JOIN/CASE-ladder oracle + in-query clause
+    # coverage asserts in the tail gate; tests/test_merge_into.py
+    # pins first-clause-wins, ambiguity error, Delta metric split
+    "cdc_merge_into",
     # equality-index twin of in-window cdc_clustered_file_skip; its
     # load-bearing invariant (files opened == index-admitted) is
     # pytest-pinned (tests/test_eq_skipping.py) and the entry carries

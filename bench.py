@@ -66,6 +66,9 @@ EXTENDED = [
     "cdc_wap_publish",
     "cdc_eq_skip",
     "cdc_zorder_skip",
+    # round 4 tail: row-level DML + generic MERGE INTO
+    "cdc_delete_update",
+    "cdc_merge_into",
 ]
 
 

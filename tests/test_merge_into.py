@@ -1,0 +1,184 @@
+"""Generic MERGE INTO (Delta merge / Iceberg MERGE INTO clause API):
+ordered first-clause-wins semantics over t./s. expressions, classic
+upsert equivalence, conditional update/delete, explicit-values insert
+NULLing unspecified columns, the ambiguous-source error, bucket-
+granular rewrite cost, MOR resolution, no-op without a commit, and
+the per-snapshot audit record."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _base(spark, n=300):
+    return spark.range(0, n).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.lit(1).alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+
+
+def _source(spark, lo=200, hi=400):
+    # overlaps keys [200,300) (matched) and adds [300,400) (unmatched)
+    return spark.range(lo, hi).select(
+        F.col("id").alias("user_id"),
+        F.lit("src").alias("event_type"),
+        (F.col("id") % 89).cast("double").alias("value"),
+        F.lit(7).alias("lsn"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["user_id"], n_buckets=8)
+    t.merge(_base(spark), 0)
+    return t
+
+
+def test_classic_upsert(table, spark):
+    res = table.merge_into(
+        _source(spark),
+        [
+            ("update", None, {"event_type": "s.event_type", "value": "s.value"}),
+            ("insert", None, None),
+        ],
+    )
+    assert res["applied"]
+    assert res["rows"] == {
+        "unchanged": 0, "copied": 200, "updated": 100, "deleted": 0,
+        "inserted": 100,
+    }
+    got = {r["user_id"]: r for r in table.read().collect()}
+    assert len(got) == 400
+    for uid in range(0, 200):
+        assert got[uid]["event_type"].startswith("t")  # untouched
+    for uid in range(200, 400):
+        assert got[uid]["event_type"] == "src"
+        assert got[uid]["value"] == float(uid % 89)
+    # inserted rows took s.lsn; a later lower-LSN CDC event must lose
+    lsn = {r["user_id"]: r["_lsn"] for r in table.read(include_meta=True).collect()}
+    assert lsn[350] == 7 and lsn[250] == 1  # insert takes s.lsn, update keeps t._lsn
+
+
+def test_first_clause_wins_and_conditions(table, spark):
+    # delete claims s.value < 10 first; the update only sees the rest
+    res = table.merge_into(
+        _source(spark),
+        [
+            ("delete", "s.value < 10.0", None),
+            ("update", "s.value > t.value", {"value": "s.value + 1000"}),
+        ],
+    )
+    assert res["applied"]
+    assert res["rows"]["deleted"] > 0 and res["rows"]["updated"] > 0
+    assert res["rows"]["inserted"] == 0  # no insert clause: source-only dropped
+    got = {r["user_id"]: r for r in table.read().collect()}
+    assert len(got) == 300 - res["rows"]["deleted"]
+    for uid in range(200, 300):
+        s_val = float(uid % 89)
+        t_val = float(uid % 97)
+        if s_val < 10.0:
+            assert uid not in got  # delete clause won even when update also applied
+        elif s_val > t_val:
+            assert got[uid]["value"] == s_val + 1000
+        else:
+            assert got[uid]["value"] == t_val  # matched, no clause accepted: kept
+
+
+def test_explicit_insert_values_null_unspecified(table, spark):
+    res = table.merge_into(
+        _source(spark, lo=500, hi=510),
+        [("insert", None, {"event_type": "'fresh'"})],
+    )
+    assert res["rows"]["inserted"] == 10
+    assert res["rows"]["updated"] == res["rows"]["deleted"] == 0
+    assert res["rows"]["unchanged"] == 0  # no matched rows at all
+    got = table.read().filter(F.col("user_id") >= 500).collect()
+    assert len(got) == 10
+    for r in got:
+        assert r["event_type"] == "fresh" and r["value"] is None
+
+
+def test_ambiguous_source_raises(table, spark):
+    dup = _source(spark).union(_source(spark).limit(1))
+    with pytest.raises(ValueError, match="multiple rows"):
+        table.merge_into(dup, [("insert", None, None)])
+
+
+def test_validation(table, spark):
+    with pytest.raises(ValueError, match="key/system"):
+        table.merge_into(_source(spark), [("update", None, {"user_id": "0"})])
+    with pytest.raises(ValueError, match="unknown column"):
+        table.merge_into(_source(spark), [("update", None, {"nope": "0"})])
+    with pytest.raises(ValueError, match="clauses must be"):
+        table.merge_into(_source(spark), [("upsert", None, None)])
+    with pytest.raises(ValueError, match="missing key"):
+        table.merge_into(_source(spark).drop("user_id"), [("insert", None, None)])
+
+
+def test_no_op_commits_nothing(table, spark):
+    v0 = table.current_version()
+    res = table.merge_into(
+        _source(spark),
+        [("update", "s.value > 1e9", {"value": "s.value"})],
+    )
+    assert not res["applied"]
+    assert table.current_version() == v0
+
+
+def test_bucket_granular_and_audit(table, spark):
+    snap0 = table.snapshot()
+    res = table.merge_into(
+        _source(spark, lo=290, hi=310),
+        [("update", None, {"value": "s.value"}), ("insert", None, None)],
+    )
+    assert res["applied"] and res["buckets_rewritten"] <= 8
+    snap1 = table.snapshot(res["version"])
+    old = {f["path"] for f in snap0["files"]}
+    rewritten = {f["bucket"] for f in snap1["files"] if f["path"] not in old}
+    assert len(rewritten) == res["buckets_rewritten"]
+    kept0 = {f["path"] for f in snap0["files"] if f["bucket"] not in rewritten}
+    kept1 = {f["path"] for f in snap1["files"] if f["bucket"] not in rewritten}
+    assert kept0 == kept1
+    assert snap1["operation"] == "merge-into"
+    assert snap1["dml"]["rows"] == res["rows"]
+    table.compact()
+    assert "dml" not in table.snapshot()
+
+
+def test_resolves_mor_deltas_first(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "m"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(_base(spark, n=100), 0, mode="mor")
+    # LWW supersede: user 0..50 get value 999 at a higher LSN
+    fix = spark.range(0, 50).select(
+        F.col("id").alias("user_id"),
+        F.lit("fixed").alias("event_type"),
+        F.lit(999.0).alias("value"),
+        F.lit(5).alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+    t.merge(fix, 1, mode="mor")
+    # the merge condition must see the RESOLVED value (999), not the
+    # stale base row
+    res = t.merge_into(
+        spark.range(0, 100).select(
+            F.col("id").alias("user_id"), F.lit(0.0).alias("value")
+        ),
+        [("update", "t.value = 999.0", {"event_type": "'was-resolved'"})],
+    )
+    assert res["rows"]["updated"] == 50
+    assert t.read().filter("event_type = 'was-resolved'").count() == 50

@@ -231,7 +231,7 @@ class LakeTable:
         # the dml audit record describes ONE commit; every commit path
         # copies its parent dict, so strip it here unless this commit
         # set it (operation is always set fresh by every path)
-        if snap.get("operation") not in ("delete", "update"):
+        if snap.get("operation") not in ("delete", "update", "merge-into"):
             snap.pop("dml", None)
         # field-id reconciliation at the SINGLE commit choke point:
         # any column the (possibly additively evolved) schema carries
@@ -3029,6 +3029,235 @@ class LakeTable:
             "rows_changed": n_hit,
             "buckets_rewritten": len(touched),
             "files_skipped": len(snap["files"]) - len(fold_files),
+        }
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        clauses: list[tuple],
+        insert_lsn: int = 0,
+        max_retries: int = 3,
+    ) -> dict:
+        """Generic MERGE INTO (the Delta ``merge``/Iceberg ``MERGE
+        INTO`` clause API; merge() stays the CDC fast path for
+        op-tagged event streams — this is the ad-hoc-source shape):
+
+        ``clauses`` is an ORDERED list of
+          ("update", condition|None, {col: sql_expr}),
+          ("delete", condition|None, None),
+          ("insert", condition|None, {col: sql_expr}|None)
+        — per row the FIRST applicable clause wins (Delta semantics);
+        a matched row no update/delete clause accepts is kept
+        unchanged, an unmatched source row no insert clause accepts is
+        dropped. Conditions and expressions see the target row as
+        ``t.<col>`` and the source row as ``s.<col>``; insert None
+        means insert the source columns as-is. Update/insert
+        expressions cast to the column's declared type; key columns
+        follow the join and are not assignable; updated/kept rows keep
+        the stored ``_lsn``, inserted rows take ``s.lsn`` when the
+        source carries one, else ``insert_lsn``.
+
+        A source with two rows for one key is ambiguous and raises
+        (Delta's multiple-source-rows error) — pre-aggregate instead.
+        Cost bound: only buckets the SOURCE keys hash into are
+        resolved (MOR fold) and rewritten; the rest carry by
+        reference. Optimistic commit, recompute-on-conflict. The
+        commit stamps a ``dml`` audit record (clause shapes + per-
+        action row counts) scoped to its own snapshot."""
+        kinds = {c[0] for c in clauses}
+        if not clauses or kinds - {"update", "delete", "insert"}:
+            raise ValueError(
+                "clauses must be a non-empty list of (update|delete|insert, "
+                f"condition, sets) tuples, got {sorted(kinds) or clauses!r}"
+            )
+        for _ in range(max_retries + 1):
+            try:
+                return self._merge_into_once(source, clauses, insert_lsn)
+            except FileExistsError:
+                continue  # lost the version race: recompute against the winner
+        raise CommitConflictError(
+            f"merge_into lost the commit race {max_retries + 1} times"
+        )
+
+    def _merge_into_once(
+        self, source: DataFrame, clauses: list[tuple], insert_lsn: int
+    ) -> dict:
+        snap = self.snapshot()
+        keys = snap["key_cols"]
+        schema = self.schema(snap)
+        table_cols = [f.name for f in schema.fields]
+        types = {f.name: f.dataType for f in schema.fields}
+        for k in keys:
+            if k not in source.columns:
+                raise ValueError(f"source is missing key column {k!r}")
+        for kind, _, sets in clauses:
+            for c in sets or {}:
+                if c in keys or c == LSN_COL:
+                    raise ValueError(
+                        f"column {c!r} is a key/system column and cannot be "
+                        "assigned in a merge clause"
+                    )
+                if c not in table_cols:
+                    raise ValueError(f"unknown column {c!r} in {kind} clause")
+
+        src = source
+        if "op" in src.columns:
+            src = src.drop("op")
+        # ambiguity guard + touched-bucket discovery in ONE metadata-
+        # sized pass: per-bucket row/key counts (O(n_buckets) rows back)
+        src = src.withColumn("_bucket", self._bucket_expr(snap))
+        amb = (
+            src.groupBy("_bucket")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+            )
+            .collect()
+        )
+        if any(r["n_rows"] != r["n_keys"] for r in amb):
+            raise ValueError(
+                "merge_into source has multiple rows for the same key "
+                "(ambiguous merge) — pre-aggregate the source first"
+            )
+        touched = {r["_bucket"] for r in amb}
+        if not touched:
+            return {
+                "operation": "merge-into",
+                "version": snap["version"],
+                "applied": False,
+                "rows": {},
+                "buckets_rewritten": 0,
+            }
+        fold_files = [f for f in snap["files"] if f["bucket"] in touched]
+        kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
+        tgt = self._read_entries(fold_files, snap, self._phys_schema(snap))
+        if any(f.get("kind", "base") == "delta" for f in fold_files):
+            tgt = self._resolve(tgt, snap)
+        tgt = tgt.drop(OP_COL)
+
+        t_side = tgt.select(
+            *[F.col(k).alias(f"_tk_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in tgt.columns]).alias("t"),
+        )
+        s_cols = [c for c in src.columns if c != "_bucket"]
+        s_side = src.select(
+            *[F.col(k).alias(f"_sk_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in s_cols]).alias("s"),
+        )
+        cond = None
+        for k in keys:
+            e = F.col(f"_tk_{k}") == F.col(f"_sk_{k}")
+            cond = e if cond is None else cond & e
+        j = t_side.join(s_side, cond, "full_outer")
+
+        is_m = F.col("t").isNotNull() & F.col("s").isNotNull()
+        is_s_only = F.col("t").isNull()
+        # first-applicable-clause-wins action column
+        action = None
+        for i, (kind, c_sql, _) in enumerate(clauses):
+            guard = is_s_only if kind == "insert" else is_m
+            if c_sql is not None:
+                guard = guard & F.expr(c_sql).eqNullSafe(F.lit(True))
+            action = (action.when if action is not None else F.when)(
+                guard, F.lit(i)
+            )
+        action = action.otherwise(F.lit(-1))
+        j = j.withColumn("_action", action)
+
+        side = (
+            F.when(is_m, F.lit("m")).when(is_s_only, F.lit("s")).otherwise(F.lit("t"))
+        )
+        counts = {
+            (r["_action"], r["_side"]): r["n"]
+            for r in j.groupBy("_action", side.alias("_side"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        rows = {"unchanged": 0, "copied": 0, "updated": 0, "deleted": 0, "inserted": 0}
+        for i, (kind, _, _) in enumerate(clauses):
+            rows[
+                {"update": "updated", "delete": "deleted", "insert": "inserted"}[kind]
+            ] += counts.get((i, "s" if kind == "insert" else "m"), 0)
+        # Delta's metric split: "unchanged" = MATCHED rows no clause
+        # accepted; "copied" = target-only rows the bucket rewrite
+        # carries; unmatched-source rows no insert clause accepted are
+        # dropped — they were never in the table
+        rows["unchanged"] = counts.get((-1, "m"), 0)
+        rows["copied"] = counts.get((-1, "t"), 0)
+        if rows["updated"] == rows["deleted"] == rows["inserted"] == 0:
+            return {
+                "operation": "merge-into",
+                "version": snap["version"],
+                "applied": False,
+                "rows": rows,
+                "buckets_rewritten": 0,
+            }
+
+        # drop: matched rows a delete clause claimed; source-only rows
+        # no insert clause claimed
+        drop = is_s_only & (F.col("_action") == -1)
+        for i, (kind, _, _) in enumerate(clauses):
+            if kind == "delete":
+                drop = drop | (F.col("_action") == i)
+        j = j.filter(~drop)
+
+        src_has_lsn = "lsn" in s_cols
+        out_cols = []
+        for c in table_cols:
+            if c == LSN_COL:
+                ins_val = (
+                    F.col("s.lsn").cast("long")
+                    if src_has_lsn
+                    else F.lit(insert_lsn).cast("long")
+                )
+                e = F.when(is_s_only, ins_val).otherwise(F.col(f"t.{LSN_COL}"))
+                out_cols.append(e.alias(LSN_COL))
+                continue
+            # matched default: keep t.c; per update clause: its SET expr
+            # (pre-image: every expr sees the t/s structs, never another
+            # assignment); insert clause: its expr, else s.c when the
+            # source carries the column, else NULL (column born later)
+            e = F.col(f"t.{c}")
+            for i, (kind, _, sets) in enumerate(clauses):
+                hit = F.col("_action") == i
+                if kind == "update":
+                    if sets and c in sets:
+                        e = F.when(hit, F.expr(sets[c]).cast(types[c])).otherwise(e)
+                elif kind == "insert":
+                    if sets is not None and c in sets:
+                        iv = F.expr(sets[c]).cast(types[c])
+                    elif sets is not None and c not in keys:
+                        # explicit-values insert: unspecified non-key
+                        # columns are NULL (Delta whenNotMatchedInsert)
+                        iv = F.lit(None).cast(types[c])
+                    elif c in s_cols:
+                        iv = F.col(f"s.{c}").cast(types[c])
+                    else:
+                        iv = F.lit(None).cast(types[c])
+                    e = F.when(hit, iv).otherwise(e)
+            out_cols.append(e.alias(c))
+        out = j.select(*out_cols)
+
+        version = snap["version"] + 1
+        files = self._write_data(out, snap, version, kind="base")
+        new = dict(snap)
+        new.update(
+            version=version,
+            files=kept_files + files,
+            parent=snap["version"],
+            operation="merge-into",
+            dml={
+                "clauses": [[k, c, s] for k, c, s in clauses],
+                "rows": rows,
+            },
+        )
+        self._write_snapshot(new)
+        return {
+            "operation": "merge-into",
+            "version": version,
+            "applied": True,
+            "rows": rows,
+            "buckets_rewritten": len(touched),
         }
 
     def hydrate_patches(self, events: DataFrame) -> DataFrame:

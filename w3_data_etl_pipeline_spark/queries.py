@@ -1475,6 +1475,136 @@ def cdc_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_merge_into",
+    """
+    WITH tgt AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0 AND user_id % 4 <> 0)
+      WHERE rn = 1
+    ), src AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 1)
+      WHERE rn = 1
+    ), merged AS (
+      SELECT
+        COALESCE(t.user_id, s.user_id) AS user_id,
+        CASE
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.event_type = 'error' THEN 'delete'
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.value > t.value THEN 'update'
+          WHEN t.user_id IS NULL AND s.event_type <> 'error' THEN 'insert'
+          WHEN t.user_id IS NULL THEN 'drop'
+          ELSE 'keep'
+        END AS act,
+        t.event_id AS t_event_id, t.event_type AS t_event_type,
+        t.value AS t_value,
+        s.event_id AS s_event_id, s.event_type AS s_event_type,
+        s.value AS s_value
+      FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+    )
+    SELECT user_id,
+      CASE act WHEN 'insert' THEN s_event_id ELSE t_event_id END AS event_id,
+      CASE act WHEN 'update' THEN s_event_type
+               WHEN 'insert' THEN s_event_type
+               ELSE t_event_type END AS event_type,
+      CASE act WHEN 'update' THEN s_value
+               WHEN 'insert' THEN s_value
+               ELSE t_value END AS value
+    FROM merged WHERE act NOT IN ('delete', 'drop')
+    """,
+)
+def cdc_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic MERGE INTO end-to-end (Delta merge / Iceberg MERGE INTO
+    clause API; the CDC op-tagged merge() remains the streaming fast
+    path — this gates the ad-hoc-source shape): target = LWW of the
+    even-LSN events for 3/4 of the users (so unmatched source rows
+    exist), source = the latest odd-LSN event per user, then
+    ordered clauses delete-if-error, update-if-newer-greater (t./s.
+    cross-row condition), insert-if-not-error. The DuckDB oracle is
+    the same FULL OUTER JOIN with a first-clause-wins CASE ladder — a
+    clause-order swap, a dropped unmatched-source row leaking in, an
+    update whose SET saw post-update values, or a bucket the rewrite
+    lost all flip the value hash. In-query asserts pin that every
+    clause fired, that the whole merge is ONE commit, and that the
+    per-action row counts land in the snapshot's audit record."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_mi_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        base = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(
+            base.filter(
+                (F.pmod(F.col("event_id"), F.lit(2)) == 0)
+                & (F.pmod(F.col("user_id"), F.lit(4)) != 0)
+            ),
+            0,
+            mode="mor",
+        )
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        src = (
+            e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+        v0 = table.current_version()
+        res = table.merge_into(
+            src,
+            [
+                ("delete", "s.event_type = 'error'", None),
+                (
+                    "update",
+                    "s.value > t.value",
+                    {"event_type": "s.event_type", "value": "s.value"},
+                ),
+                ("insert", "s.event_type <> 'error'", None),
+            ],
+        )
+        if not res["applied"] or res["version"] != v0 + 1:
+            raise AssertionError("merge_into must be exactly one commit")
+        r = res["rows"]
+        if not (r["updated"] and r["deleted"] and r["inserted"]):
+            raise AssertionError(f"a clause never fired on real data: {r}")
+        if table.snapshot(res["version"])["dml"]["rows"] != r:
+            raise AssertionError("audit record missing/mismatched")
+
+        rows = table.read().select(
+            "user_id", "event_id", "event_type", "value"
+        ).collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_eq_skip",
     """
     SELECT event_id, user_id, event_type, value AS val
