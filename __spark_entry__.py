@@ -106,6 +106,12 @@ _DEMOTED_TAIL = [
     # in-query isolation/lineage asserts run in the tail gate, branch
     # machinery pytest-pinned in tests/test_branches.py
     "cdc_branch_ff",
+    # CHECK-constraint enforcement (Delta ADD CONSTRAINT analogue);
+    # abort-before-commit + ledger-not-burned pinned by in-query
+    # asserts, full DuckDB LWW oracle in the tail gate, API semantics
+    # (NULL passes, tombstone/maintenance exemption, validate-on-add)
+    # pytest-pinned in tests/test_constraints.py
+    "cdc_constraints",
 ]
 
 

@@ -135,6 +135,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="SQL subset: comparisons, IS [NOT] NULL, IN, "
                          "BETWEEN, AND/OR/parens")
 
+    ac = sub.add_parser("add-constraint",
+                        help="ALTER TABLE ADD CONSTRAINT CHECK: later writes "
+                             "abort on violating rows (NULL passes; "
+                             "enforcement rides the write job, zero extra "
+                             "passes)")
+    ac.add_argument("name")
+    ac.add_argument("--check", required=True, metavar="SQL_EXPR")
+    ac.add_argument("--no-validate", action="store_true",
+                    help="skip the one-time existing-data scan")
+
+    dc = sub.add_parser("drop-constraint", help="remove a CHECK constraint")
+    dc.add_argument("name")
+
+    sub.add_parser("constraints",
+                   help="list active CHECK constraints (read-only)")
+
     de = sub.add_parser("delete",
                         help="row-level DELETE FROM ... WHERE: file-skip, "
                              "resolve + rewrite only the touched buckets")
@@ -222,6 +238,16 @@ def main(argv: list[str] | None = None) -> int:
         elif args.verb == "explain-skip":
             out = {"verb": "explain-skip", "predicate": args.predicate,
                    **t.explain_skipping(args.predicate)}
+        elif args.verb == "add-constraint":
+            v = t.add_constraint(args.name, args.check,
+                                 validate=not args.no_validate)
+            out = {"verb": "add-constraint", "name": args.name,
+                   "check": args.check, "version": v}
+        elif args.verb == "drop-constraint":
+            v = t.drop_constraint(args.name)
+            out = {"verb": "drop-constraint", "name": args.name, "version": v}
+        elif args.verb == "constraints":
+            out = {"verb": "constraints", "constraints": t.constraints()}
         elif args.verb == "delete":
             out = {"verb": "delete", "predicate": args.predicate,
                    **t.delete_where(args.predicate)}

@@ -76,6 +76,17 @@ class CommitConflictError(RuntimeError):
     (delta appends never raise this; they rebase automatically)."""
 
 
+class ConstraintViolation(ValueError):
+    """A write contained rows failing a CHECK constraint; the commit
+    was aborted (no snapshot advanced; the attempt's data files are
+    orphans for the periodic expire scan). Carries
+    ``{constraint_name: violating_row_count}``."""
+
+    def __init__(self, counts: dict):
+        self.counts = counts
+        super().__init__(f"CHECK constraint(s) violated: {counts}")
+
+
 @dataclass
 class MergeStats:
     batch_id: int
@@ -526,6 +537,96 @@ class LakeTable:
         raise CommitConflictError(
             f"alter_skip_columns lost the commit race {max_retries + 1} times"
         )
+
+    def add_constraint(
+        self, name: str, expr: str, validate: bool = True, max_retries: int = 3
+    ) -> int:
+        """ALTER TABLE ADD CONSTRAINT CHECK (the Delta constraints
+        analogue): from this commit on, every write path that adds or
+        changes rows (merge COW+MOR, overwrite, delete/update,
+        merge_into) aborts with ConstraintViolation if any written
+        row fails ``expr`` — SQL CHECK semantics, so a row passes when
+        the expression is TRUE **or NULL** (unknown), and MOR delete
+        tombstones (op='D', value columns legitimately NULL) are
+        exempt. Enforcement is free at scale: the violation count
+        rides the write job itself as a Spark ``Observation`` — zero
+        extra passes over the data — and a violated write aborts
+        BEFORE the snapshot commit, so readers never see a bad row.
+        Maintenance rewrites (compact, rebucket) carry existing rows
+        and do not re-check.
+
+        validate=True (default, Delta's behavior) first proves the
+        EXISTING table satisfies the constraint — one pruned scan,
+        the only O(table) step, opt out for a known-clean table.
+        Metadata-only commit, optimistic retry."""
+        if not name or not name.replace("_", "").isalnum():
+            raise ValueError(f"constraint name {name!r} must be [a-zA-Z0-9_]+")
+        # fail fast on an unparseable expression (and on columns the
+        # schema lacks) before any scan or commit
+        self.spark.createDataFrame([], self.schema()).select(F.expr(expr))
+        if (self.snapshot().get("constraints") or {}).get(name) not in (None, expr):
+            raise ValueError(
+                f"constraint {name!r} already exists with a different "
+                "expression — drop it first"
+            )
+        if validate:
+            bad = self.read().filter(
+                F.expr(expr).eqNullSafe(F.lit(False))
+            ).count()
+            if bad:
+                raise ConstraintViolation({name: bad})
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            cons = dict(snap.get("constraints") or {})
+            if cons.get(name) not in (None, expr):
+                raise ValueError(
+                    f"constraint {name!r} already exists with a different "
+                    "expression — drop it first"
+                )
+            cons[name] = expr
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="add-constraint",
+                constraints=cons,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"add_constraint lost the commit race {max_retries + 1} times"
+        )
+
+    def drop_constraint(self, name: str, max_retries: int = 3) -> int:
+        """Remove a CHECK constraint (metadata-only commit)."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            cons = dict(snap.get("constraints") or {})
+            if name not in cons:
+                raise ValueError(f"no such constraint {name!r}")
+            del cons[name]
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="drop-constraint",
+                constraints=cons,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue
+        raise CommitConflictError(
+            f"drop_constraint lost the commit race {max_retries + 1} times"
+        )
+
+    def constraints(self, version: int | None = None) -> dict[str, str]:
+        """Active CHECK constraints at ``version`` (name -> SQL)."""
+        return dict(self.snapshot(version).get("constraints") or {})
 
     def schema(self, snap: dict | None = None) -> T.StructType:
         snap = snap or self.snapshot()
@@ -1552,6 +1653,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
         zorder: bool = False,
+        enforce_constraints: bool = True,
     ) -> list[dict]:
         # write-once, collision-free: two optimistic writers racing for
         # the same version number must NEVER target the same directory —
@@ -1562,6 +1664,24 @@ class LakeTable:
         # that expire_snapshots collects.
         rel = os.path.join("data", f"c{version:012d}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.root, rel)
+        # CHECK constraints ride the write job as an Observation —
+        # zero extra passes; a violated write aborts before the
+        # caller can commit a snapshot (SQL CHECK: NULL passes; MOR
+        # 'D' tombstones exempt — their value columns are NULL by
+        # construction). Maintenance rewrites pass enforce=False.
+        obs = None
+        cons = (snap.get("constraints") or {}) if enforce_constraints else {}
+        if cons:
+            from pyspark.sql import Observation
+
+            aggs = []
+            for cname in sorted(cons):
+                v = F.expr(cons[cname]).eqNullSafe(F.lit(False))
+                if OP_COL in df.columns:
+                    v = v & F.coalesce(F.col(OP_COL) != "D", F.lit(True))
+                aggs.append(F.sum(v.cast("long")).alias(cname))
+            obs = Observation()
+            df = df.observe(obs, *aggs)
         if not pre_bucketed:
             # one write task per bucket up to the cluster's parallelism:
             # small clusters don't pay 4x task overhead, big ones use
@@ -1595,6 +1715,13 @@ class LakeTable:
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(out)
+        if obs is not None:
+            bad = {k: int(v) for k, v in obs.get.items() if v}
+            if bad:
+                # eager cleanup of this attempt's private dir; the
+                # grace-gated orphan scan is the crash backstop
+                shutil.rmtree(out, ignore_errors=True)
+                raise ConstraintViolation(bad)
         files = []
         for dirpath, _dirs, names in os.walk(out):
             for n in names:
@@ -2874,6 +3001,7 @@ class LakeTable:
             cluster_by=cluster_by,
             max_records_per_file=max_records_per_file,
             zorder=zorder,
+            enforce_constraints=False,  # carries existing rows only
         )
         new = dict(snap)
         new.update(
@@ -3407,7 +3535,9 @@ class LakeTable:
             proto = dict(snap)
             proto["n_buckets"] = n_buckets  # _write_data buckets via proto
             version = snap["version"] + 1
-            files = self._write_data(df, proto, version, kind="base")
+            files = self._write_data(
+                df, proto, version, kind="base", enforce_constraints=False
+            )
             proto.update(
                 version=version, files=files, parent=snap["version"], operation="rebucket"
             )

@@ -1783,3 +1783,106 @@ def cdc_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_constraints",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints end-to-end (Delta ``ALTER TABLE ADD
+    CONSTRAINT`` analogue, SURVEY §10.16): build a LakeTable over the
+    even-LSN half of events, add ``CHECK (value >= 0)`` — which must
+    validate the existing rows — then attempt the odd half CORRUPTED
+    (values negated): the write must abort with the exact violation
+    count BEFORE any snapshot advances, and the abort must not burn
+    the exactly-once ledger, so the FIXED odd half retries under the
+    same batch_id and applies. Final state must equal plain
+    last-writer-wins SQL over the uncorrupted events — a constraint
+    that half-applies a violated batch, blocks the clean retry, or
+    lets corrupted rows through all flip the value hash. Enforcement
+    rides the write job as a Spark Observation (zero extra passes)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import ConstraintViolation, LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_cons_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0), 0, mode="mor")
+        v0 = table.add_constraint("nonneg", "value >= 0.0")  # validates batch 0
+        odd = ev.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1)
+        corrupted = odd.withColumn(
+            "value",
+            F.when(F.col("op") == "D", F.col("value")).otherwise(-F.col("value") - 1),
+        )
+        # the merge resolves the batch to per-key LWW winners before
+        # writing, so the observed violation count is winners, not rows
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("lsn").desc())
+        n_bad = (
+            corrupted.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D") & (F.col("value") < 0))
+            .count()
+        )
+        try:
+            table.merge(corrupted, 1, mode="mor")
+            raise AssertionError("corrupted batch was not rejected")
+        except ConstraintViolation as exc:
+            if exc.counts != {"nonneg": n_bad}:
+                raise AssertionError(f"wrong violation count: {exc.counts}")
+        if table.current_version() != v0:
+            raise AssertionError("violated write advanced a snapshot")
+        st = table.merge(odd, 1, mode="mor")  # same batch_id: ledger not burned
+        if not st.applied:
+            raise AssertionError("abort burned the ledger for batch 1")
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("last_event_id", T.LongType()),
+                T.StructField("last_event_type", T.StringType()),
+                T.StructField("last_value", T.DoubleType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .select(
+                "user_id",
+                F.col("event_id").alias("last_event_id"),
+                F.col("event_type").alias("last_event_type"),
+                F.col("value").alias("last_value"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
