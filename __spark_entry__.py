@@ -112,6 +112,11 @@ _DEMOTED_TAIL = [
     # (NULL passes, tombstone/maintenance exemption, validate-on-add)
     # pytest-pinned in tests/test_constraints.py
     "cdc_constraints",
+    # merge-on-read DML (equality-delete / deletion-vector analogue);
+    # same oracle as in-tail cdc_delete_update — the storage strategy
+    # must be invisible — plus in-query zero-rewrite/delta-only/fold
+    # asserts; sequence tie-break pytest-pinned in tests/test_dml_mor.py
+    "cdc_dml_mor",
 ]
 
 

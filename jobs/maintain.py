@@ -157,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
     de.add_argument("--predicate", required=True,
                     help="SQL subset: comparisons, IS [NOT] NULL, IN, "
                          "BETWEEN, AND/OR/parens")
+    de.add_argument("--mor", action="store_true",
+                    help="append per-matched-key tombstones instead of "
+                         "rewriting buckets (cost ~ matched rows; "
+                         "compact folds them later)")
 
     up = sub.add_parser("update",
                         help="row-level UPDATE ... SET ... WHERE (RHS sees "
@@ -166,6 +170,9 @@ def main(argv: list[str] | None = None) -> int:
                     dest="assignments",
                     help="repeatable; EXPR is any Spark SQL expression, "
                          "cast back to the column's declared type")
+    up.add_argument("--mor", action="store_true",
+                    help="append updated images as delta files instead of "
+                         "rewriting buckets (cost ~ matched rows)")
 
     sk = sub.add_parser("skip-columns",
                         help="opt columns into the per-file equality index "
@@ -250,7 +257,8 @@ def main(argv: list[str] | None = None) -> int:
             out = {"verb": "constraints", "constraints": t.constraints()}
         elif args.verb == "delete":
             out = {"verb": "delete", "predicate": args.predicate,
-                   **t.delete_where(args.predicate)}
+                   **t.delete_where(args.predicate,
+                                    mode="mor" if args.mor else "cow")}
         elif args.verb == "update":
             sets = {}
             for a in args.assignments:
@@ -259,7 +267,8 @@ def main(argv: list[str] | None = None) -> int:
                     raise SystemExit(f"--set needs COL=EXPR, got {a!r}")
                 sets[col.strip()] = expr.strip()
             out = {"verb": "update", "predicate": args.predicate,
-                   **t.update_where(args.predicate, sets)}
+                   **t.update_where(args.predicate, sets,
+                                    mode="mor" if args.mor else "cow")}
         elif args.verb == "skip-columns":
             cols = [c for c in args.cols.split(",") if c]
             v = t.alter_skip_columns(cols)

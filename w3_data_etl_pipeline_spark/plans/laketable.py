@@ -68,6 +68,15 @@ from pyspark.sql import types as T
 META_COLS = {"op", "lsn", "event_ts", "_bucket"}
 LSN_COL = "_lsn"
 OP_COL = "_op"  # persisted only in merge-on-read delta files
+# data-sequence number (Iceberg's data_sequence_number analogue): the
+# COMMIT VERSION that wrote a file, recovered for free from the file
+# path (every write targets data/c{version:012d}-{uuid}/...). Never
+# persisted as a column — derived at scan time (with_seq=True) so
+# merge-on-read resolution can break equal-_lsn ties deterministically
+# toward the later commit. Row-level MOR DML depends on this: a
+# delete tombstone / update image keeps the stored row's _lsn (so
+# racing CDC max-LSN rules are unchanged) and wins only by sequence.
+SEQ_COL = "_seq"
 
 
 class CommitConflictError(RuntimeError):
@@ -638,15 +647,35 @@ class LakeTable:
         keys = [F.col(c) for c in snap["key_cols"]]
         return F.pmod(F.xxhash64(*keys), F.lit(snap["n_buckets"])).cast("int")
 
-    def _read_files(self, files: list[str], schema: T.StructType) -> DataFrame:
+    # scan-time data-sequence column: the commit version encoded in
+    # every data path (data/c{version:012d}-{uuid}/...), try_cast so a
+    # foreign path yields NULL instead of an ANSI cast error
+    _SEQ_EXPR = (
+        "try_cast(regexp_extract(_metadata.file_path, '/c([0-9]{12})-', 1)"
+        " as bigint)"
+    )
+
+    def _read_files(
+        self, files: list[str], schema: T.StructType, with_seq: bool = False
+    ) -> DataFrame:
         if not files:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_seq:
+                df = df.withColumn(SEQ_COL, F.lit(None).cast("long"))
+            return df
         paths = [os.path.join(self.root, f) for f in files]
         # explicit schema => old files missing newly-added columns read as NULL
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if with_seq:
+            df = df.withColumn(SEQ_COL, F.expr(self._SEQ_EXPR))
+        return df
 
     def _read_entries(
-        self, entries: list[dict], snap: dict, phys: T.StructType
+        self,
+        entries: list[dict],
+        snap: dict,
+        phys: T.StructType,
+        with_seq: bool = False,
     ) -> DataFrame:
         """Field-id-aware scan of manifest ENTRIES: files are grouped
         by the schema epoch they were written under; each group is
@@ -693,15 +722,19 @@ class LakeTable:
                 ident_paths.extend(paths)
             else:
                 mapped.append(
-                    self._read_files(paths, T.StructType(read_fields)).select(*cols)
+                    self._read_files(
+                        paths, T.StructType(read_fields), with_seq=with_seq
+                    ).select(*(cols + [F.col(SEQ_COL)] if with_seq else cols))
                 )
         out = None
         if ident_paths:
-            out = self._read_files(ident_paths, phys)
+            out = self._read_files(ident_paths, phys, with_seq=with_seq)
         for df in mapped:
             out = df if out is None else out.unionByName(df)
         if out is None:
             out = self.spark.createDataFrame([], phys)
+            if with_seq:
+                out = out.withColumn(SEQ_COL, F.lit(None).cast("long"))
         return out
 
     def _phys_schema(self, snap: dict) -> T.StructType:
@@ -716,17 +749,30 @@ class LakeTable:
         """Merge-on-read resolution: last writer (max _lsn, commit
         tie-break) wins per key; 'D' tombstones drop the key. Exactly
         the microbatch dedup semantics applied at read time — one
-        shuffle on the key."""
+        shuffle on the key. The commit tie-break is the scan-derived
+        data-sequence number (``with_seq=True`` on the entry read):
+        at equal _lsn the LATER COMMIT's row wins — what makes
+        row-level MOR DML sound, since its tombstones/updates keep
+        the stored _lsn and outrank only by sequence."""
         from ..operators.dedupe import latest_by_key
 
-        order = [LSN_COL] + (["commit"] if "commit" in df.columns else [])
+        order = (
+            [LSN_COL]
+            + ([SEQ_COL] if SEQ_COL in df.columns else [])
+            + (["commit"] if "commit" in df.columns else [])
+        )
         latest = latest_by_key(df, snap["key_cols"], order)
+        if SEQ_COL in latest.columns:
+            latest = latest.drop(SEQ_COL)
         return latest.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) != "D"))
 
     def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
         snap = self.snapshot(version)
-        df = self._read_entries(snap["files"], snap, self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in snap["files"]):
+        has_delta = any(f.get("kind", "base") == "delta" for f in snap["files"])
+        df = self._read_entries(
+            snap["files"], snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if has_delta:
             df = self._resolve(df, snap)
         if not include_meta:
             df = df.drop(LSN_COL, OP_COL)
@@ -757,7 +803,10 @@ class LakeTable:
         ).distinct().collect():
             want_buckets.add(r["b"])
         files = [f for f in snap["files"] if f["bucket"] in want_buckets]
-        df = self._read_entries(files, snap, self._phys_schema(snap))
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        df = self._read_entries(
+            files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
         # ROW-GROUP SKIPPING inside the surviving buckets: merge writes
         # each bucket's rows key-sorted (_first_per_key's window sort
         # is (_bucket, keys asc, ...) and the partitioned write keeps
@@ -775,7 +824,7 @@ class LakeTable:
                 f_ = F.col(c).isin(vals)
                 cond = f_ if cond is None else cond & f_
             df = df.filter(cond)
-        if any(f.get("kind", "base") == "delta" for f in files):
+        if has_delta:
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
         return df.join(F.broadcast(lookup), key_cols, "left_semi")
@@ -1070,8 +1119,11 @@ class LakeTable:
         O(matching) files instead of every live file."""
         snap = self.snapshot(version)
         files = self.prune_files(snap, predicates)
-        df = self._read_entries(files, snap, self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in files):
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        df = self._read_entries(
+            files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if has_delta:
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
         cond = self._pred_cond(predicates)
@@ -1207,11 +1259,12 @@ class LakeTable:
 
         def _side(snap: dict) -> DataFrame:
             files = [f for f in snap["files"] if f["bucket"] in changed]
+            has_delta = any(f.get("kind", "base") == "delta" for f in files)
             # field-id meta from snap_b: name_log is append-only, so it
             # resolves snap_a-era epochs too — the feed sees ONE
             # continuous column across a rename boundary
-            df = self._read_entries(files, snap_b, phys)
-            if any(f.get("kind", "base") == "delta" for f in files):
+            df = self._read_entries(files, snap_b, phys, with_seq=has_delta)
+            if has_delta:
                 df = self._resolve(df, snap)
             else:
                 df = df.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) != "D"))
@@ -2123,7 +2176,13 @@ class LakeTable:
         # exchange. The output is already partitioned by _bucket so
         # the write adds no further exchange.
         phys = T.StructType(schema.fields + [T.StructField(OP_COL, T.StringType(), True)])
-        tgt = self._read_entries(old_files, snap, phys).withColumn(
+        # data-sequence tie-break among TARGET rows (base vs MOR
+        # delta/DML images at equal _lsn); events still outrank all
+        # target rows at equal _lsn via _src
+        tgt_seq = any(f.get("kind", "base") == "delta" for f in old_files)
+        tgt = self._read_entries(
+            old_files, snap, phys, with_seq=tgt_seq
+        ).withColumn(
             "_bucket", self._bucket_expr(snap)
         ).withColumn("_src", F.lit(0))
         ev_aligned = deduped.select(
@@ -2140,15 +2199,21 @@ class LakeTable:
             F.col("op").alias(OP_COL),
             F.col("_bucket"),
             F.lit(1).alias("_src"),
+            *([F.lit(None).cast("long").alias(SEQ_COL)] if tgt_seq else []),
         )
         both = tgt.unionByName(ev_aligned)
         part = both.repartition(n_part, "_bucket")
+        seq_tie = [F.col(SEQ_COL).desc_nulls_last()] if tgt_seq else []
         merged = self._first_per_key(
-            part, keys, [F.col(LSN_COL).desc_nulls_last(), F.col("_src").desc()] + tie
+            part,
+            keys,
+            [F.col(LSN_COL).desc_nulls_last(), F.col("_src").desc()]
+            + seq_tie
+            + tie,
         )
         merged = merged.filter(
             F.col(OP_COL).isNull() | (F.col(OP_COL) != "D")
-        ).drop("_src", OP_COL)
+        ).drop("_src", OP_COL, *([SEQ_COL] if tgt_seq else []))
 
         new_files = (
             self._write_data(merged, snap, version, pre_bucketed=True) if touched else []
@@ -2460,13 +2525,19 @@ class LakeTable:
             ] + doc["new_files"]
         pseudo["schema"] = doc["schema"]
         pseudo["files"] = files
-        df = self._read_entries(files, pseudo, self._phys_schema(pseudo))
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        df = self._read_entries(
+            files,
+            pseudo,
+            self._phys_schema(pseudo),
+            with_seq=has_delta and scope != "batch",
+        )
         if scope == "batch":
             if not include_meta and OP_COL in df.columns:
                 df = df.filter(
                     F.coalesce(F.col(OP_COL) != F.lit("D"), F.lit(True))
                 )
-        elif any(f.get("kind", "base") == "delta" for f in files):
+        elif has_delta:
             df = self._resolve(df, pseudo)
         return df.drop(OP_COL) if include_meta else df.drop(LSN_COL, OP_COL)
 
@@ -2988,8 +3059,11 @@ class LakeTable:
         # resolving a bucket subset is safe: _bucket is a pure function
         # of the key, so every row of a key lives in exactly one bucket
         # and all of that bucket's files are in the fold set
-        df = self._read_entries(fold_files, snap, self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in fold_files):
+        has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
+        df = self._read_entries(
+            fold_files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if has_delta:
             df = self._resolve(df, snap)
         df = df.drop(OP_COL)
         version = snap["version"] + 1
@@ -3014,7 +3088,10 @@ class LakeTable:
         return version
 
     def delete_where(
-        self, predicates: "list[tuple] | str", max_retries: int = 3
+        self,
+        predicates: "list[tuple] | str",
+        max_retries: int = 3,
+        mode: str = "cow",
     ) -> dict:
         """Row-level DELETE FROM ... WHERE (the Iceberg/Delta DELETE
         analogue; the reference has no row-level DML at all — its only
@@ -3036,14 +3113,26 @@ class LakeTable:
         _lsn, so a racing CDC stream's max-LSN rules are unchanged:
         a later upsert of a deleted key legally re-inserts it (same
         boundary as the stale-DELETE contract on merge()).
+
+        mode='cow' (default) rewrites the touched buckets —
+        read-optimized. mode='mor' appends per-matched-key DELETE
+        tombstones as delta files instead (the Iceberg
+        equality-delete / Delta deletion-vector scale analogue):
+        write cost ∝ MATCHED rows, not touched-bucket bytes — at
+        100 TB a selective DELETE writes kilobytes where COW would
+        rewrite every touched gigabyte bucket. Tombstones keep the
+        stored row's _lsn and win resolution by data-sequence number
+        (the later commit), so CDC max-LSN semantics are untouched;
+        readers pay the standard MOR window until compact() folds.
         """
-        return self._dml("delete", predicates, None, max_retries)
+        return self._dml("delete", predicates, None, max_retries, mode)
 
     def update_where(
         self,
         predicates: "list[tuple] | str",
         assignments: dict[str, str],
         max_retries: int = 3,
+        mode: str = "cow",
     ) -> dict:
         """Row-level UPDATE ... SET ... WHERE (Iceberg/Delta UPDATE
         analogue). ``assignments`` maps column -> SQL expression; every
@@ -3054,10 +3143,12 @@ class LakeTable:
         would silently move rows across buckets — express that as
         delete + insert through merge()). Matching, granularity, cost
         bound, no-op early return, and commit semantics are exactly
-        delete_where's."""
+        delete_where's — including mode='mor', which appends the
+        updated images as delta files (cost ∝ matched rows; the image
+        keeps the stored _lsn and wins by data-sequence number)."""
         if not assignments:
             raise ValueError("update_where needs at least one assignment")
-        return self._dml("update", predicates, assignments, max_retries)
+        return self._dml("update", predicates, assignments, max_retries, mode)
 
     def _dml(
         self,
@@ -3065,7 +3156,10 @@ class LakeTable:
         predicates: "list[tuple] | str",
         assignments: dict[str, str] | None,
         max_retries: int,
+        mode: str = "cow",
     ) -> dict:
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         if assignments is not None:
             snap = self.snapshot()
             protected = set(snap["key_cols"]) | {LSN_COL, OP_COL}
@@ -3080,7 +3174,7 @@ class LakeTable:
                     raise ValueError(f"unknown column {c!r} in SET clause")
         for _ in range(max_retries + 1):
             try:
-                return self._dml_once(what, predicates, assignments)
+                return self._dml_once(what, predicates, assignments, mode)
             except FileExistsError:
                 continue  # lost the version race: recompute the rewrite
         raise CommitConflictError(
@@ -3092,6 +3186,7 @@ class LakeTable:
         what: str,
         predicates: "list[tuple] | str",
         assignments: dict[str, str] | None,
+        mode: str = "cow",
     ) -> dict:
         snap = self.snapshot()
         admitted = self.prune_files(snap, predicates)
@@ -3110,8 +3205,11 @@ class LakeTable:
         # in exactly one bucket and MOR resolution needs all of them
         fold_files = [f for f in snap["files"] if f["bucket"] in touched]
         kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
-        df = self._read_entries(fold_files, snap, self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in fold_files):
+        has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
+        df = self._read_entries(
+            fold_files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if has_delta:
             df = self._resolve(df, snap)
         df = df.drop(OP_COL)
         hit = self._pred_cond(predicates).eqNullSafe(F.lit(True))
@@ -3121,10 +3219,70 @@ class LakeTable:
         n_hit = df.filter(hit).count()
         if n_hit == 0:
             return dict(no_op, files_skipped=len(snap["files"]) - len(fold_files))
+        types = {f.name: f.dataType for f in self.schema(snap).fields}
+        version = snap["version"] + 1
+        dml_audit = {
+            "predicate": predicates
+            if isinstance(predicates, str)
+            else [list(p) for p in predicates],
+            "set": assignments,
+            "rows_changed": n_hit,
+            "mode": mode,
+        }
+        if mode == "mor":
+            # merge-on-read DML: append only the MATCHED rows' new
+            # images as delta files — tombstones for delete, updated
+            # full rows for update. Each image keeps the stored row's
+            # _lsn (racing CDC max-LSN rules unchanged; a strictly
+            # later upsert still wins) and outranks the stored row
+            # purely by data-sequence number (this commit is later).
+            # Cost ∝ matched rows; every pre-existing file carries by
+            # reference. The Iceberg equality-delete / Delta
+            # deletion-vector scale path.
+            keep = set(snap["key_cols"]) | {LSN_COL}
+            if assignments is None:
+                img = df.filter(hit).select(
+                    *[
+                        (
+                            F.col(c)
+                            if c in keep
+                            else F.lit(None).cast(types[c])
+                        ).alias(c)
+                        for c in df.columns
+                    ],
+                    F.lit("D").alias(OP_COL),
+                )
+            else:
+                sets = {
+                    c: F.expr(e).cast(types[c]) for c, e in assignments.items()
+                }
+                # ONE select: every RHS sees the pre-update row
+                img = df.filter(hit).select(
+                    *[sets.get(c, F.col(c)).alias(c) for c in df.columns],
+                    F.lit("U").alias(OP_COL),
+                )
+            files = self._write_data(img, snap, version, kind="delta")
+            new = dict(snap)
+            new.update(
+                version=version,
+                files=snap["files"] + files,
+                parent=snap["version"],
+                operation=what,
+                dml=dml_audit,
+            )
+            self._write_snapshot(new)
+            return {
+                "operation": what,
+                "version": version,
+                "applied": True,
+                "rows_changed": n_hit,
+                "buckets_rewritten": 0,
+                "delta_files": len(files),
+                "files_skipped": len(snap["files"]) - len(fold_files),
+            }
         if assignments is None:
             out = df.filter(~hit)
         else:
-            types = {f.name: f.dataType for f in self.schema(snap).fields}
             new_cols = {
                 c: F.when(hit, F.expr(e).cast(types[c])).otherwise(F.col(c))
                 for c, e in assignments.items()
@@ -3133,7 +3291,6 @@ class LakeTable:
             out = df.select(
                 *[new_cols.get(c, F.col(c)).alias(c) for c in df.columns]
             )
-        version = snap["version"] + 1
         files = self._write_data(out, snap, version, kind="base")
         new = dict(snap)
         new.update(
@@ -3141,13 +3298,7 @@ class LakeTable:
             files=kept_files + files,
             parent=snap["version"],
             operation=what,
-            dml={
-                "predicate": predicates
-                if isinstance(predicates, str)
-                else [list(p) for p in predicates],
-                "set": assignments,
-                "rows_changed": n_hit,
-            },
+            dml=dml_audit,
         )
         self._write_snapshot(new)
         return {
@@ -3258,8 +3409,11 @@ class LakeTable:
             }
         fold_files = [f for f in snap["files"] if f["bucket"] in touched]
         kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
-        tgt = self._read_entries(fold_files, snap, self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in fold_files):
+        has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
+        tgt = self._read_entries(
+            fold_files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if has_delta:
             tgt = self._resolve(tgt, snap)
         tgt = tgt.drop(OP_COL)
 
@@ -3422,12 +3576,21 @@ class LakeTable:
             r["_bucket"] for r in ev.select("_bucket").distinct().collect()
         }  # O(n_buckets) metadata collect, same as merge's lineage pre-pass
         files = [f for f in snap["files"] if f["bucket"] in touched]
-        base = self._read_entries(files, snap, self._phys_schema(snap))
-        if any(f.get("kind", "base") == "delta" for f in files):
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        base = self._read_entries(
+            files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if has_delta:
             from ..operators.dedupe import latest_by_key
 
-            order = [LSN_COL] + (["commit"] if "commit" in base.columns else [])
+            order = (
+                [LSN_COL]
+                + ([SEQ_COL] if SEQ_COL in base.columns else [])
+                + (["commit"] if "commit" in base.columns else [])
+            )
             base = latest_by_key(base, keys, order)
+        if SEQ_COL in base.columns:
+            base = base.drop(SEQ_COL)
         # NOTE: deliberately NOT _resolve — surviving 'D' tombstones
         # stay in the fold as (op='D', lsn) rows: they define every
         # column as NULL AND carry the delete's LSN, so a STALE patch

@@ -1796,7 +1796,7 @@ def cdc_zorder_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CHECK constraints end-to-end (Delta ``ALTER TABLE ADD
-    CONSTRAINT`` analogue, SURVEY §10.16): build a LakeTable over the
+    CONSTRAINT`` analogue, SURVEY §10.18): build a LakeTable over the
     even-LSN half of events, add ``CHECK (value >= 0)`` — which must
     validate the existing rows — then attempt the odd half CORRUPTED
     (values negated): the write must abort with the exact violation
@@ -1883,6 +1883,110 @@ def cdc_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_dml_mor",
+    """
+    WITH lww AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    ), kept AS (
+      SELECT * FROM lww
+      WHERE event_type <> 'error' OR event_type IS NULL
+    )
+    SELECT user_id, event_id,
+           CASE WHEN value > 50.0 THEN event_type || '-capped'
+                ELSE event_type END AS event_type,
+           CASE WHEN value > 50.0 THEN value / 2 ELSE value END AS value
+    FROM kept
+    """,
+)
+def cdc_dml_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read row-level DML end-to-end (Iceberg equality-delete
+    / Delta deletion-vector analogue, SURVEY §10.19): the exact
+    cdc_delete_update lifecycle — LWW merge, DELETE the error rows,
+    UPDATE the high values — but with mode='mor', so each DML appends
+    per-matched-row images (tombstones / updated rows) instead of
+    rewriting buckets. Same SQL oracle: the storage strategy must be
+    invisible to readers. In-query asserts pin the scale contract —
+    ZERO buckets rewritten, every pre-existing file carried by
+    reference, only delta files added — and that a subsequent
+    compact() folds the images away without changing the visible
+    state (the rows returned are read AFTER the fold, so a fold that
+    mis-resolves the data-sequence tie-break flips the value hash)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_dmlmor_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(ev, 0, mode="cow")
+        before = {f["path"] for f in table.snapshot()["files"]}
+        res_d = table.delete_where("event_type = 'error'", mode="mor")
+        res_u = table.update_where(
+            "value > 50.0",
+            {"value": "value / 2", "event_type": "concat(event_type, '-capped')"},
+            mode="mor",
+        )
+        if not (res_d["applied"] and res_u["applied"]):
+            raise AssertionError("a MOR DML matched zero rows on real data")
+        if res_d["buckets_rewritten"] or res_u["buckets_rewritten"]:
+            raise AssertionError("MOR DML rewrote buckets")
+        snap = table.snapshot()
+        paths = {f["path"] for f in snap["files"]}
+        if not before <= paths:
+            raise AssertionError("MOR DML dropped a pre-existing file")
+        added = [f for f in snap["files"] if f["path"] not in before]
+        if not added or any(f["kind"] != "delta" for f in added):
+            raise AssertionError("MOR DML must add only delta files")
+        pre_fold = sorted(map(tuple, table.read().collect()))
+        table.compact(min_deltas=1, min_delta_rows=1)
+        if any(
+            f.get("kind", "base") == "delta" for f in table.snapshot()["files"]
+        ):
+            raise AssertionError("compact left MOR DML images unfolded")
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        rows = table.read().select(
+            "user_id", "event_id", "event_type", "value"
+        ).collect()
+        if sorted(map(tuple, rows)) != pre_fold:
+            raise AssertionError("compaction changed the visible state")
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
