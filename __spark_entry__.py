@@ -76,6 +76,15 @@ _DEMOTED_TAIL = [
     "quality_docs",
     "fingerprint_docs",
     # near-duplicate coverage of in-window queries
+    "simhash_docs",             # pure map-side deterministic hashing —
+                                # no join/shuffle to mis-plan; bit-level
+                                # semantics pinned by the DuckDB oracle
+                                # in the tail gate + pytest
+                                # (tests/test_dedup_similarity.py); the
+                                # dedup ladder keeps exact, paragraph,
+                                # minhash-LSH, n-gram-Jaccard and
+                                # embedding near-dup in-window (makes
+                                # room for cdc_row_lineage)
     "jsonl_roundtrip_docs",     # format-boundary fidelity; pytest +
                                 # locally gated (makes room for
                                 # cdc_rename_evolution)

@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -77,6 +78,22 @@ OP_COL = "_op"  # persisted only in merge-on-read delta files
 # delete tombstone / update image keeps the stored row's _lsn (so
 # racing CDC max-LSN rules are unchanged) and wins only by sequence.
 SEQ_COL = "_seq"
+# row lineage (Iceberg spec-v3 row-lineage analogue), opt-in per table:
+# _row_id is a PERMANENT per-row identifier and _last_seq the commit
+# that last CHANGED the row. Storage follows Iceberg's null-means-
+# inherit rule so appends stay zero-cost: a row whose materialized
+# _row_id is NULL inherits first_row_id(file) + its position in the
+# file (_metadata.row_index); a NULL _last_seq inherits the file's
+# data-sequence number. Rewrites that CARRY rows (compact, COW merge,
+# COW DML, rebucket, merge_into) materialize both so carried rows
+# neither change identity nor look freshly updated; paths that write a
+# NEW IMAGE of an existing row (COW-merge event winners, DML updates)
+# materialize the old _row_id and leave _last_seq NULL (= updated by
+# this commit). Boundary, same as Iceberg equality deletes: the MOR
+# CDC fast path (merge mode='mor') never reads the target, so its
+# images get FRESH ids — the old id retires with the superseded row.
+ROWID_COL = "_row_id"
+LASTSEQ_COL = "_last_seq"
 
 
 class CommitConflictError(RuntimeError):
@@ -136,6 +153,7 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         n_buckets: int = 64,
+        row_lineage: bool = False,
     ) -> "LakeTable":
         t = LakeTable(spark, root)
         os.makedirs(t._meta, exist_ok=True)
@@ -152,9 +170,39 @@ class LakeTable:
             "parent": None,
             "committed_at": None,
             "operation": "create",
+            "row_lineage": bool(row_lineage),
+            "next_row_id": 0,
         }
         t._write_snapshot(snap)
         return t
+
+    def enable_row_lineage(self, max_retries: int = 3) -> int:
+        """Turn on row lineage for an existing table (Iceberg v3's
+        ``row-lineage`` table property; enable-only, like the spec —
+        ids, once handed out, must never be reassigned). One metadata
+        commit: the flag flips and every live file entry missing a
+        ``first_row_id`` is backfilled from ``next_row_id`` (pre-
+        enable rows thereby get inherited ids lazily, no data I/O).
+        Idempotent; returns the snapshot version carrying the flag."""
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            if snap.get("row_lineage"):
+                return snap["version"]
+            new = dict(snap)
+            new.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="enable-row-lineage",
+                row_lineage=True,
+            )
+            try:
+                self._write_snapshot(new)  # backfill happens at the choke point
+                return new["version"]
+            except FileExistsError:
+                continue
+        raise CommitConflictError(
+            f"enable_row_lineage lost the commit race {max_retries + 1} times"
+        )
 
     # ---------------- exactly-once ledger ----------------
     #
@@ -218,6 +266,10 @@ class LakeTable:
     _MANIFEST_CACHE_MAX = 8192
     _STAT_KEYS = (
         "path", "kind", "epoch", "rows", "bytes", "lsn_min", "lsn_max", "cmin", "cmax",
+        # row-lineage id base: MUST be fingerprinted — two entry lists
+        # differing only in assigned id ranges are different manifests
+        # (content addressing would otherwise skip the second write)
+        "first_row_id",
     )
 
     @classmethod
@@ -264,6 +316,27 @@ class LakeTable:
             self._evolved_field_meta(snap, T.StructType.fromJson(snap["schema"]))
         )
         files = snap.pop("files")
+        if snap.get("row_lineage"):
+            # row-id assignment at the SINGLE commit choke point
+            # (Iceberg v3 first-row-id inheritance): every entry not
+            # yet carrying a first_row_id — files this commit wrote,
+            # or the whole table on the enable-row-lineage backfill —
+            # claims [next_row_id, next_row_id + rows). Shared carried
+            # entries are immutable by convention, so assignment
+            # REPLACES the dict rather than mutating (a mutation would
+            # silently corrupt the manifest cache and the parent
+            # snapshot's materialized copy). Entries without a row
+            # count (stats write failed) stay unassigned — their rows
+            # read a NULL _row_id rather than a colliding one.
+            nxt = int(snap.get("next_row_id") or 0)
+            assigned = []
+            for e in files:
+                if "first_row_id" not in e and e.get("rows") is not None:
+                    e = {**e, "first_row_id": nxt}
+                    nxt += int(e["rows"])
+                assigned.append(e)
+            files = assigned
+            snap["next_row_id"] = nxt
         snap.pop("manifests", None)  # stale parent pointers: recompute
         # provenance fast path: snapshot() records which manifest each
         # bucket's entries came from; a bucket whose entry list is
@@ -656,18 +729,31 @@ class LakeTable:
     )
 
     def _read_files(
-        self, files: list[str], schema: T.StructType, with_seq: bool = False
+        self,
+        files: list[str],
+        schema: T.StructType,
+        with_seq: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         if not files:
             df = self.spark.createDataFrame([], schema)
             if with_seq:
                 df = df.withColumn(SEQ_COL, F.lit(None).cast("long"))
+            if with_lineage:
+                df = df.withColumn("_fpath", F.lit(None).cast("string"))
+                df = df.withColumn("_ridx", F.lit(None).cast("long"))
             return df
         paths = [os.path.join(self.root, f) for f in files]
         # explicit schema => old files missing newly-added columns read as NULL
         df = self.spark.read.schema(schema).parquet(*paths)
         if with_seq:
             df = df.withColumn(SEQ_COL, F.expr(self._SEQ_EXPR))
+        if with_lineage:
+            # the raw ingredients of inherited row lineage: which file
+            # a row came from and its position in it — joined to the
+            # manifest's first_row_id downstream (_read_entries)
+            df = df.withColumn("_fpath", F.col("_metadata.file_path"))
+            df = df.withColumn("_ridx", F.col("_metadata.row_index"))
         return df
 
     def _read_entries(
@@ -676,6 +762,7 @@ class LakeTable:
         snap: dict,
         phys: T.StructType,
         with_seq: bool = False,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """Field-id-aware scan of manifest ENTRIES: files are grouped
         by the schema epoch they were written under; each group is
@@ -689,6 +776,15 @@ class LakeTable:
         before field ids existed."""
         fids = snap["field_ids"]
         log = snap["name_log"]
+        if with_lineage:
+            # materialized lineage columns ride the physical read; files
+            # written before (or without) materialization read NULL and
+            # fall through to inheritance below
+            for lc in (ROWID_COL, LASTSEQ_COL):
+                if lc not in phys.fieldNames():
+                    phys = T.StructType(
+                        phys.fields + [T.StructField(lc, T.LongType(), True)]
+                    )
         by_epoch: dict[int, list[str]] = {}
         for e in entries:
             by_epoch.setdefault(int(e.get("epoch", 0)), []).append(e["path"])
@@ -703,7 +799,7 @@ class LakeTable:
             cols: list[F.Column] = []
             identity = True
             for f_ in phys.fields:
-                if f_.name in (LSN_COL, OP_COL):
+                if f_.name in (LSN_COL, OP_COL, ROWID_COL, LASTSEQ_COL):
                     read_fields.append(f_)
                     cols.append(F.col(f_.name))
                     continue
@@ -721,20 +817,69 @@ class LakeTable:
             if identity:
                 ident_paths.extend(paths)
             else:
+                extras = ([F.col(SEQ_COL)] if with_seq else []) + (
+                    [F.col("_fpath"), F.col("_ridx")] if with_lineage else []
+                )
                 mapped.append(
                     self._read_files(
-                        paths, T.StructType(read_fields), with_seq=with_seq
-                    ).select(*(cols + [F.col(SEQ_COL)] if with_seq else cols))
+                        paths,
+                        T.StructType(read_fields),
+                        with_seq=with_seq,
+                        with_lineage=with_lineage,
+                    ).select(*(cols + extras))
                 )
         out = None
         if ident_paths:
-            out = self._read_files(ident_paths, phys, with_seq=with_seq)
+            out = self._read_files(
+                ident_paths, phys, with_seq=with_seq, with_lineage=with_lineage
+            )
         for df in mapped:
             out = df if out is None else out.unionByName(df)
         if out is None:
             out = self.spark.createDataFrame([], phys)
             if with_seq:
                 out = out.withColumn(SEQ_COL, F.lit(None).cast("long"))
+            if with_lineage:
+                out = out.withColumn("_fpath", F.lit(None).cast("string"))
+                out = out.withColumn("_ridx", F.lit(None).cast("long"))
+        if with_lineage:
+            # inherited row lineage: NULL materialized values resolve to
+            # first_row_id(file) + row position / the file's data-
+            # sequence number. The per-FILE map is O(manifest) rows and
+            # broadcast — an equi-join on the path's last 3 segments
+            # (c{version}-{uuid}/_bucket=N/part-*.parquet is unique),
+            # never a LIKE (that would plan a nested-loop join).
+            lin_rows = []
+            for e in entries:
+                m = re.search(r"c(\d{12})-", e["path"])
+                lin_rows.append(
+                    (
+                        "/".join(e["path"].split("/")[-3:]),
+                        e.get("first_row_id"),
+                        int(m.group(1)) if m else None,
+                    )
+                )
+            lmap = self.spark.createDataFrame(
+                lin_rows or [(None, None, None)],
+                "_lkey string, _frid long, _fseq long",
+            )
+            out = out.join(
+                F.broadcast(lmap),
+                F.substring_index(F.col("_fpath"), "/", -3).eqNullSafe(
+                    F.col("_lkey")
+                ),
+                "left",
+            )
+            out = (
+                out.withColumn(
+                    ROWID_COL,
+                    F.coalesce(F.col(ROWID_COL), F.col("_frid") + F.col("_ridx")),
+                )
+                .withColumn(
+                    LASTSEQ_COL, F.coalesce(F.col(LASTSEQ_COL), F.col("_fseq"))
+                )
+                .drop("_fpath", "_ridx", "_lkey", "_frid", "_fseq")
+            )
         return out
 
     def _phys_schema(self, snap: dict) -> T.StructType:
@@ -766,11 +911,30 @@ class LakeTable:
             latest = latest.drop(SEQ_COL)
         return latest.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) != "D"))
 
-    def read(self, version: int | None = None, include_meta: bool = False) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        include_meta: bool = False,
+        include_lineage: bool = False,
+    ) -> DataFrame:
+        """Resolved table state. ``include_lineage=True`` (requires the
+        table's ``row_lineage`` flag) additionally returns ``_row_id``
+        (permanent per-row identifier) and ``_last_seq`` (commit that
+        last changed the row) — Iceberg v3 row lineage, derived by the
+        null-means-inherit rule (see ROWID_COL)."""
         snap = self.snapshot(version)
+        if include_lineage and not snap.get("row_lineage"):
+            raise ValueError(
+                "row lineage is not enabled on this table "
+                "(LakeTable.enable_row_lineage / create(row_lineage=True))"
+            )
         has_delta = any(f.get("kind", "base") == "delta" for f in snap["files"])
         df = self._read_entries(
-            snap["files"], snap, self._phys_schema(snap), with_seq=has_delta
+            snap["files"],
+            snap,
+            self._phys_schema(snap),
+            with_seq=has_delta,
+            with_lineage=include_lineage,
         )
         if has_delta:
             df = self._resolve(df, snap)
@@ -2180,8 +2344,9 @@ class LakeTable:
         # delta/DML images at equal _lsn); events still outrank all
         # target rows at equal _lsn via _src
         tgt_seq = any(f.get("kind", "base") == "delta" for f in old_files)
+        lineage_on = bool(snap.get("row_lineage"))
         tgt = self._read_entries(
-            old_files, snap, phys, with_seq=tgt_seq
+            old_files, snap, phys, with_seq=tgt_seq, with_lineage=lineage_on
         ).withColumn(
             "_bucket", self._bucket_expr(snap)
         ).withColumn("_src", F.lit(0))
@@ -2200,16 +2365,44 @@ class LakeTable:
             F.col("_bucket"),
             F.lit(1).alias("_src"),
             *([F.lit(None).cast("long").alias(SEQ_COL)] if tgt_seq else []),
+            *(
+                [
+                    F.lit(None).cast("long").alias(ROWID_COL),
+                    F.lit(None).cast("long").alias(LASTSEQ_COL),
+                ]
+                if lineage_on
+                else []
+            ),
         )
         both = tgt.unionByName(ev_aligned)
         part = both.repartition(n_part, "_bucket")
         seq_tie = [F.col(SEQ_COL).desc_nulls_last()] if tgt_seq else []
+        carry = None
+        if lineage_on:
+            # row-lineage carry: an event winner REPLACES the stored
+            # row, so it inherits the stored row's permanent _row_id
+            # (NULL when the key is a true insert -> fresh inherited
+            # id) and resets _last_seq to NULL (= changed by this
+            # commit); a target winner keeps both materialized values.
+            wk = Window.partitionBy("_bucket", *keys)
+            old_rid = F.max(
+                F.when(F.col("_src") == 0, F.col(ROWID_COL))
+            ).over(wk)
+            carry = {
+                ROWID_COL: F.when(F.col("_src") == 1, old_rid).otherwise(
+                    F.col(ROWID_COL)
+                ),
+                LASTSEQ_COL: F.when(
+                    F.col("_src") == 1, F.lit(None).cast("long")
+                ).otherwise(F.col(LASTSEQ_COL)),
+            }
         merged = self._first_per_key(
             part,
             keys,
             [F.col(LSN_COL).desc_nulls_last(), F.col("_src").desc()]
             + seq_tie
             + tie,
+            carry=carry,
         )
         merged = merged.filter(
             F.col(OP_COL).isNull() | (F.col(OP_COL) != "D")
@@ -2230,13 +2423,23 @@ class LakeTable:
         return st
 
     @staticmethod
-    def _first_per_key(df: DataFrame, keys: list[str], order: list[F.Column]) -> DataFrame:
+    def _first_per_key(
+        df: DataFrame,
+        keys: list[str],
+        order: list[F.Column],
+        carry: dict[str, F.Column] | None = None,
+    ) -> DataFrame:
         """Keep the first row per key after sorting each _bucket
         partition by (keys asc, *order). Valid as a per-key dedup
         because _bucket is a function of the key: every row of a key
         lands in the same bucket partition. One sort, no extra
         exchange beyond the _bucket repartition the caller already
-        paid."""
+        paid. ``carry`` columns (window expressions over
+        Window.partitionBy('_bucket', *keys) — e.g. the row-lineage
+        old-id carry) are computed BEFORE the winner filter so they
+        can see losing rows; their required sort (_bucket, keys) is a
+        prefix of the dedup sort, so they cost no extra sort or
+        exchange."""
         w = Window.partitionBy("_bucket").orderBy(
             *([F.col(k).asc() for k in keys] + order)
         )
@@ -2245,7 +2448,10 @@ class LakeTable:
             e = F.lag(F.col(k)).over(w).eqNullSafe(F.col(k))
             prev_same = e if prev_same is None else (prev_same & e)
         is_first = ~F.coalesce(prev_same, F.lit(False))
-        return df.withColumn("_first", is_first).filter(F.col("_first")).drop("_first")
+        df = df.withColumn("_first", is_first)
+        for name, col in (carry or {}).items():
+            df = df.withColumn(name, col)
+        return df.filter(F.col("_first")).drop("_first")
 
     def _write_lineage(self, lineage: list[dict], version: int, batch_id: int) -> str:
         # driver-side pyarrow write: ~n_buckets tiny rows — spinning
@@ -3061,7 +3267,15 @@ class LakeTable:
         # and all of that bucket's files are in the fold set
         has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
         df = self._read_entries(
-            fold_files, snap, self._phys_schema(snap), with_seq=has_delta
+            fold_files,
+            snap,
+            self._phys_schema(snap),
+            with_seq=has_delta,
+            # compact destroys the inheritance base (files are folded
+            # away), so it must MATERIALIZE lineage: reading with
+            # lineage turns the derived values into plain columns the
+            # rewrite below persists
+            with_lineage=bool(snap.get("row_lineage")),
         )
         if has_delta:
             df = self._resolve(df, snap)
@@ -3206,8 +3420,13 @@ class LakeTable:
         fold_files = [f for f in snap["files"] if f["bucket"] in touched]
         kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
         has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
+        lineage_on = bool(snap.get("row_lineage"))
         df = self._read_entries(
-            fold_files, snap, self._phys_schema(snap), with_seq=has_delta
+            fold_files,
+            snap,
+            self._phys_schema(snap),
+            with_seq=has_delta,
+            with_lineage=lineage_on,
         )
         if has_delta:
             df = self._resolve(df, snap)
@@ -3239,14 +3458,20 @@ class LakeTable:
             # Cost ∝ matched rows; every pre-existing file carries by
             # reference. The Iceberg equality-delete / Delta
             # deletion-vector scale path.
-            keep = set(snap["key_cols"]) | {LSN_COL}
+            # lineage: the tombstone/image names the row it supersedes
+            # (same _row_id); _last_seq resets to NULL = changed by
+            # this commit. Both are longs outside the table schema, so
+            # they bypass the types[] cast map.
+            keep = set(snap["key_cols"]) | {LSN_COL, ROWID_COL}
             if assignments is None:
                 img = df.filter(hit).select(
                     *[
                         (
                             F.col(c)
                             if c in keep
-                            else F.lit(None).cast(types[c])
+                            else F.lit(None).cast(
+                                types[c] if c in types else T.LongType()
+                            )
                         ).alias(c)
                         for c in df.columns
                     ],
@@ -3256,6 +3481,8 @@ class LakeTable:
                 sets = {
                     c: F.expr(e).cast(types[c]) for c, e in assignments.items()
                 }
+                if lineage_on:
+                    sets[LASTSEQ_COL] = F.lit(None).cast("long")
                 # ONE select: every RHS sees the pre-update row
                 img = df.filter(hit).select(
                     *[sets.get(c, F.col(c)).alias(c) for c in df.columns],
@@ -3287,6 +3514,12 @@ class LakeTable:
                 c: F.when(hit, F.expr(e).cast(types[c])).otherwise(F.col(c))
                 for c, e in assignments.items()
             }
+            if lineage_on:
+                # updated rows: changed by THIS commit (NULL inherits
+                # the new file's sequence); carried rows keep theirs
+                new_cols[LASTSEQ_COL] = F.when(
+                    hit, F.lit(None).cast("long")
+                ).otherwise(F.col(LASTSEQ_COL))
             # ONE select: every RHS sees the pre-update row
             out = df.select(
                 *[new_cols.get(c, F.col(c)).alias(c) for c in df.columns]
@@ -3410,8 +3643,13 @@ class LakeTable:
         fold_files = [f for f in snap["files"] if f["bucket"] in touched]
         kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
         has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
+        lineage_on = bool(snap.get("row_lineage"))
         tgt = self._read_entries(
-            fold_files, snap, self._phys_schema(snap), with_seq=has_delta
+            fold_files,
+            snap,
+            self._phys_schema(snap),
+            with_seq=has_delta,
+            with_lineage=lineage_on,
         )
         if has_delta:
             tgt = self._resolve(tgt, snap)
@@ -3518,6 +3756,26 @@ class LakeTable:
                         iv = F.lit(None).cast(types[c])
                     e = F.when(hit, iv).otherwise(e)
             out_cols.append(e.alias(c))
+        if lineage_on:
+            # row-lineage carry (same rule as the COW merge path):
+            # updated rows keep their permanent _row_id but reset
+            # _last_seq to NULL (= changed by THIS commit); inserted
+            # rows get NULL for both (fresh inherited id); kept/copied
+            # rows carry both materialized values unchanged.
+            upd = F.lit(False)
+            for i, (kind, _, _) in enumerate(clauses):
+                if kind == "update":
+                    upd = upd | (F.col("_action") == i)
+            out_cols.append(
+                F.when(is_s_only, F.lit(None).cast("long"))
+                .otherwise(F.col(f"t.{ROWID_COL}"))
+                .alias(ROWID_COL)
+            )
+            out_cols.append(
+                F.when(is_s_only | upd, F.lit(None).cast("long"))
+                .otherwise(F.col(f"t.{LASTSEQ_COL}"))
+                .alias(LASTSEQ_COL)
+            )
         out = j.select(*out_cols)
 
         version = snap["version"] + 1
@@ -3689,10 +3947,21 @@ class LakeTable:
             snap = self.snapshot()
             if snap["n_buckets"] == n_buckets:
                 return snap["version"]
-            df = self._read_files(
-                [f["path"] for f in snap["files"]], self._phys_schema(snap)
+            has_delta = any(
+                f.get("kind", "base") == "delta" for f in snap["files"]
             )
-            if any(f.get("kind", "base") == "delta" for f in snap["files"]):
+            # _read_entries (not raw _read_files): epoch-aware rename/
+            # drop mapping, and — like compact — a rebucket destroys
+            # the row-lineage inheritance base, so it must MATERIALIZE
+            # _row_id/_last_seq into the rewritten files
+            df = self._read_entries(
+                snap["files"],
+                snap,
+                self._phys_schema(snap),
+                with_seq=has_delta,
+                with_lineage=bool(snap.get("row_lineage")),
+            )
+            if has_delta:
                 df = self._resolve(df, snap)
             df = df.drop(OP_COL)
             proto = dict(snap)
@@ -3749,6 +4018,17 @@ class LakeTable:
                 parent=cur["version"],
                 rollback_of=to_version,
                 operation="rollback",
+            )
+            # row-lineage invariants survive a rollback: the flag is
+            # enable-only (ids, once handed out, are never reassigned)
+            # and next_row_id never regresses — a rollback past the
+            # enable point must not let a later enable re-issue ids
+            # already burned by the rolled-back commits.
+            if cur.get("row_lineage") or target.get("row_lineage"):
+                new["row_lineage"] = True
+            new["next_row_id"] = max(
+                int(cur.get("next_row_id") or 0),
+                int(target.get("next_row_id") or 0),
             )
             try:
                 self._write_snapshot(new)

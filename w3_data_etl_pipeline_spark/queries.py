@@ -1990,3 +1990,113 @@ def cdc_dml_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_row_lineage",
+    """
+    SELECT c_custkey,
+           CAST(CASE WHEN c_custkey % 13 = 0 THEN 3
+                     WHEN c_custkey % 7 = 0 THEN 2
+                     ELSE 1 END AS BIGINT) AS last_seq,
+           CAST(CASE WHEN c_custkey % 13 = 0 THEN 0 ELSE 1 END AS BIGINT)
+               AS id_stable
+    FROM customer
+    WHERE c_custkey % 13 <> 0 OR c_custkey % 2 = 0
+    """,
+)
+def cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage (Iceberg spec-v3 ``row-lineage``) on the oracle
+    gate: a three-commit CDC lifecycle — full insert (v1), update
+    %7-keys + delete %13-keys (v2), re-insert the even %13-keys (v3) —
+    then a compact, which destroys the null-means-inherit base and
+    must MATERIALIZE identical lineage. The output projects, per
+    surviving key, ``last_seq`` (the commit that last changed the row
+    — raw ``_last_seq``, deterministic because the batch composition
+    is) and ``id_stable`` (1 iff the row's permanent ``_row_id`` still
+    equals its v1 identity — raw ids are file-order dependent, their
+    STABILITY is not: survivors carry, re-inserts are new rows).
+    At 100 TB lineage costs nothing on the write path (appends inherit
+    ids from one manifest long; only rewrites materialize), which is
+    exactly why it is the audit primitive worth having."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    c = t(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="cdc_rowlin_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["c_custkey"], n_buckets=8,
+            row_lineage=True,
+        )
+        base = c.select(F.col("c_custkey").cast("long"), "c_name")
+        k = F.col("c_custkey")
+        table.merge(  # v1: the whole keyspace
+            base.select(
+                "c_custkey", "c_name", k.alias("lsn"), F.lit("I").alias("op")
+            ),
+            0,
+        )
+        v1 = table.snapshot()["version"]
+        upd = base.filter((k % 7 == 0) & (k % 13 != 0)).select(
+            "c_custkey",
+            F.concat(F.lit("upd:"), F.col("c_name")).alias("c_name"),
+            (k + 10_000_000).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        dele = base.filter(k % 13 == 0).select(
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+            (k + 10_000_000).alias("lsn"),
+            F.lit("D").alias("op"),
+        )
+        table.merge(upd.unionByName(dele), 1)  # v2
+        table.merge(  # v3: resurrection = NEW row identity
+            base.filter((k % 13 == 0) & (k % 2 == 0)).select(
+                "c_custkey",
+                F.concat(F.lit("back:"), F.col("c_name")).alias("c_name"),
+                (k + 20_000_000).alias("lsn"),
+                F.lit("I").alias("op"),
+            ),
+            2,
+        )
+        table.compact()  # materializes lineage; must be value-neutral
+        cur = table.read(include_lineage=True).select(
+            "c_custkey",
+            F.col("_last_seq").alias("last_seq"),
+            F.col("_row_id").alias("_rid_now"),
+        )
+        first = table.read(version=v1, include_lineage=True).select(
+            "c_custkey", F.col("_row_id").alias("_rid_v1")
+        )
+        out_schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("last_seq", T.LongType()),
+                T.StructField("id_stable", T.LongType()),
+            ]
+        )
+        rows = (
+            cur.join(first, "c_custkey")
+            .select(
+                "c_custkey",
+                "last_seq",
+                (F.col("_rid_now") == F.col("_rid_v1"))
+                .cast("long")
+                .alias("id_stable"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
