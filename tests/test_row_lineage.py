@@ -186,3 +186,41 @@ def test_mor_images_get_fresh_ids_documented_boundary(spark, table):
 def test_plain_read_hides_lineage_columns(spark, table):
     cols = set(table.read().columns)
     assert "_row_id" not in cols and "_last_seq" not in cols
+
+
+def test_carry_adds_no_exchange_or_sort(spark):
+    """The COW-merge row-lineage carry is a window over
+    (_bucket, keys) — Spark must satisfy its clustering from the
+    existing hashpartitioning(_bucket) exchange and its sort from the
+    (bucket, keys, ...) dedup sort prefix: one extra WindowExec, ZERO
+    extra Exchange/Sort (measured 1.36x COW wall at sf-bench scale is
+    the window pass + materialized columns, not a new shuffle)."""
+    from pyspark.sql import Window
+    from w3_data_etl_pipeline_spark.plans.laketable import (
+        LASTSEQ_COL,
+        ROWID_COL,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"),
+        F.col("id").alias("lsn"),
+        (F.col("id") % 7).alias("_src"),
+        (F.col("id") % 8).cast("int").alias("_bucket"),
+        (F.col("id") * 2).alias(ROWID_COL),
+        F.lit(1).alias(LASTSEQ_COL),
+    )
+    part = df.repartition(8, "_bucket")
+
+    def counts(carry):
+        out = LakeTable._first_per_key(
+            part, ["k"], [F.col("lsn").desc()], carry=carry
+        )
+        s = out._jdf.queryExecution().executedPlan().toString()
+        return s.count("Exchange"), s.count("Sort ")
+
+    wk = Window.partitionBy("_bucket", "k")
+    old = F.max(F.when(F.col("_src") == 0, F.col(ROWID_COL))).over(wk)
+    carry = {
+        ROWID_COL: F.when(F.col("_src") == 1, old).otherwise(F.col(ROWID_COL))
+    }
+    assert counts(None) == counts(carry)
