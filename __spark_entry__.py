@@ -121,6 +121,12 @@ _DEMOTED_TAIL = [
     # (NULL passes, tombstone/maintenance exemption, validate-on-add)
     # pytest-pinned in tests/test_constraints.py
     "cdc_constraints",
+    # default-value evolution (Iceberg v3 initial/write-default);
+    # extends in-window cdc_rename_evolution's epoch machinery — the
+    # epoch-miss read path it rides IS the in-window-verified one;
+    # full DuckDB oracle + in-query compact-neutrality assert in the
+    # tail gate, semantics pinned in tests/test_default_evolution.py
+    "cdc_default_evolution",
     # merge-on-read DML (equality-delete / deletion-vector analogue);
     # same oracle as in-tail cdc_delete_update — the storage strategy
     # must be invisible — plus in-query zero-rewrite/delta-only/fold

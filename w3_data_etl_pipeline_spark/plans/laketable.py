@@ -574,6 +574,100 @@ class LakeTable:
             f"drop_column lost the commit race {max_retries + 1} times"
         )
 
+    def add_column(
+        self,
+        name: str,
+        dtype: str,
+        initial_default=None,
+        write_default=None,
+        max_retries: int = 3,
+    ) -> int:
+        """Explicit ADD COLUMN with optional defaults (Iceberg spec-v3
+        ``initial-default`` / ``write-default``): a metadata-only
+        commit — no data file is touched.
+
+        * ``initial_default``: what rows written BEFORE the add read
+          for this column (instead of NULL). Sound because the add
+          bumps the schema epoch: pre-add files resolve through an
+          epoch map that lacks the new field id, and that miss now
+          yields the default. A re-add after ``drop_column`` gets a
+          fresh id, so EVERY older file is "pre-add" — dropped data
+          never resurrects through a default.
+        * ``write_default``: what a writer that does not supply the
+          column writes (instead of NULL) — full-image CDC semantics:
+          a batch lacking the column sets it to the write default on
+          the rows it touches, exactly like SQL ``INSERT`` with an
+          omitted DEFAULT column.
+
+        Defaults are JSON scalars (str/int/float/bool; dates and
+        timestamps as ISO strings — they are CAST to the declared
+        type at plan time) and are keyed by FIELD ID, so they survive
+        renames. Additive-by-merge evolution (a batch carrying a new
+        column) still works and still means NULL-filled history — use
+        this API when history should read a value instead."""
+        dt = T.DataType.fromDDL(dtype)  # needs the live session's parser
+        for v, which in ((initial_default, "initial"), (write_default, "write")):
+            if v is not None and not isinstance(v, (str, int, float, bool)):
+                raise ValueError(
+                    f"{which}_default must be a JSON scalar, got {type(v).__name__}"
+                )
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = self.schema(snap)
+            if name in schema.fieldNames() or name == LSN_COL:
+                raise ValueError(f"column {name!r} already exists")
+            self._ensure_field_meta(snap)
+            fid = snap["next_field_id"]
+            epoch = snap["schema_epoch"] + 1
+            fids = dict(snap["field_ids"])
+            fids[name] = fid
+            log = {k: dict(v) for k, v in snap["name_log"].items()}
+            log[str(epoch)] = {str(i): n for n, i in fids.items()}
+            defaults = {k: dict(v) for k, v in (snap.get("defaults") or {}).items()}
+            if initial_default is not None or write_default is not None:
+                defaults[str(fid)] = {
+                    "initial": initial_default,
+                    "write": write_default,
+                }
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="add-column",
+                schema=T.StructType(
+                    schema.fields + [T.StructField(name, dt, True)]
+                ).jsonValue(),
+                field_ids=fids,
+                next_field_id=fid + 1,
+                name_log=log,
+                schema_epoch=epoch,
+                defaults=defaults,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"add_column lost the commit race {max_retries + 1} times"
+        )
+
+    @staticmethod
+    def _default_value(snap: dict, col: str, which: str):
+        """``col``'s initial/write default scalar, or None. Field-id
+        keyed: a renamed column keeps its defaults."""
+        fid = (snap.get("field_ids") or {}).get(col)
+        d = (snap.get("defaults") or {}).get(str(fid)) if fid is not None else None
+        return d.get(which) if d else None
+
+    @classmethod
+    def _missing_col(cls, snap: dict, dt: T.DataType, col: str) -> F.Column:
+        """The value a writer that did not supply ``col`` writes: its
+        write-default when declared (cast to the declared type at plan
+        time — ISO date/timestamp strings included), else NULL."""
+        v = cls._default_value(snap, col, "write")
+        return F.lit(v).cast(dt)
+
     _EQ_INDEXABLE = ("string", "long", "integer", "short", "byte")
 
     def alter_skip_columns(self, cols: list[str], max_retries: int = 3) -> int:
@@ -806,8 +900,11 @@ class LakeTable:
                 fid = fids.get(f_.name)
                 old = emap.get(str(fid)) if fid is not None else None
                 if old is None:
-                    # column id didn't exist at this epoch
-                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+                    # column id didn't exist at this epoch: rows
+                    # predate the column -> its initial-default
+                    # (Iceberg v3 initial-default), else NULL
+                    iv = self._default_value(snap, f_.name, "initial")
+                    cols.append(F.lit(iv).cast(f_.dataType).alias(f_.name))
                     identity = False
                 else:
                     read_fields.append(T.StructField(old, f_.dataType, True))
@@ -2306,10 +2403,14 @@ class LakeTable:
                 F.col("op").alias(OP_COL),
                 F.col("_bucket"),
             )
-            # schema-missing value columns -> NULL so old+new files align
+            # batch-missing value columns -> write-default (else NULL)
+            # so old+new files align; full-image semantics: an omitted
+            # DEFAULT column is SET to its default on touched rows
             for c in value_cols:
                 if c not in delta.columns and c != OP_COL:
-                    delta = delta.withColumn(c, F.lit(None).cast(schema[c].dataType))
+                    delta = delta.withColumn(
+                        c, self._missing_col(snap, schema[c].dataType, c)
+                    )
             part = delta.repartition(n_part, "_bucket")
             delta_dd = self._first_per_key(
                 part, keys, [F.col(LSN_COL).desc_nulls_last()] + tie
@@ -2356,7 +2457,8 @@ class LakeTable:
                 (
                     F.col(c).cast(schema[c].dataType)
                     if c in deduped.columns
-                    else F.lit(None).cast(schema[c].dataType)
+                    # batch-missing column: write-default (else NULL)
+                    else self._missing_col(snap, schema[c].dataType, c)
                 ).alias(c)
                 for c in value_cols
             ],
@@ -3748,12 +3850,13 @@ class LakeTable:
                         iv = F.expr(sets[c]).cast(types[c])
                     elif sets is not None and c not in keys:
                         # explicit-values insert: unspecified non-key
-                        # columns are NULL (Delta whenNotMatchedInsert)
-                        iv = F.lit(None).cast(types[c])
+                        # columns take the write-default, else NULL
+                        # (Delta whenNotMatchedInsert + DEFAULT)
+                        iv = self._missing_col(snap, types[c], c)
                     elif c in s_cols:
                         iv = F.col(f"s.{c}").cast(types[c])
                     else:
-                        iv = F.lit(None).cast(types[c])
+                        iv = self._missing_col(snap, types[c], c)
                     e = F.when(hit, iv).otherwise(e)
             out_cols.append(e.alias(c))
         if lineage_on:

@@ -2100,3 +2100,86 @@ def cdc_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_default_evolution",
+    """
+    WITH src AS (
+      SELECT user_id, event_type, value, event_id AS lsn FROM events
+    ), s AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY lsn DESC) AS rn,
+             max(lsn) OVER (PARTITION BY user_id) AS mx
+      FROM src
+    )
+    SELECT user_id, event_type, value,
+           CASE WHEN mx <= (SELECT CAST(FLOOR(max(event_id) / 2) AS BIGINT)
+                            FROM events)
+                THEN 'legacy' ELSE 'standard' END AS tier
+    FROM s WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_default_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-value schema evolution (Iceberg spec-v3
+    ``initial-default`` / ``write-default``) on the oracle gate: the
+    first half of the stream is merged, ``tier`` is added with
+    initial-default 'legacy' + write-default 'standard' (metadata-only
+    — zero files rewritten), and the second half — which does NOT
+    carry the column — arrives as a MOR delta. Rows last touched
+    before the add therefore read the initial default, rows the
+    post-add batch touched read the write default (full-image
+    semantics: an omitted DEFAULT column is SET on touched rows), and
+    the closing compact must materialize both without changing a
+    value. At 100 TB this is what makes "backfill a new column to a
+    constant" a metadata commit instead of a table rewrite."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_default_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        mid = e.agg(F.floor(F.max("event_id") / 2)).collect()[0][0]
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid), 0)
+        table.add_column(
+            "tier", "string", initial_default="legacy", write_default="standard"
+        )
+        table.merge(ev.filter(F.col("lsn") > mid), 1, mode="mor")
+        pre = sorted(
+            map(tuple, table.read().select(
+                "user_id", "event_type", "value", "tier"
+            ).collect())
+        )
+        table.compact()  # must materialize the defaults value-neutrally
+        out_schema = T.StructType(
+            schema.fields + [T.StructField("tier", T.StringType())]
+        )
+        rows = table.read().select(
+            "user_id", "event_type", "value", "tier"
+        ).collect()
+        if sorted(map(tuple, rows)) != pre:
+            raise AssertionError("compaction changed default-evolved state")
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
