@@ -224,3 +224,41 @@ def test_carry_adds_no_exchange_or_sort(spark):
         ROWID_COL: F.when(F.col("_src") == 1, old).otherwise(F.col(ROWID_COL))
     }
     assert counts(None) == counts(carry)
+
+
+def test_change_feed_carries_row_ids(spark, table):
+    """Iceberg v3 changelog-scan shape: changes(include_row_ids=True)
+    names each changed row's permanent identity — updates keep it
+    (COW), inserts mint one, deletes carry the retired id; preimage
+    mode stamps the pre/post identity per exploded row."""
+    base = _lineage(table)
+    v1 = table.snapshot()["version"]
+    table.merge(
+        _ev(spark, [("r1", "a", "v2", 10, "U"), ("r3", "d", "v1", 11, "I"),
+                    ("r2", "c", None, 12, "D")]),
+        batch_id=2,
+    )
+    ch = {
+        (r.repo, r.path): (r._change_type, r._row_id)
+        for r in table.changes(v1, include_row_ids=True).collect()
+    }
+    assert ch[("r1", "a")] == ("update", base[("r1", "a")][0])
+    assert ch[("r2", "c")] == ("delete", base[("r2", "c")][0])
+    ct, rid = ch[("r3", "d")]
+    assert ct == "insert" and rid not in {v[0] for v in base.values()}
+
+    pre = {
+        (r.repo, r.path, r._change_type): r._row_id
+        for r in table.changes(
+            v1, include_preimage=True, include_row_ids=True
+        ).collect()
+    }
+    k = ("r1", "a")
+    assert pre[k + ("update_preimage",)] == pre[k + ("update_postimage",)]
+
+    # without lineage enabled the flag refuses (no silent NULL column)
+    with pytest.raises(ValueError, match="row lineage"):
+        t2 = LakeTable.create(
+            spark, str(table.root) + "_nolin", SCHEMA, ["repo", "path"]
+        )
+        t2.changes(0, include_row_ids=True)

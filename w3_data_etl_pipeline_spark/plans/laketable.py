@@ -1486,6 +1486,7 @@ class LakeTable:
         from_version: int,
         to_version: int | None = None,
         include_preimage: bool = False,
+        include_row_ids: bool = False,
     ) -> DataFrame:
         """Change-data-feed between two snapshots (Iceberg/Delta CDF
         analogue): one row per key whose stored state differs, with
@@ -1502,7 +1503,15 @@ class LakeTable:
         microbatch that touched k of 4096 buckets diffs k/4096 of the
         table, and the per-key compare is a key-equi full-outer join
         of two identically-bucketed sides (AQE plans it; both inputs
-        are pre-hashed subsets, never the whole table)."""
+        are pre-hashed subsets, never the whole table).
+
+        ``include_row_ids`` (requires the table's ``row_lineage``
+        flag) adds ``_row_id`` — the Iceberg v3 changelog-scan shape:
+        deletes carry the retired id, inserts the new one, updates the
+        surviving identity (post-image side; on a COW table that
+        equals the pre-image id — the MOR fast path re-identifies, see
+        ROWID_COL). Identity rides OUTSIDE the value compare, so a
+        MOR-refreshed id alone never fabricates an 'update' row."""
         # pin 'current' ONCE: resolving it separately for snapshot() and
         # changed_buckets() lets a commit land in between, making the
         # bucket-prune set disagree with snap_b and silently mis-diff
@@ -1511,6 +1520,11 @@ class LakeTable:
         snap_a = self.snapshot(from_version)
         snap_b = self.snapshot(to_version)
         keys = snap_b["key_cols"]
+        if include_row_ids and not snap_b.get("row_lineage"):
+            raise ValueError(
+                "include_row_ids requires row lineage "
+                "(LakeTable.enable_row_lineage / create(row_lineage=True))"
+            )
         changed = self.changed_buckets(from_version, to_version)
         phys = self._phys_schema(snap_b)  # widened schema reads both sides
         value_cols = [
@@ -1524,19 +1538,35 @@ class LakeTable:
             # field-id meta from snap_b: name_log is append-only, so it
             # resolves snap_a-era epochs too — the feed sees ONE
             # continuous column across a rename boundary
-            df = self._read_entries(files, snap_b, phys, with_seq=has_delta)
+            df = self._read_entries(
+                files, snap_b, phys,
+                with_seq=has_delta, with_lineage=include_row_ids,
+            )
             if has_delta:
                 df = self._resolve(df, snap)
             else:
                 df = df.filter(F.col(OP_COL).isNull() | (F.col(OP_COL) != "D"))
-            return df.select(*keys, F.struct(*value_cols).alias("_vals"))
+            # identity stays OUTSIDE the compared struct: a MOR-
+            # refreshed _row_id must not read as a value change
+            rid = [F.col(ROWID_COL).alias("_rid")] if include_row_ids else []
+            return df.select(*keys, F.struct(*value_cols).alias("_vals"), *rid)
 
         a = _side(snap_a).withColumnRenamed("_vals", "_old")
         b = _side(snap_b).withColumnRenamed("_vals", "_new")
+        if include_row_ids:
+            a = a.withColumnRenamed("_rid", "_rid_old")
+            b = b.withColumnRenamed("_rid", "_rid_new")
         j = a.join(b, on=keys, how="full_outer").filter(
             F.col("_old").isNull()
             | F.col("_new").isNull()
             | ~F.col("_old").eqNullSafe(F.col("_new"))
+        )
+        rid_out = (
+            # post-image identity when the row survives, the retired
+            # id on a delete (Iceberg v3 changelog-scan convention)
+            [F.coalesce(F.col("_rid_new"), F.col("_rid_old")).alias(ROWID_COL)]
+            if include_row_ids
+            else []
         )
         if not include_preimage:
             img = F.when(F.col("_new").isNull(), F.col("_old")).otherwise(F.col("_new"))
@@ -1549,17 +1579,23 @@ class LakeTable:
                 *keys,
                 *[img.getField(c).alias(c) for c in value_cols],
                 "_change_type",
+                *rid_out,
             )
-        row = lambda ct, img: F.struct(  # noqa: E731
-            F.lit(ct).alias("_change_type"), img.alias("_img")
+        _no_rid = F.lit(None).cast("long")
+        row = lambda ct, img, rid=_no_rid: F.struct(  # noqa: E731
+            F.lit(ct).alias("_change_type"), img.alias("_img"), rid.alias("_rid")
         )
+        ro = F.col("_rid_old") if include_row_ids else _no_rid
+        rn = F.col("_rid_new") if include_row_ids else _no_rid
         rows = (
-            F.when(F.col("_old").isNull(), F.array(row("insert", F.col("_new"))))
-            .when(F.col("_new").isNull(), F.array(row("delete", F.col("_old"))))
+            F.when(F.col("_old").isNull(), F.array(row("insert", F.col("_new"), rn)))
+            .when(F.col("_new").isNull(), F.array(row("delete", F.col("_old"), ro)))
             .otherwise(
                 F.array(
-                    row("update_preimage", F.col("_old")),
-                    row("update_postimage", F.col("_new")),
+                    # pre-image keeps its pre-change identity,
+                    # post-image the surviving one (equal on COW)
+                    row("update_preimage", F.col("_old"), ro),
+                    row("update_postimage", F.col("_new"), rn),
                 )
             )
         )
@@ -1568,6 +1604,7 @@ class LakeTable:
             *keys,
             *[F.col("_r._img").getField(c).alias(c) for c in value_cols],
             F.col("_r._change_type").alias("_change_type"),
+            *([F.col("_r._rid").alias(ROWID_COL)] if include_row_ids else []),
         )
 
     def lineage(self) -> DataFrame:
