@@ -127,3 +127,54 @@ def test_time_travel_and_validation(spark, table):
         table.add_column("tier", "string")
     with pytest.raises(ValueError, match="JSON scalar"):
         table.add_column("bad", "string", initial_default=object())
+
+
+def test_alter_write_default_set_and_drop(spark, table):
+    table.add_column("tier", "string", initial_default="legacy",
+                     write_default="standard")
+    table.alter_column_default("tier", write_default="v2")
+    table.merge(_ev(spark, [(3, "c", 11, "I")]), 2)
+    assert _col(table, "tier") == {1: "legacy", 2: "legacy", 3: "v2"}
+    table.alter_column_default("tier", write_default=None)  # DROP DEFAULT
+    table.merge(_ev(spark, [(4, "d", 12, "I")]), 3)
+    got = _col(table, "tier")
+    assert got[4] is None and got[1] == "legacy"  # initial survives the drop
+    with pytest.raises(ValueError, match="no such column"):
+        table.alter_column_default("nope", write_default="x")
+
+
+def test_alter_column_type_widening(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("x", T.FloatType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "tw"), schema, ["k"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(1, 7, 1.5, 1, "I")], "k long, n int, x float, lsn long, op string"
+        ),
+        1,
+    )
+    files_before = {f["path"] for f in t.snapshot()["files"]}
+    t.alter_column_type("n", "long")
+    t.alter_column_type("x", "double")
+    assert {f["path"] for f in t.snapshot()["files"]} == files_before  # metadata-only
+    row = t.read().collect()[0]
+    assert (row.n, row.x) == (7, 1.5)
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    # narrow batch into the widened column still lands wide
+    t.merge(
+        spark.createDataFrame(
+            [(2, 9, 2.5, 2, "I")], "k long, n int, x float, lsn long, op string"
+        ),
+        2,
+    )
+    assert {r.k: r.n for r in t.read().collect()} == {1: 7, 2: 9}
+    with pytest.raises(ValueError, match="unsafe type change"):
+        t.alter_column_type("n", "int")  # narrowing refused
+    with pytest.raises(ValueError, match="bucketing key"):
+        t.alter_column_type("k", "string")
+    assert t.alter_column_type("n", "long") == t.snapshot()["version"]  # no-op

@@ -652,6 +652,92 @@ class LakeTable:
             f"add_column lost the commit race {max_retries + 1} times"
         )
 
+    def alter_column_default(
+        self, name: str, write_default=None, max_retries: int = 3
+    ) -> int:
+        """SET / DROP the column's WRITE default (SQL ``ALTER COLUMN
+        ... SET DEFAULT`` / ``DROP DEFAULT``): affects only rows
+        written AFTER this commit by writers that omit the column.
+        The initial-default is immutable (Iceberg v3: it describes
+        already-written history — changing it would silently rewrite
+        what old files mean). ``write_default=None`` drops it."""
+        if write_default is not None and not isinstance(
+            write_default, (str, int, float, bool)
+        ):
+            raise ValueError(
+                f"write_default must be a JSON scalar, got {type(write_default).__name__}"
+            )
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            if name not in self.schema(snap).fieldNames() or name == LSN_COL:
+                raise ValueError(f"no such column {name!r}")
+            self._ensure_field_meta(snap)
+            fid = str(snap["field_ids"][name])
+            defaults = {k: dict(v) for k, v in (snap.get("defaults") or {}).items()}
+            d = defaults.setdefault(fid, {"initial": None, "write": None})
+            d["write"] = write_default
+            if d["initial"] is None and d["write"] is None:
+                del defaults[fid]
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="alter-column-default",
+                defaults=defaults,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"alter_column_default lost the commit race {max_retries + 1} times"
+        )
+
+    def alter_column_type(self, name: str, dtype: str, max_retries: int = 3) -> int:
+        """Explicit safe type widening (``ALTER COLUMN ... TYPE``):
+        metadata-only, same promotion set as merge-time widening
+        (int->long, float->double — old files read through the wide
+        schema). Key columns never promote: xxhash64 hashes int and
+        long differently, so a key widening would silently re-bucket
+        the table (same protection as ``_unify_schema``)."""
+        dt = T.DataType.fromDDL(dtype)
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = self.schema(snap)
+            if name not in schema.fieldNames() or name == LSN_COL:
+                raise ValueError(f"no such column {name!r}")
+            if name in snap["key_cols"]:
+                raise ValueError(f"cannot widen bucketing key column {name!r}")
+            cur = schema[name].dataType
+            if cur.typeName() == dt.typeName():
+                return snap["version"]  # idempotent no-op
+            if (cur.typeName(), dt.typeName()) not in self._PROMOTIONS:
+                raise ValueError(
+                    f"unsafe type change {cur.typeName()} -> {dt.typeName()} "
+                    f"(allowed: {sorted(self._PROMOTIONS)})"
+                )
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="alter-column-type",
+                schema=T.StructType(
+                    [
+                        T.StructField(name, dt, True) if f_.name == name else f_
+                        for f_ in schema.fields
+                    ]
+                ).jsonValue(),
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"alter_column_type lost the commit race {max_retries + 1} times"
+        )
+
     @staticmethod
     def _default_value(snap: dict, col: str, which: str):
         """``col``'s initial/write default scalar, or None. Field-id
