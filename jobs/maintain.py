@@ -180,6 +180,39 @@ def main(argv: list[str] | None = None) -> int:
     sk.add_argument("--cols", default="",
                     help="comma-separated column names; empty stops indexing")
 
+    acol = sub.add_parser("add-column",
+                          help="metadata-only ADD COLUMN with optional "
+                               "initial-default (what history reads) and "
+                               "write-default (what omitting writers write)")
+    acol.add_argument("name")
+    acol.add_argument("type", help="Spark DDL type, e.g. string, long, date")
+    acol.add_argument("--initial-default", default=None)
+    acol.add_argument("--write-default", default=None)
+
+    rc = sub.add_parser("rename-column",
+                        help="history-safe metadata-only rename (field-id "
+                             "resolved; old files keep the physical name)")
+    rc.add_argument("old")
+    rc.add_argument("new")
+
+    dcol = sub.add_parser("drop-column",
+                          help="history-safe metadata-only drop (a re-add "
+                               "gets a fresh id; data never resurrects)")
+    dcol.add_argument("name")
+
+    sd = sub.add_parser("set-default",
+                        help="SET/DROP the column's write-default "
+                             "(initial-default is immutable)")
+    sd.add_argument("name")
+    sd.add_argument("--write-default", default=None,
+                    help="omit to DROP DEFAULT")
+
+    wc = sub.add_parser("widen",
+                        help="explicit safe type widening (int->long, "
+                             "float->double), metadata-only")
+    wc.add_argument("name")
+    wc.add_argument("type")
+
     args = p.parse_args(argv)
     spark = get_spark("lake_maintain", master=SparkConf().get("spark.master", None))
     try:
@@ -273,6 +306,28 @@ def main(argv: list[str] | None = None) -> int:
             cols = [c for c in args.cols.split(",") if c]
             v = t.alter_skip_columns(cols)
             out = {"verb": "skip-columns", "cols": cols, "version": v}
+        elif args.verb == "add-column":
+            v = t.add_column(args.name, args.type,
+                             initial_default=args.initial_default,
+                             write_default=args.write_default)
+            out = {"verb": "add-column", "name": args.name,
+                   "type": args.type, "version": v}
+        elif args.verb == "rename-column":
+            v = t.rename_column(args.old, args.new)
+            out = {"verb": "rename-column", "old": args.old,
+                   "new": args.new, "version": v}
+        elif args.verb == "drop-column":
+            v = t.drop_column(args.name)
+            out = {"verb": "drop-column", "name": args.name, "version": v}
+        elif args.verb == "set-default":
+            v = t.alter_column_default(args.name,
+                                       write_default=args.write_default)
+            out = {"verb": "set-default", "name": args.name,
+                   "write_default": args.write_default, "version": v}
+        elif args.verb == "widen":
+            v = t.alter_column_type(args.name, args.type)
+            out = {"verb": "widen", "name": args.name,
+                   "type": args.type, "version": v}
         else:
             after = t.rebucket(args.n_buckets)
             out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}

@@ -141,3 +141,42 @@ def test_branch_and_partitions_verbs(spark, tmp_path):
               "--set", "lang=concat(lang, '-x')")
     assert up["applied"] is True and up["rows_changed"] > 0
     assert t.read().filter("lang NOT LIKE '%-x'").count() == 0
+
+
+def test_ddl_verbs(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "lake"), schema, ["k"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", 7, 1, "I")], "k long, v string, n int, lsn long, op string"
+        ),
+        1,
+    )
+
+    a = _run("--table", t.root, "add-column", "tier", "string",
+             "--initial-default", "legacy", "--write-default", "standard")
+    assert a["verb"] == "add-column" and a["version"] == a["previous_version"] + 1
+    r = _run("--table", t.root, "rename-column", "tier", "level")
+    assert r["version"] == r["previous_version"] + 1
+    s = _run("--table", t.root, "set-default", "level",
+             "--write-default", "v2")
+    assert s["version"] == s["previous_version"] + 1
+    w = _run("--table", t.root, "widen", "n", "long")
+    assert w["version"] == w["previous_version"] + 1
+    d = _run("--table", t.root, "drop-column", "level")
+    assert d["version"] == d["previous_version"] + 1
+
+    # the DDL chain's net effect, read back in-process
+    row = t.read().collect()[0]
+    assert row.n == 7 and "level" not in t.read().columns
+    assert dict(t.read().dtypes)["n"] == "bigint"
