@@ -262,3 +262,32 @@ def test_change_feed_carries_row_ids(spark, table):
             spark, str(table.root) + "_nolin", SCHEMA, ["repo", "path"]
         )
         t2.changes(0, include_row_ids=True)
+
+
+def test_wap_staged_publish_preserves_identity(spark, table):
+    """WAP + lineage: staged file entries carry NO first_row_id — ids
+    are assigned only at publish's commit choke point from the winning
+    main lineage, so an abandoned stage burns nothing and a published
+    COW stage keeps the carried identities (the bucket-conflict check
+    guarantees the materialized carries are still current)."""
+    base = _lineage(table)
+    n0 = table.snapshot()["next_row_id"]
+
+    st = table.merge(
+        _ev(spark, [("r1", "a", "v2", 10, "U"), ("r7", "w", "v1", 11, "I")]),
+        batch_id=2, stage_id="aud",
+    )
+    assert st.applied is False
+    # staging assigned nothing: no snapshot, no ids burned
+    assert table.snapshot()["next_row_id"] == n0
+    assert all(
+        "first_row_id" not in f
+        for f in table._load_staged("aud")["new_files"]
+    )
+
+    table.publish("aud")
+    after = _lineage(table)
+    assert after[("r1", "a")][0] == base[("r1", "a")][0]  # carry survived WAP
+    assert after[("r1", "b")] == base[("r1", "b")]
+    assert after[("r7", "w")][0] >= n0  # fresh range minted at publish
+    assert table.snapshot()["next_row_id"] > n0
