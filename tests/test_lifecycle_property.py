@@ -1,0 +1,195 @@
+"""Randomized lifecycle property test: a seeded random interleaving of
+merge (COW + MOR), row-level DML, schema DDL (add with defaults /
+rename / drop), compact, and rebucket runs against BOTH the engine and
+a ~100-line single-threaded Python model; after EVERY operation the
+full resolved table state — values, row identity (``_row_id``
+stability, not raw values), and ``_last_seq`` — must match the model.
+
+This is the interaction net under the targeted suites: each feature is
+pinned by its own tests, but bugs live where features compose (a
+write-default materialized by a compact, a rename crossing a MOR
+delta, an identity carried through a bucket rewrite of a defaulted
+column). Determinism: fixed seeds, strictly increasing LSNs, and
+identity compared as *stability* because raw ids are file-order
+dependent.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+KEYS = list(range(14))
+N_OPS = 24
+
+
+class Model:
+    """Single-threaded oracle mirroring LakeTable's documented
+    semantics (LWW by strictly-increasing LSN, full-image upserts,
+    write-defaults for omitted columns, initial-defaults for history,
+    fresh identity on MOR images and re-inserts)."""
+
+    def __init__(self):
+        self.cols: dict[str, dict] = {"v": {"write": None}}  # name -> defaults
+        self.rows: dict[int, dict] = {}       # key -> {col: value}
+        self.ident: dict[int, int] = {}       # key -> logical identity token
+        self.last: dict[int, int] = {}        # key -> last-changing commit
+        self._next_tok = 0
+
+    def _tok(self):
+        self._next_tok += 1
+        return self._next_tok
+
+    def upsert(self, k, values: dict, v: int, fresh_identity: bool):
+        row = {}
+        for c, d in self.cols.items():
+            row[c] = values[c] if c in values else d.get("write")
+        self.rows[k] = row
+        if fresh_identity or k not in self.ident:
+            self.ident[k] = self._tok()
+        self.last[k] = v
+
+    def delete(self, k):
+        self.rows.pop(k, None)
+        self.ident.pop(k, None)
+        self.last.pop(k, None)
+
+    def dml_update(self, k, col, val, v: int):
+        if k in self.rows and col in self.cols:
+            self.rows[k][col] = val
+            self.last[k] = v
+
+    def add_column(self, name, initial, write):
+        self.cols[name] = {"write": write}
+        for row in self.rows.values():
+            row[name] = initial
+
+    def rename(self, old, new):
+        self.cols[new] = self.cols.pop(old)
+        for row in self.rows.values():
+            row[new] = row.pop(old)
+
+    def drop(self, name):
+        del self.cols[name]
+        for row in self.rows.values():
+            row.pop(name, None)
+
+
+def _check(t, model, prev_ids, step):
+    got = {
+        r.k: r.asDict()
+        for r in t.read(include_lineage=True).collect()
+    }
+    assert set(got) == set(model.rows), f"step {step}: keyset diverged"
+    for k, row in model.rows.items():
+        g = got[k]
+        for c, want in row.items():
+            assert g[c] == want, (
+                f"step {step}: key {k} col {c}: engine {g[c]!r} != model {want!r}"
+            )
+        assert g["_last_seq"] == model.last[k], (
+            f"step {step}: key {k} _last_seq {g['_last_seq']} != {model.last[k]}"
+        )
+    # identity STABILITY: engine id changed since the last check iff
+    # the model's logical token changed (raw ids are file-order noise)
+    for k in got:
+        if k in prev_ids:
+            prev_eid, prev_tok = prev_ids[k]
+            if model.ident[k] == prev_tok:
+                assert got[k]["_row_id"] == prev_eid, (
+                    f"step {step}: key {k} identity drifted on a carry"
+                )
+            else:
+                assert got[k]["_row_id"] != prev_eid, (
+                    f"step {step}: key {k} kept its id across a re-identify"
+                )
+    # and ids are globally unique
+    ids = [g["_row_id"] for g in got.values()]
+    assert len(ids) == len(set(ids)), f"step {step}: duplicate row ids"
+    return {k: (got[k]["_row_id"], model.ident[k]) for k in got}
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_random_lifecycle_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / f"t{seed}"), schema, ["k"], n_buckets=4,
+        row_lineage=True,
+    )
+    model = Model()
+    lsn = 0
+    n_added = 0
+    prev_ids: dict = {}
+
+    def merge_batch(mode):
+        nonlocal lsn
+        ks = rng.sample(KEYS, rng.randint(1, 5))
+        cols = list(model.cols)
+        supplied = rng.sample(cols, rng.randint(0, len(cols)))
+        rows, acts = [], []
+        for k in ks:
+            lsn += 1
+            if rng.random() < 0.2 and k in model.rows:
+                rows.append((k, *[None] * len(supplied), lsn, "D"))
+                acts.append(("D", k, {}))
+            else:
+                vals = {c: f"{c}={k}@{lsn}" for c in supplied}
+                rows.append((k, *[vals[c] for c in supplied], lsn, "I"))
+                acts.append(("U", k, vals))
+        ddl = "k long, " + "".join(f"`{c}` string, " for c in supplied) + \
+              "lsn long, op string"
+        t.merge(spark.createDataFrame(rows, ddl), batch_id=1000 + lsn, mode=mode)
+        v = t.current_version()
+        for op, k, vals in acts:
+            if op == "D":
+                model.delete(k)
+            else:
+                model.upsert(k, vals, v, fresh_identity=(mode == "mor"))
+
+    merge_batch("cow")  # non-empty start
+    for step in range(N_OPS):
+        op = rng.choice(
+            ["cow", "cow", "mor", "dml", "compact", "add", "rename", "drop",
+             "rebucket"]
+        )
+        if op in ("cow", "mor"):
+            merge_batch(op)
+        elif op == "dml" and model.rows:
+            k = rng.choice(sorted(model.rows))
+            col = rng.choice(list(model.cols))
+            t.update_where(f"k = {k}", {col: f"'dml@{step}'"},
+                           mode=rng.choice(["cow", "mor"]))
+            model.dml_update(k, col, f"dml@{step}", t.current_version())
+        elif op == "compact":
+            t.compact(min_deltas=1, min_delta_rows=1)
+        elif op == "add":
+            n_added += 1
+            name = f"c{n_added}"
+            initial = rng.choice([None, f"init{n_added}"])
+            write = rng.choice([None, f"wd{n_added}"])
+            t.add_column(name, "string", initial_default=initial,
+                         write_default=write)
+            model.add_column(name, initial, write)
+        elif op == "rename":
+            cands = [c for c in model.cols if c != "v"]
+            if cands:
+                old = rng.choice(cands)
+                n_added += 1
+                t.rename_column(old, f"c{n_added}")
+                model.rename(old, f"c{n_added}")
+        elif op == "drop":
+            cands = [c for c in model.cols if c != "v"]
+            if cands:
+                c = rng.choice(cands)
+                t.drop_column(c)
+                model.drop(c)
+        elif op == "rebucket":
+            t.rebucket(rng.choice([3, 5, 8]))
+        prev_ids = _check(t, model, prev_ids, step)
