@@ -105,3 +105,43 @@ def test_duplicate_batch_id_race_applies_once(spark, tmp_path):
         {lsn % N_KEYS for lsn in range(1, 31) if lsn % 11 != 0}
     )
     assert t.merge(_events(spark, 1, 1), batch_id=77).applied is False
+
+
+def test_concurrent_writers_never_collide_row_ids(spark, tmp_path):
+    """Row-id ranges are claimed inside `_write_snapshot` — the same
+    exclusive-create commit that orders the writers — so a loser's
+    rebase re-reads the winner's next_row_id and two racing commits
+    can never hand out overlapping ranges."""
+    root = str(tmp_path / "t3")
+    LakeTable.create(spark, root, SCHEMA, ["k"], n_buckets=4, row_lineage=True)
+    errs: list = []
+
+    def writer(wid: int):
+        try:
+            t = LakeTable(spark, root)
+            for i in range(3):
+                lo = (wid * 3 + i) * PER_BATCH + 1
+                t.merge(_events(spark, lo, PER_BATCH),
+                        batch_id=wid * 100 + i, mode="mor")
+        except Exception as e:  # noqa: BLE001
+            errs.append((wid, repr(e)))
+
+    th = [threading.Thread(target=writer, args=(w,)) for w in (0, 1)]
+    [x.start() for x in th]
+    [x.join(timeout=600) for x in th]
+    assert not errs, errs
+
+    t = LakeTable(spark, root)
+    snap = t.snapshot()
+    # claimed manifest ranges are disjoint and within next_row_id
+    spans = sorted(
+        (f["first_row_id"], f["first_row_id"] + f["rows"])
+        for f in snap["files"]
+        if "first_row_id" in f and f.get("rows") is not None
+    )
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0, f"overlapping id ranges {a0, a1} vs {b0, b1}"
+    assert spans[-1][1] <= snap["next_row_id"]
+    # ... and the resolved read agrees
+    df = t.read(include_lineage=True)
+    assert df.count() == df.select("_row_id").distinct().count()
