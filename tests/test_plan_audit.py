@@ -233,3 +233,32 @@ def test_read_keys_pushes_key_filters_to_scan(spark, tmp_path):
     scan = p.split("PushedFilters: [", 1)
     assert len(scan) > 1 and "repo" in scan[1].split("]", 1)[0]
     assert {(r["repo"], r["path"]) for r in df.collect()} == set(keys)
+
+
+def test_lineage_read_broadcasts_the_inheritance_map(spark, tmp_path):
+    """Row-lineage reads resolve inherited ids with ONE broadcast
+    O(manifest) map join on an equi-key (the path's last 3 segments)
+    — never a sort-merge join (the map is metadata-sized) and never a
+    nested loop (a LIKE-shaped condition would plan one), and the
+    probe side gains no extra shuffle."""
+    from pyspark.sql import types as T
+
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "lin"),
+        T.StructType([T.StructField("k", T.LongType()),
+                      T.StructField("v", T.StringType())]),
+        ["k"], n_buckets=4, row_lineage=True,
+    )
+    t.merge(
+        spark.createDataFrame([(1, "a", 1, "I"), (2, "b", 2, "I")],
+                              "k long, v string, lsn long, op string"),
+        1,
+    )
+    p = _plan(t.read(include_lineage=True))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # exactly the join's broadcast exchange moves data for lineage
+    assert p.count("Exchange") == p.count("BroadcastExchange")
