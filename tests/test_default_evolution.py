@@ -178,3 +178,27 @@ def test_alter_column_type_widening(spark, tmp_path):
     with pytest.raises(ValueError, match="bucketing key"):
         t.alter_column_type("k", "string")
     assert t.alter_column_type("n", "long") == t.snapshot()["version"]  # no-op
+
+
+def test_patch_hydration_respects_write_default(spark, table):
+    """A full-image I/U row inside a PATCH batch that omits a
+    defaulted column must behave exactly like the same row sent
+    straight to merge() (write-default), while a 'P' row's missing
+    column still means 'keep the stored value'."""
+    table.add_column("tier", "string", write_default="standard")
+    table.merge(
+        _ev(spark, [(1, "a1", 5, "U", "gold")],
+            "k long, v string, lsn long, op string, tier string"),
+        2,
+    )
+    # patch batch WITHOUT the tier column: U on k=1 (full image ->
+    # write default), P on k=2 (keep stored, i.e. NULL from pre-add)
+    batch = spark.createDataFrame(
+        [(1, "a2", 10, "U"), (2, "b2", 11, "P")],
+        "k long, v string, lsn long, op string",
+    )
+    hydrated = table.hydrate_patches(batch)
+    table.merge(hydrated, 3)
+    got = {r.k: (r.v, r.tier) for r in table.read().collect()}
+    assert got[1] == ("a2", "standard")  # full image reset to default
+    assert got[2] == ("b2", None)        # patch kept the stored value

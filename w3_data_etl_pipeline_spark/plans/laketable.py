@@ -4103,7 +4103,15 @@ class LakeTable:
                 (
                     F.col(c).cast(schema[c].dataType)
                     if c in ev.columns
-                    else F.lit(None).cast(schema[c].dataType)
+                    # batch-missing column: a 'P' row reads it as NULL
+                    # (= keep the stored value — the patch contract);
+                    # a full-image I/U row takes the WRITE DEFAULT,
+                    # exactly as the same row sent straight to merge()
+                    # would (else NULL)
+                    else F.when(
+                        F.col("op") == "P",
+                        F.lit(None).cast(schema[c].dataType),
+                    ).otherwise(self._missing_col(snap, schema[c].dataType, c))
                 ).alias(c)
                 for c in value_cols
             ],
