@@ -168,7 +168,11 @@ def test_random_lifecycle_matches_model(spark, tmp_path, seed):
                            mode=rng.choice(["cow", "mor"]))
             model.dml_update(k, col, f"dml@{step}", t.current_version())
         elif op == "compact":
-            t.compact(min_deltas=1, min_delta_rows=1)
+            # sometimes a clustered/z-ordered rewrite: materialized
+            # lineage must survive arbitrary row reordering
+            cluster = rng.choice([None, ["v"]])
+            t.compact(min_deltas=1, min_delta_rows=1, cluster_by=cluster,
+                      zorder=bool(cluster) and rng.random() < 0.5)
         elif op == "add":
             n_added += 1
             name = f"c{n_added}"
