@@ -291,3 +291,52 @@ def test_wap_staged_publish_preserves_identity(spark, table):
     assert after[("r1", "b")] == base[("r1", "b")]
     assert after[("r7", "w")][0] >= n0  # fresh range minted at publish
     assert table.snapshot()["next_row_id"] > n0
+
+
+def test_streaming_kill_resume_keeps_ids_unique(spark, tmp_path):
+    """The north-rule streaming path over a lineage table: WAL-tail
+    stream, crash, resume from the same checkpoint. MOR images
+    re-identify (documented boundary), so the streaming invariants are
+    id UNIQUENESS across every commit including the replayed window,
+    plus monotone next_row_id."""
+    import glob
+    import os
+    import shutil
+
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.schemas import CHANGE_EVENTS, SOURCE_FILES
+    from w3_data_etl_pipeline_spark.streaming.cdc import run_stream
+
+    events = datagen.change_events(spark, 600, 120)
+    wal = tmp_path / "wal"
+    os.makedirs(wal)
+
+    def land(i, lo, hi):
+        staging = str(tmp_path / f"stage{i}")
+        events.filter(
+            (events.lsn >= lo) & (events.lsn <= hi)
+        ).coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.move(part, str(wal / f"seg{i}.parquet"))
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SOURCE_FILES, ["repo", "path"],
+        n_buckets=8, row_lineage=True,
+    )
+    t.overwrite(datagen.source_snapshot(spark, 80), lsn=datagen.GENESIS_LSN)
+    ckpt = str(tmp_path / "ckpt")
+
+    land(0, 1, 300)
+    run_stream(spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False,
+               salt_partitions=4)
+    n_mid = t.snapshot()["next_row_id"]
+    land(1, 301, 600)
+    run_stream(spark, t, str(wal), ckpt, CHANGE_EVENTS, enrich=False,
+               salt_partitions=4)
+
+    assert t.snapshot()["next_row_id"] > n_mid
+    df = t.read(include_lineage=True)
+    n = df.count()
+    assert n > 0
+    assert df.select("_row_id").distinct().count() == n
+    assert df.filter("_row_id IS NULL OR _last_seq IS NULL").count() == 0
