@@ -127,6 +127,13 @@ _DEMOTED_TAIL = [
     # full DuckDB oracle + in-query compact-neutrality assert in the
     # tail gate, semantics pinned in tests/test_default_evolution.py
     "cdc_default_evolution",
+    # runtime join-key file pruning (DPP / Iceberg runtime-filter
+    # analogue, LakeTable.read_semi); full DuckDB oracle + in-query
+    # bucket/file-skip asserts in the tail gate; pruning exactness,
+    # MOR resolution under pruning, type-cast hazard, probe-limit
+    # fallback and equality-index refinement pytest-pinned in
+    # tests/test_read_semi.py (window frozen per r3 advice item 5)
+    "cdc_join_prune",
     # merge-on-read DML (equality-delete / deletion-vector analogue);
     # same oracle as in-tail cdc_delete_update — the storage strategy
     # must be invisible — plus in-query zero-rewrite/delta-only/fold

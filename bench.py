@@ -69,6 +69,8 @@ EXTENDED = [
     # round 4 tail: row-level DML + generic MERGE INTO
     "cdc_delete_update",
     "cdc_merge_into",
+    # round 4 late: runtime join-key file pruning (DPP analogue)
+    "cdc_join_prune",
 ]
 
 

@@ -1176,6 +1176,152 @@ class LakeTable:
         df = df.drop(LSN_COL, OP_COL)
         return df.join(F.broadcast(lookup), key_cols, "left_semi")
 
+    def _semi_prune(
+        self, keys: DataFrame, snap: dict, probe_limit: int
+    ) -> tuple[list[dict], list, bool, set[int], int]:
+        """Shared pruning core for ``read_semi`` / ``explain_semi_skipping``.
+
+        ``keys`` must already be projected to the table's key columns
+        with the table's key TYPES (a mistyped literal would xxhash64
+        to a different bucket and silently prune the right one — same
+        hazard ``read_keys`` guards against). Two stages:
+
+        1. BUCKET pruning (always): hash the distinct keys to bucket
+           ids — one tiny Spark job whose driver-side result is at
+           most ``n_buckets`` ints — and keep only those buckets'
+           files. Exact, never over-prunes: a key lives in exactly
+           one bucket, and keeping the bucket keeps EVERY version of
+           the key, so MOR last-writer-wins resolution is untouched.
+        2. FILE refinement (only when the distinct key set fits
+           ``probe_limit``): evaluate a per-column OR-of-equalities
+           tree through ``prune_files`` so the surviving buckets'
+           files are additionally admitted by key min/max bounds and
+           the equality index (exact set / bloom) when one exists on
+           the key columns. The tree is a per-column SUPERSET of the
+           requested tuples, and a file holding ANY row of a wanted
+           key always admits that key's value — so no version of a
+           wanted key is ever dropped (prune_files' delta-bucket
+           exemption additionally keeps MOR buckets whole).
+
+        Returns (files, sampled_keys, small, want_buckets,
+        bucket_stage_file_count)."""
+        from .predicate import And, Or, Pred
+
+        key_cols = snap["key_cols"]
+        n = snap["n_buckets"]
+        sample = keys.limit(probe_limit + 1).collect()
+        small = 0 < len(sample) <= probe_limit
+        want = {
+            r["b"]
+            for r in keys.select(
+                F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        files = [f for f in snap["files"] if f["bucket"] in want]
+        bucket_stage = len(files)
+        if small:
+            tree = And(
+                [
+                    Or([Pred(c, "=", v) for v in {r[c] for r in sample}])
+                    for c in key_cols
+                ]
+            )
+            files = self.prune_files(dict(snap, files=files), tree)
+        return files, sample, small, want, bucket_stage
+
+    def read_semi(
+        self, keys_df: DataFrame, version: int | None = None, probe_limit: int = 1024
+    ) -> DataFrame:
+        """Runtime join-key file pruning — the dynamic-partition-pruning
+        / Iceberg runtime-filtering analogue for LakeTable scans. Given
+        a (typically small, already-filtered) DataFrame carrying the
+        table's key columns — e.g. the filtered dimension side of a
+        star join — return exactly this table's current rows for those
+        keys while opening only the files that can hold them: bucket
+        pruning always (≤ keys/n_buckets of the table), plus per-file
+        key-bounds + equality-index refinement when the distinct key
+        set fits ``probe_limit`` (see ``_semi_prune``). At 100 TB this
+        is the difference between a dim-filtered join scanning every
+        live fact file and scanning O(matching buckets): Spark's own
+        DPP needs a partitioned catalog source, so the manifest layer
+        supplies it here. Result ≡ ``read().join(keys, key_cols,
+        "left_semi")`` regardless of how selective the pruning was —
+        the closing semi join is the authority, pruning is only an
+        I/O optimisation."""
+        snap = self.snapshot(version)
+        key_cols = snap["key_cols"]
+        schema = self.schema(snap)
+        keys = (
+            keys_df.select(
+                *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+            )
+            .na.drop()
+            .distinct()
+        )
+        files, sample, small, _, _ = self._semi_prune(keys, snap, probe_limit)
+        if not files or not sample:
+            return self.spark.createDataFrame([], schema)
+        has_delta = any(f.get("kind", "base") == "delta" for f in files)
+        df = self._read_entries(
+            files, snap, self._phys_schema(snap), with_seq=has_delta
+        )
+        if small:
+            # row-group skipping inside surviving files: per-column
+            # In() is a superset of the wanted tuples (every row of a
+            # wanted key passes), so MOR resolution below stays exact.
+            cond = None
+            for c in key_cols:
+                e = F.col(c).isin(sorted({r[c] for r in sample}))
+                cond = e if cond is None else cond & e
+            df = df.filter(cond)
+        if has_delta:
+            df = self._resolve(df, snap)
+        df = df.drop(LSN_COL, OP_COL)
+        rhs = F.broadcast(keys) if small else keys
+        return df.join(rhs, key_cols, "left_semi")
+
+    def explain_semi_skipping(
+        self, keys_df: DataFrame, version: int | None = None, probe_limit: int = 1024
+    ) -> dict:
+        """Dry-run ``read_semi``'s pruning decision — no data file is
+        opened (only the tiny key-hash job runs). Reports the bucket
+        stage and the bounds/equality-index refinement separately so
+        an operator can see WHICH lever pruned (and whether adding an
+        equality index on the key columns would help)."""
+        snap = self.snapshot(version)
+        key_cols = snap["key_cols"]
+        schema = self.schema(snap)
+        keys = (
+            keys_df.select(
+                *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+            )
+            .na.drop()
+            .distinct()
+        )
+        files, sample, small, want, bucket_stage = self._semi_prune(
+            keys, snap, probe_limit
+        )
+        total_bytes = sum(f.get("bytes") or 0 for f in snap["files"])
+        kept_bytes = sum(f.get("bytes") or 0 for f in files)
+        return {
+            "version": snap["version"],
+            "n_buckets": snap["n_buckets"],
+            "buckets_wanted": len(want),
+            "files_total": len(snap["files"]),
+            "files_kept_bucket_stage": bucket_stage,
+            "files_kept": len(files),
+            "files_skipped": len(snap["files"]) - len(files),
+            "bytes_total": total_bytes,
+            "bytes_kept": kept_bytes,
+            "bytes_skipped": total_bytes - kept_bytes,
+            "refined": small,
+            "keys_sampled": len(sample),
+        }
+
     # ----- predicate-driven file skipping (Iceberg lower/upper_bounds) -----
 
     _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null")
@@ -1399,10 +1545,12 @@ class LakeTable:
         branch proves exclusion, OR only when every branch does, so
         ``lang = 'py' OR lang IS NULL`` keeps exactly the files either
         side admits. Unknown always keeps."""
-        from .predicate import And, Pred, evaluate_excludes, parse_predicate
+        from .predicate import And, Or, Pred, evaluate_excludes, parse_predicate
 
         if isinstance(predicates, str):
             tree = parse_predicate(predicates)
+        elif isinstance(predicates, (And, Or, Pred)):
+            tree = predicates  # pre-built AST (read_semi's IN trees)
         else:
             leaves = []
             for col, op, val in predicates:

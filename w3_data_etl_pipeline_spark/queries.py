@@ -2183,3 +2183,107 @@ def cdc_default_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_join_prune",
+    """
+    WITH k AS (
+      SELECT DISTINCT o_custkey AS c_custkey FROM (
+        SELECT o_custkey FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 12
+      )
+    ),
+    cur AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1000.0
+                  ELSE c_acctbal END AS bal
+      FROM customer
+    )
+    SELECT cur.c_custkey, cur.c_name, cur.c_mktsegment,
+           CAST(CAST(cur.bal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+    FROM cur JOIN k USING (c_custkey)
+    """,
+)
+def cdc_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime join-key file pruning on the oracle gate (the dynamic
+    partition pruning / Iceberg runtime-filtering analogue,
+    LakeTable.read_semi): customers are merged into a 64-bucket
+    LakeTable (plus a MOR delta batch so pruning must respect
+    last-writer-wins resolution), the filtered dimension side — the
+    distinct buyers of the 12 highest-value orders — drives the fact
+    scan, and read_semi opens ONLY the buckets/files that can hold
+    those keys (in-query asserted: wanted buckets < n_buckets AND
+    files were skipped) yet must equal the oracle's full-scan join.
+    At 100 TB this is the difference between a dim-filtered star join
+    scanning every live fact file and scanning O(matching buckets):
+    Spark's own DPP needs a partitioned catalog source, so the
+    manifest layer supplies the runtime filter here. Semantics pinned
+    in tests/test_read_semi.py."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    work = tempfile.mkdtemp(prefix="cdc_semi_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("c_mktsegment", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["c_custkey"], n_buckets=64
+        )
+        base = c.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        table.merge(
+            base.withColumn("lsn", F.lit(0)).withColumn("op", F.lit("U")), 0
+        )
+        # LWW twist: a MOR delta bumps every 7th customer's balance —
+        # the pruned scan must resolve it, not replay the base image
+        table.merge(
+            base.filter(F.col("c_custkey") % 7 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0))
+            .withColumn("lsn", F.lit(1))
+            .withColumn("op", F.lit("U")),
+            1,
+            mode="mor",
+        )
+        keys = (
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(12)
+            .select(F.col("o_custkey").cast("long").alias("c_custkey"))
+        )
+        ex = table.explain_semi_skipping(keys)
+        if not ex["buckets_wanted"] < ex["n_buckets"]:
+            raise AssertionError(f"no bucket pruning: {ex}")
+        if not ex["files_skipped"] > 0:
+            raise AssertionError(f"no file skipped: {ex}")
+        out_schema = T.StructType(
+            schema.fields[:3] + [T.StructField("acctbal", T.DoubleType())]
+        )
+        rows = (
+            table.read_semi(keys)
+            .select(
+                "c_custkey",
+                "c_name",
+                "c_mktsegment",
+                _money("c_acctbal").cast("double").alias("acctbal"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
