@@ -128,6 +128,11 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("partitions", help="O(metadata) per-bucket rollup (read-only)")
 
+    sub.add_parser("manifests", help="per-bucket manifest pointers + "
+                   "commit-cost sharing flags (read-only)")
+    sub.add_parser("refs", help="all named refs: main, branches, tags "
+                   "(read-only)")
+
     ex = sub.add_parser("explain-skip",
                         help="dry-run file skipping for a SQL predicate "
                              "(files/bytes opened vs skipped; read-only)")
@@ -275,6 +280,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.verb == "partitions":
             out = {"verb": "partitions",
                    "buckets": [r.asDict() for r in t.partitions().collect()]}
+        elif args.verb == "manifests":
+            out = {"verb": "manifests",
+                   "manifests": [r.asDict() for r in t.manifests().collect()]}
+        elif args.verb == "refs":
+            out = {"verb": "refs",
+                   "refs": [r.asDict() for r in t.refs().collect()]}
         elif args.verb == "explain-skip":
             out = {"verb": "explain-skip", "predicate": args.predicate,
                    **t.explain_skipping(args.predicate)}

@@ -2004,6 +2004,102 @@ class LakeTable:
         ]
         return self.spark.createDataFrame(rows, schema)
 
+    def snapshots(self) -> DataFrame:
+        """The commit log as a DataFrame — the Iceberg
+        ``db.table.snapshots`` metadata table analogue (``history()``
+        returns the same rows as plain dicts). O(retained versions)
+        raw JSON reads, no manifest or data file opened."""
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("parent", T.LongType()),
+                T.StructField("committed_at", T.DoubleType()),
+                T.StructField("n_files", T.LongType()),
+                T.StructField("n_buckets", T.IntegerType()),
+                T.StructField("ledger_hwm", T.LongType()),
+                T.StructField("rollback_of", T.LongType()),
+            ]
+        )
+        rows = [
+            (
+                h["version"],
+                h.get("operation"),
+                h.get("parent"),
+                h.get("committed_at"),
+                h.get("n_files"),
+                h.get("n_buckets"),
+                h.get("ledger_hwm"),
+                h.get("rollback_of"),
+            )
+            for h in self.history()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def manifests(self, version: int | None = None) -> DataFrame:
+        """One row per bucket-manifest pointer — the Iceberg
+        ``db.table.manifests`` metadata table analogue, and the
+        operator view of COMMIT COST: ``shared_with_parent`` marks
+        buckets whose pointer is byte-identical to the parent
+        snapshot's (the provenance fast path — commits pay metadata
+        only for touched buckets), so ``count(NOT shared)`` is the
+        number of manifests this commit actually wrote. O(n_buckets)
+        pointer compares + O(touched entries) manifest reads for the
+        per-manifest entry/row sums; no data file opened."""
+        snap = self.snapshot(version)
+        ptrs: dict[str, str] = snap.get("manifests") or {}
+        parent_ptrs: dict[str, str] = {}
+        if snap.get("parent") is not None:
+            try:
+                parent_ptrs = self.snapshot(snap["parent"]).get("manifests") or {}
+            except FileNotFoundError:
+                parent_ptrs = {}  # parent expired: nothing is provably shared
+        schema = T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("entries", T.IntegerType()),
+                T.StructField("rows", T.LongType()),
+                T.StructField("bytes", T.LongType()),
+                T.StructField("shared_with_parent", T.BooleanType()),
+            ]
+        )
+        rows = []
+        for b_str, rel in sorted(ptrs.items(), key=lambda kv: int(kv[0])):
+            entries = self._load_manifest(rel)
+            rows.append(
+                (
+                    int(b_str),
+                    rel,
+                    len(entries),
+                    sum(e["rows"] for e in entries if e.get("rows") is not None)
+                    or None,
+                    sum(e.get("bytes") or 0 for e in entries) or None,
+                    parent_ptrs.get(b_str) == rel,
+                )
+            )
+        return self.spark.createDataFrame(rows, schema)
+
+    def refs(self) -> DataFrame:
+        """Every named ref — the Iceberg ``db.table.refs`` metadata
+        table analogue: ``main`` plus each branch (type='branch',
+        version=head, forked_from set) and tag (type='tag', version=
+        pinned). O(refs) metadata reads."""
+        schema = T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("version", T.LongType()),
+                T.StructField("forked_from", T.LongType()),
+            ]
+        )
+        rows: list[tuple] = [("main", "branch", self.current_version(), None)]
+        for name, info in sorted(self.branches().items()):
+            rows.append((name, "branch", info.get("head"), info.get("forked_from")))
+        for name, v in sorted(self.tags().items()):
+            rows.append((name, "tag", v, None))
+        return self.spark.createDataFrame(rows, schema)
+
     def compact_lineage(self, max_files: int = 64) -> dict:
         """Consolidate the per-(batch, bucket) lineage parquet files —
         a 10^5-microbatch stream otherwise leaves 10^5 tiny audit
