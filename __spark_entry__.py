@@ -134,6 +134,13 @@ _DEMOTED_TAIL = [
     # fallback and equality-index refinement pytest-pinned in
     # tests/test_read_semi.py (window frozen per r3 advice item 5)
     "cdc_join_prune",
+    # table-to-table incremental pipeline (Delta streaming-source /
+    # Iceberg incremental-read analogue, streaming/follow.py); full
+    # DuckDB oracle + in-query step/idempotence/resume-point asserts
+    # in the tail gate; kill/resume, multi-hop, rollback retraction,
+    # transform rules pytest-pinned in tests/test_follow.py
+    # (window frozen per r3 advice item 5)
+    "cdc_follow_pipeline",
     # merge-on-read DML (equality-delete / deletion-vector analogue);
     # same oracle as in-tail cdc_delete_update — the storage strategy
     # must be invisible — plus in-query zero-rewrite/delta-only/fold

@@ -69,8 +69,10 @@ EXTENDED = [
     # round 4 tail: row-level DML + generic MERGE INTO
     "cdc_delete_update",
     "cdc_merge_into",
-    # round 4 late: runtime join-key file pruning (DPP analogue)
+    # round 4 late: runtime join-key file pruning (DPP analogue) +
+    # change-feed follower pipeline
     "cdc_join_prune",
+    "cdc_follow_pipeline",
 ]
 
 

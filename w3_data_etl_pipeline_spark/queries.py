@@ -2287,3 +2287,111 @@ def cdc_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_follow_pipeline",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type,
+           CAST(CAST(value * 2 AS DECIMAL(18,2)) AS DOUBLE) AS value2
+    FROM s WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_follow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-to-table incremental pipeline on the oracle gate (the
+    Delta streaming-source / Iceberg incremental-read analogue,
+    streaming/follow.py): the events stream is merged upstream in
+    three commits, and a follower applies the upstream CHANGE FEED
+    into a derived LakeTable exactly-once — the downstream table's own
+    ledger is the offset store (batch_id = upstream version), each
+    step carries lsn = to-version so downstream LWW replays upstream
+    history, deletes propagate as op='D', and a transform projects
+    value*2 en route. In-query asserts pin one step per upstream
+    version, a zero-step idempotent re-sync, and the ledger resume
+    point; kill/resume, multi-hop, rollback retraction and transform
+    rules are pytest-pinned in tests/test_follow.py. At 100 TB this is
+    how derived corpora stay fresh for O(changed rows), not O(table),
+    per upstream commit."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+    from .streaming.follow import applied_source_version, sync_changes
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_follow_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        src = LakeTable.create(
+            spark, f"{work}/src", schema, ["user_id"], n_buckets=16
+        )
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        lo, hi = (
+            ev.agg(F.min("lsn").alias("a"), F.max("lsn").alias("b"))
+            .collect()[0]
+        )
+        cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+        src.merge(ev.filter(F.col("lsn") <= cut1), 0)
+        src.merge(ev.filter((F.col("lsn") > cut1) & (F.col("lsn") <= cut2)), 1)
+        src.merge(ev.filter(F.col("lsn") > cut2), 2)
+
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value2", T.DoubleType()),
+            ]
+        )
+        dst = LakeTable.create(
+            spark, f"{work}/dst", out_schema, ["user_id"], n_buckets=16
+        )
+
+        def tf(df):
+            return df.select(
+                "user_id",
+                "event_type",
+                (F.col("value") * 2).alias("value2"),
+                "_change_type",
+            )
+
+        out = sync_changes(src, dst, transform=tf, max_versions_per_batch=1)
+        if out["steps"] != src.current_version():
+            raise AssertionError(f"expected one step per upstream version: {out}")
+        again = sync_changes(src, dst, transform=tf)
+        if again["steps"] != 0:
+            raise AssertionError(f"re-sync was not idempotent: {again}")
+        if applied_source_version(dst) != src.current_version():
+            raise AssertionError("ledger resume point != upstream version")
+        rows = (
+            dst.read()
+            .select(
+                "user_id",
+                "event_type",
+                _money("value2").cast("double").alias("value2"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
