@@ -120,3 +120,37 @@ def test_submit_job_audit_predicate(spark, tmp_path):
     t = LakeTable(spark, table)
     assert t.read().filter(F.col("content").startswith("BAD::")).isEmpty()
     assert t.staged_ids() == []
+
+
+def test_submit_follow_cdf_derive_and_resume(spark, tmp_path):
+    """jobs/follow_cdf.py via spark-submit: a derived LakeTable drains
+    the upstream change feed with a key-stable filter, and a second
+    identical invocation applies nothing (the downstream ledger IS the
+    offset store — no checkpoint argument exists to lose)."""
+    from w3_data_etl_pipeline_spark import datagen
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+    from w3_data_etl_pipeline_spark.schemas import SOURCE_FILES
+
+    src_root = str(tmp_path / "src")
+    src = LakeTable.create(spark, src_root, SOURCE_FILES, ["repo", "path"],
+                           n_buckets=8)
+    ev = datagen.change_events(spark, 900, 200, content_max=128)
+    src.merge(ev.filter(ev.lsn <= 450), 0)
+    src.merge(ev.filter(ev.lsn > 450), 1)
+
+    dst_root = str(tmp_path / "dst")
+    args = ("jobs/follow_cdf.py", "--src", src_root, "--dst", dst_root,
+            "--filter-sql", "path LIKE '%0%'", "--drain")
+    out1 = _submit(*args)
+    assert out1["applied_through"] == src.current_version()
+    assert out1["steps"] >= 1 and out1["rows"] > 0
+
+    dst = LakeTable(spark, dst_root)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    want = sorted(map(tuple, src.read().filter("path LIKE '%0%'")
+                      .select(*cols).collect()))
+    got = sorted(map(tuple, dst.read().select(*cols).collect()))
+    assert got == want
+
+    out2 = _submit(*args)
+    assert out2["steps"] == 0 and out2["rows"] == 0

@@ -29,6 +29,11 @@ with zipfile.ZipFile('$zip_path', 'w', zipfile.ZIP_DEFLATED) as z:
                 z.write(os.path.join(d, f))
 ")
 
+# job selection: a leading jobs/<name>.py after the -- picks the
+# entrypoint (run_cdc.py, maintain.py, follow_cdf.py); default stays
+# the ingest job for backward compatibility
+job="$ROOT/jobs/run_cdc.py"
+if [[ $# -gt 0 && "$1" == *.py ]]; then job="$ROOT/$1"; shift; fi
 exec spark-submit "${submit_args[@]}" \
     --py-files "$zip_path" \
-    "$ROOT/jobs/run_cdc.py" "$@"
+    "$job" "$@"

@@ -95,7 +95,7 @@ def sync_changes(
         stats = dst.merge(ev, batch_id=v1)
         steps += 1
         if stats.applied:
-            rows += stats.input_rows or 0
+            rows += stats.deduped_rows or 0
         v0 = v1
     return {
         "applied_through": v0,
