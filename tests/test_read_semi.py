@@ -146,3 +146,70 @@ def test_equality_index_refines_key_pruning(spark, tmp_path):
     ex = t.explain_semi_skipping(keys)
     assert ex["files_kept"] < ex["files_kept_bucket_stage"]
     assert _rows(t.read_semi(keys)) == _oracle(t, keys)
+
+
+# ---------- read_in: runtime IN-list skipping on a non-key column ----------
+
+
+def test_read_in_equals_filter_after_clustered_compact(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "ri"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(_events(spark, n=2000, keys=500), 0)
+    t.compact(cluster_by=["value"], max_records_per_file=32)
+    vals = spark.createDataFrame([(5.0,), (700.5,)], "value double")
+    got = _rows(t.read_in("value", vals))
+    want = _rows(t.read().filter(F.col("value").isin([5.0, 700.5])))
+    assert got == want
+    # clustered bounds must actually skip files
+    total = len(t.snapshot()["files"])
+    opened = len(set(t.read_in("value", vals).inputFiles()))
+    assert 0 < opened < total
+
+
+def test_read_in_mor_stale_value_never_resurrects(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "rm"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(1, "a", 10.0, 1, "U"), (2, "a", 20.0, 1, "U")],
+            "user_id long, event_type string, value double, lsn long, op string",
+        ),
+        0,
+    )
+    # key 1's value moves 10.0 -> 99.0 via a MOR delta
+    t.update_where([("user_id", "=", 1)], {"value": "99.0"}, mode="mor")
+    vals = spark.createDataFrame([(10.0,)], "value double")
+    # the STALE match (key 1 @ 10.0) must not resurrect
+    assert _rows(t.read_in("value", vals)) == []
+    vals2 = spark.createDataFrame([(99.0,)], "value double")
+    assert _rows(t.read_in("value", vals2)) == [(1, "a", 99.0)]
+
+
+def test_read_in_probe_limit_fallback(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "rf"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(_events(spark, n=600, keys=200), 0)
+    vals = t.read().select("value").limit(50)
+    got = _rows(t.read_in("value", vals, probe_limit=8))
+    want = _rows(t.read().join(vals.distinct(), "value", "left_semi"))
+    assert got == want
+
+
+def test_read_in_eq_index_on_categorical(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "rc"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(_events(spark, n=1600, keys=400), 0)
+    t.alter_skip_columns(["event_type"])
+    t.compact(cluster_by=["event_type"], max_records_per_file=64)
+    vals = spark.createDataFrame([("t1",)], "event_type string")
+    got = _rows(t.read_in("event_type", vals))
+    want = _rows(t.read().filter(F.col("event_type") == "t1"))
+    assert got == want
+    total = len(t.snapshot()["files"])
+    opened = len(set(t.read_in("event_type", vals).inputFiles()))
+    assert 0 < opened < total
+
+
+def test_read_in_unknown_column_and_bad_values_df(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "re"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(_events(spark, n=100, keys=50), 0)
+    with pytest.raises(ValueError, match="unknown column"):
+        t.read_in("nope", spark.createDataFrame([(1,)], "x int"))
+    with pytest.raises(ValueError, match="exactly one column"):
+        t.read_in("value", spark.createDataFrame([(1, 2)], "x int, y int"))

@@ -1284,6 +1284,60 @@ class LakeTable:
         rhs = F.broadcast(keys) if small else keys
         return df.join(rhs, key_cols, "left_semi")
 
+    def read_in(
+        self,
+        col: str,
+        values_df: DataFrame,
+        version: int | None = None,
+        probe_limit: int = 1024,
+    ) -> DataFrame:
+        """Runtime IN-list file skipping on an ARBITRARY column — the
+        non-key half of the DPP story (``read_semi`` covers the key
+        columns): given a DataFrame of wanted values for ``col``
+        (e.g. the distinct langs a filtered dim admits), prune files
+        through the manifest value bounds and the equality index when
+        one exists on ``col``, then apply the exact filter. When the
+        distinct value set exceeds ``probe_limit`` nothing prunes and
+        the scan falls back to a left-semi join — result is identical
+        either way: ``read().join(values, col, 'left_semi')``.
+        Unlike ``read_semi`` there is no bucket stage (the layout
+        hashes keys, not ``col``), so pruning bites only where the
+        data is clustered or equality-indexed on ``col`` — pair with
+        ``compact(cluster_by=[col])`` or ``alter_skip_columns``."""
+        from .predicate import And, Or, Pred
+
+        snap = self.snapshot(version)
+        schema = self.schema(snap)
+        if col not in schema.fieldNames():
+            raise ValueError(f"unknown column {col!r}")
+        src = col if col in values_df.columns else None
+        if src is None:
+            if len(values_df.columns) != 1:
+                raise ValueError(
+                    f"values_df must carry column {col!r} or exactly one column"
+                )
+            src = values_df.columns[0]
+        vals_df = (
+            values_df.select(F.col(src).cast(schema[col].dataType).alias(col))
+            .na.drop()
+            .distinct()
+        )
+        sample = vals_df.limit(probe_limit + 1).collect()
+        if not sample:
+            return self.spark.createDataFrame([], schema)
+        if len(sample) <= probe_limit:
+            vals = sorted({r[col] for r in sample})
+            files = self.prune_files(snap, Or([Pred(col, "=", v) for v in vals]))
+            has_delta = any(f.get("kind", "base") == "delta" for f in files)
+            df = self._read_entries(
+                files, snap, self._phys_schema(snap), with_seq=has_delta
+            )
+            if has_delta:
+                df = self._resolve(df, snap)
+            df = df.drop(LSN_COL, OP_COL)
+            return df.filter(F.col(col).isin(vals))
+        return self.read(version).join(vals_df, col, "left_semi")
+
     def explain_semi_skipping(
         self, keys_df: DataFrame, version: int | None = None, probe_limit: int = 1024
     ) -> dict:
