@@ -110,6 +110,35 @@ def _check(t, model, prev_ids, step):
     # and ids are globally unique
     ids = [g["_row_id"] for g in got.values()]
     assert len(ids) == len(set(ids)), f"step {step}: duplicate row ids"
+    # pruned-read equivalence (every 4th step): read_semi / read_in
+    # must see exactly the model state through any interleaving of
+    # MOR deltas, DDL, compaction and rebucketing
+    if step % 4 == 0:
+        probe = [k for k in KEYS if k % 3 == 0] + [999]
+        sem = {
+            r["k"]: r.asDict()
+            for r in t.read_semi(
+                t.spark.createDataFrame([(k,) for k in probe], "k long")
+            ).collect()
+        }
+        want_sem = {k for k in probe if k in model.rows}
+        assert set(sem) == want_sem, f"step {step}: read_semi keyset diverged"
+        for k in want_sem:
+            for c, wantv in model.rows[k].items():
+                assert sem[k][c] == wantv, (
+                    f"step {step}: read_semi key {k} col {c} diverged"
+                )
+        vs = sorted(
+            {r["v"] for r in model.rows.values() if r["v"] is not None}
+        )[:2] + ["@absent"]
+        got_in = {
+            r["k"]
+            for r in t.read_in(
+                "v", t.spark.createDataFrame([(x,) for x in vs], "v string")
+            ).collect()
+        }
+        want_in = {k for k, r in model.rows.items() if r["v"] in vs}
+        assert got_in == want_in, f"step {step}: read_in keyset diverged"
     return {k: (got[k]["_row_id"], model.ident[k]) for k in got}
 
 
