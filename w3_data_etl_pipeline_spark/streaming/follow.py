@@ -13,7 +13,11 @@ ledger is the offset ledger — each applied step commits with
 from the ledger and a crash between steps re-applies nothing
 (``merge`` no-ops on a seen batch_id; ledger and data commit in the
 same snapshot write, so there is no window where one moved without
-the other).
+the other). The downstream table must be EXCLUSIVELY follower-fed:
+its ledger ids are interpreted as upstream versions, so interleaving
+unrelated merges with their own batch ids would corrupt the resume
+point (maintenance — compact/expire/rebucket — is fine; it never
+touches the ledger).
 
 Ordering/correctness: step [v0, v1] applies ``src.changes(v0, v1)``
 (net per-key effect) with ``lsn = v1`` and op D for deletes — steps
