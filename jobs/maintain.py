@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--max-records-per-file", type=int, default=None,
                    help="split each bucket into value-contiguous files of <= N "
                         "rows (the skipping granularity knob)")
+    c.add_argument("--where", default=None,
+                   help="SQL predicate scoping the rewrite to buckets whose "
+                        "file bounds intersect it (OPTIMIZE ... WHERE)")
 
     sub.add_parser("stats", help="O(metadata) manifest stats (no data read)")
     sub.add_parser("history", help="commit log of retained snapshots (read-only)")
@@ -230,6 +233,7 @@ def main(argv: list[str] | None = None) -> int:
                 cluster_by=(args.cluster_by.split(",") if args.cluster_by else None),
                 zorder=args.zorder,
                 max_records_per_file=args.max_records_per_file,
+                where=args.where,
             )
             out = {"verb": "compact", "version": after}
         elif args.verb == "stats":

@@ -3692,6 +3692,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
         zorder: bool = False,
+        where: "list[tuple] | str | None" = None,
     ) -> int:
         """Fold MOR deltas into base files and collapse small files.
 
@@ -3736,12 +3737,25 @@ class LakeTable:
         lexicographically, so every emitted file covers a small
         hyper-rectangle and bounds prune on EVERY z-order column, not
         just the first (Iceberg rewrite zorder / Delta OPTIMIZE
-        ZORDER BY analogue; numeric columns only)."""
+        ZORDER BY analogue; numeric columns only).
+
+        where=<predicates>: SCOPE the rewrite (Delta ``OPTIMIZE ...
+        WHERE`` / Iceberg filtered rewrite_data_files analogue) — only
+        buckets holding at least one file whose manifest bounds
+        intersect the predicate are rewritten; composes with the
+        thresholds (intersection) and cluster_by. At 100 TB you
+        optimize the hot date range, not the table. Granularity is
+        the bucket (keys live in exactly one bucket, so folding whole
+        buckets is value-neutral no matter what the predicate says);
+        scoping deliberately BYPASSES read-side pruning's MOR
+        delta-bucket exemption and judges delta files by their own
+        bounds — a delta bucket entirely outside the predicate is
+        simply left alone, which a read could not do."""
         for _ in range(max_retries + 1):
             try:
                 return self._compact_once(
                     min_deltas, min_delta_rows, cluster_by, max_records_per_file,
-                    zorder,
+                    zorder, where,
                 )
             except FileExistsError:
                 continue  # lost the version race: recompute the fold
@@ -3756,11 +3770,32 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         max_records_per_file: int | None = None,
         zorder: bool = False,
+        where: "list[tuple] | str | None" = None,
     ) -> int:
         snap = self.snapshot()
+        scope: set[int] | None = None
+        if where is not None:
+            # bucket scope from file bounds. Re-labeling delta entries
+            # as base bypasses prune_files' read-side delta-bucket
+            # exemption ON PURPOSE: this is not a read — a bucket folds
+            # wholly or not at all, so judging delta files by their own
+            # bounds can only leave an out-of-scope bucket alone, never
+            # mis-resolve one.
+            relabeled = dict(
+                snap, files=[{**f, "kind": "base"} for f in snap["files"]]
+            )
+            scope = {f["bucket"] for f in self.prune_files(relabeled, where)}
+            if not scope:
+                return snap["version"]
         if min_deltas is None and min_delta_rows is None:
-            fold_files = snap["files"]
-            kept_files: list[dict] = []
+            if scope is None:
+                fold_files = snap["files"]
+                kept_files: list[dict] = []
+            else:
+                fold_files = [f for f in snap["files"] if f["bucket"] in scope]
+                kept_files = [f for f in snap["files"] if f["bucket"] not in scope]
+            if not fold_files:
+                return snap["version"]
         else:
             from collections import Counter
 
@@ -3781,6 +3816,8 @@ class LakeTable:
             if min_delta_rows is not None:
                 fold |= {b for b, r in rows.items() if r >= min_delta_rows}
                 fold |= unknown  # unknown mass: fold conservatively
+            if scope is not None:
+                fold &= scope
             if not fold:
                 return snap["version"]
             fold_files = [f for f in snap["files"] if f["bucket"] in fold]
