@@ -85,6 +85,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="seconds an UNREFERENCED walk-found file must be old before "
                         "deletion (protects a concurrent in-flight writer; 0 only "
                         "when no other writer can exist)")
+    e.add_argument("--dry-run", action="store_true",
+                   help="preview: report what WOULD be removed, delete nothing")
 
     r = sub.add_parser("rollback", help="restore a previous version (files + ledger)")
     grp = r.add_mutually_exclusive_group(required=True)
@@ -247,6 +249,7 @@ def main(argv: list[str] | None = None) -> int:
                 keep_last=args.keep_last,
                 scan_orphans=not args.no_orphan_scan,
                 orphan_grace_sec=args.orphan_grace,
+                dry_run=args.dry_run,
             )
             out = {"verb": "expire", **{k: v for k, v in stats.items()}}
         elif args.verb == "rollback":

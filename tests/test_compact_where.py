@@ -131,3 +131,32 @@ def test_delta_bucket_outside_scope_stays(spark, tmp_path):
     before = _paths_by_bucket(t)
     t.compact(where=[("value", ">=", 100000.0)])  # nothing intersects
     assert _paths_by_bucket(t) == before
+
+
+def test_expire_dry_run_previews_without_deleting(spark, tmp_path):
+    """expire_snapshots(dry_run=True) — the VACUUM DRY RUN analogue —
+    must report exactly what a real run then removes, while touching
+    nothing on disk."""
+    import os
+
+    t = LakeTable.create(spark, str(tmp_path / "e"), SCHEMA, ["user_id"], n_buckets=4)
+    for i in range(4):
+        t.merge(_events(spark, n=200, keys=50, lsn0=i * 1000), i)
+
+    def _tree(root):
+        return sorted(
+            os.path.join(dp, n)
+            for dp, _d, ns in os.walk(root)
+            for n in ns
+        )
+
+    before = _tree(t.root)
+    preview = t.expire_snapshots(keep_last=2, orphan_grace_sec=0, dry_run=True)
+    assert preview["dry_run"] is True
+    assert preview["removed_snapshots"] > 0 and preview["removed_files"] > 0
+    assert _tree(t.root) == before, "dry run must not touch disk"
+    real = t.expire_snapshots(keep_last=2, orphan_grace_sec=0)
+    for k in ("removed_snapshots", "removed_files", "removed_manifests",
+              "removed_index_files"):
+        assert real[k] == preview[k], f"{k}: preview {preview[k]} != real {real[k]}"
+    assert _tree(t.root) != before

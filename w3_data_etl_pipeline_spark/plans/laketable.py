@@ -4613,6 +4613,7 @@ class LakeTable:
         keep_last: int = 2,
         scan_orphans: bool = True,
         orphan_grace_sec: float = 3600.0,
+        dry_run: bool = False,
     ) -> dict:
         """Drop snapshot manifests older than the newest ``keep_last``
         and DELETE data files referenced by no retained snapshot —
@@ -4646,7 +4647,13 @@ class LakeTable:
         therefore deleted only once older than the grace window;
         files referenced by expiring snapshots have known provenance
         and are deleted immediately. Pass 0 only when no concurrent
-        writer can exist (tests, single-writer offline maintenance)."""
+        writer can exist (tests, single-writer offline maintenance).
+
+        ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` analogue)
+        computes and returns exactly what a real run would remove —
+        same reachability analysis, same grace gating — without
+        deleting anything: the operator preview before an irreversible
+        history truncation."""
         keep_last = max(1, keep_last)
         versions = sorted(
             int(n[1:-5])
@@ -4752,11 +4759,14 @@ class LakeTable:
         for rel in candidates - referenced:
             p = os.path.join(self.root, rel)
             if os.path.exists(p):
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed_files += 1
             parts = rel.split(os.sep)
             if len(parts) >= 2 and parts[0] == "data":
                 touched_dirs.add(os.path.join(self._data, parts[1]))
+        if dry_run:
+            touched_dirs = set()  # never prune dirs on a preview
         # prune write dirs emptied by the deletions (only _SUCCESS etc.
         # left) — checks just the dirs we deleted from, not all of data/
         for d in touched_dirs:
@@ -4803,9 +4813,11 @@ class LakeTable:
         for rel in manifest_candidates - referenced_manifests:
             p = os.path.join(self.root, rel)
             if os.path.exists(p):
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed_manifests += 1
-            self._manifest_cache.pop(rel, None)
+            if not dry_run:
+                self._manifest_cache.pop(rel, None)
         # sidecar bloom GC mirrors the manifest scheme: content
         # addressing means a shared index survives as long as ANY
         # retained snapshot's entry references it; expiring-referenced
@@ -4828,6 +4840,9 @@ class LakeTable:
                     continue
         removed_idx = 0
         for rel in idx_candidates - referenced_idx:
+            if dry_run:
+                removed_idx += int(os.path.exists(os.path.join(self.root, rel)))
+                continue
             try:
                 os.remove(os.path.join(self.root, rel))
                 removed_idx += 1
@@ -4836,6 +4851,9 @@ class LakeTable:
             self._bloom_cache.pop(rel, None)
         removed_snaps = 0
         for v in expiring:
+            if dry_run:
+                removed_snaps += int(os.path.exists(self._snap_path(v)))
+                continue
             try:  # a concurrent expire may have removed it already
                 os.remove(self._snap_path(v))
                 removed_snaps += 1
@@ -4846,6 +4864,7 @@ class LakeTable:
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
             "removed_index_files": removed_idx,
+            "dry_run": dry_run,
         }
 
     def state_fingerprint(self) -> DataFrame:
