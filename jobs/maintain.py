@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> int:
                         "when no other writer can exist)")
     e.add_argument("--dry-run", action="store_true",
                    help="preview: report what WOULD be removed, delete nothing")
+    e.add_argument("--older-than", type=float, default=None,
+                   help="retain every snapshot committed within the last N "
+                        "seconds regardless of --keep-last (time-travel SLA)")
 
     r = sub.add_parser("rollback", help="restore a previous version (files + ledger)")
     grp = r.add_mutually_exclusive_group(required=True)
@@ -250,6 +253,7 @@ def main(argv: list[str] | None = None) -> int:
                 scan_orphans=not args.no_orphan_scan,
                 orphan_grace_sec=args.orphan_grace,
                 dry_run=args.dry_run,
+                older_than_sec=args.older_than,
             )
             out = {"verb": "expire", **{k: v for k, v in stats.items()}}
         elif args.verb == "rollback":

@@ -160,3 +160,20 @@ def test_expire_dry_run_previews_without_deleting(spark, tmp_path):
               "removed_index_files"):
         assert real[k] == preview[k], f"{k}: preview {preview[k]} != real {real[k]}"
     assert _tree(t.root) != before
+
+
+def test_expire_older_than_retains_recent_history(spark, tmp_path):
+    """older_than_sec (Iceberg expire older_than analogue): snapshots
+    committed within the window survive regardless of keep_last."""
+    t = LakeTable.create(spark, str(tmp_path / "ot"), SCHEMA, ["user_id"], n_buckets=4)
+    for i in range(4):
+        t.merge(_events(spark, n=100, keys=30, lsn0=i * 1000), i)
+    all_versions = {h["version"] for h in t.history()}
+    # everything is seconds old: a 1-hour window retains every snapshot
+    out = t.expire_snapshots(keep_last=1, orphan_grace_sec=0, older_than_sec=3600)
+    assert out["removed_snapshots"] == 0
+    assert {h["version"] for h in t.history()} == all_versions
+    # a zero window degrades to pure count-based retention
+    out2 = t.expire_snapshots(keep_last=2, orphan_grace_sec=0, older_than_sec=0)
+    assert out2["removed_snapshots"] > 0
+    assert len(t.history()) == 2

@@ -4614,6 +4614,7 @@ class LakeTable:
         scan_orphans: bool = True,
         orphan_grace_sec: float = 3600.0,
         dry_run: bool = False,
+        older_than_sec: float | None = None,
     ) -> dict:
         """Drop snapshot manifests older than the newest ``keep_last``
         and DELETE data files referenced by no retained snapshot —
@@ -4649,6 +4650,12 @@ class LakeTable:
         and are deleted immediately. Pass 0 only when no concurrent
         writer can exist (tests, single-writer offline maintenance).
 
+        ``older_than_sec`` (Iceberg's expire ``older_than`` analogue)
+        additionally RETAINS every snapshot committed within the last
+        N seconds regardless of ``keep_last`` — the time-travel SLA
+        knob ("readers may pin any snapshot up to 6h old"), composing
+        with count-based retention as a union of retained sets.
+
         ``dry_run=True`` (the Delta ``VACUUM ... DRY RUN`` analogue)
         computes and returns exactly what a real run would remove —
         same reachability analysis, same grace gating — without
@@ -4662,6 +4669,17 @@ class LakeTable:
         )
         cur = self.current_version()
         retained = set(versions[-keep_last:]) | {cur}
+        if older_than_sec is not None:
+            cutoff = time.time() - older_than_sec
+            for v in versions:
+                if v in retained:
+                    continue
+                try:
+                    committed = self.snapshot(v).get("committed_at") or 0
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue  # expired or torn concurrently: not retained
+                if committed >= cutoff:
+                    retained.add(v)
         # tagged snapshots are retention-pinned (Iceberg tag refs):
         # a tag names an auditable point-in-time state, so neither its
         # manifest nor any data file it references may be collected
