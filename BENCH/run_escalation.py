@@ -45,7 +45,8 @@ def main() -> int:
             walls[label] = round(time.time() - t0, 2)
             walls[f"rows_{label}"] = n
         e = math.log(max(walls["hi"], 1e-3) / max(walls["lo"], 1e-3)) / math.log(ratio)
-        rec = {"query": name, **walls, "wall_ratio": round(walls["hi"] / walls["lo"], 2),
+        rec = {"query": name, **walls,
+               "wall_ratio": round(walls["hi"] / max(walls["lo"], 1e-3), 2),
                "exponent": round(e, 2)}
         out.append(rec)
         print(json.dumps(rec), flush=True)

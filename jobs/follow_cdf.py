@@ -74,7 +74,8 @@ def main(argv: list[str] | None = None) -> int:
             if args.filter_sql:
                 df = df.filter(F.expr(args.filter_sql))
             if args.select:
-                df = df.select(*keys, *args.select, "_change_type")
+                extra = [c for c in args.select if c not in keys]
+                df = df.select(*keys, *extra, "_change_type")
             return df
 
     totals = follow_changes(

@@ -155,3 +155,19 @@ def test_follow_drain_mode(spark, tmp_path, src):
     totals = follow_changes(src, dst, stop_when_caught_up=True)
     assert totals["applied_through"] == src.current_version()
     assert _state(dst) == _state(src)
+
+
+def test_ledger_stays_folded_over_many_steps(spark, tmp_path, src):
+    """Ledger ids are zero-based and cover the whole step range, so the
+    contiguous prefix folds into the hwm: downstream snapshot metadata
+    must stay O(1), not O(applied steps)."""
+    dst = _dst(spark, tmp_path)
+    sync_changes(src, dst, max_versions_per_batch=1)
+    led = LakeTable._ledger_migrate(dst.snapshot()["ledger"])
+    assert led["extra"] == {}, f"unfolded ledger: {led}"
+    assert led["hwm"] == src.current_version() - 1
+    # wide steps fold too (covered range fills the gaps)
+    dst2 = _dst(spark, tmp_path, "dst2")
+    sync_changes(src, dst2, max_versions_per_batch=2)
+    led2 = LakeTable._ledger_migrate(dst2.snapshot()["ledger"])
+    assert led2["extra"] == {} and led2["hwm"] == src.current_version() - 1

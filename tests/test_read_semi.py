@@ -75,9 +75,7 @@ def test_bucket_pruning_is_exact(table, spark):
     assert ex["files_kept_bucket_stage"] == expected_bucket_files
     # actually-opened files stay within the pruned set
     opened = set(table.read_semi(keys).inputFiles())
-    kept = {f["path"] for f in table._semi_prune(
-        keys.select(F.col("user_id").cast("long")).distinct(), snap, 1024
-    )[0]}
+    kept = {f["path"] for f in table._semi_prune(keys, snap, 1024)[1]}
     assert {p.split("/t/", 1)[-1] for p in opened} <= kept
 
 

@@ -33,7 +33,12 @@ with zipfile.ZipFile('$zip_path', 'w', zipfile.ZIP_DEFLATED) as z:
 # entrypoint (run_cdc.py, maintain.py, follow_cdf.py); default stays
 # the ingest job for backward compatibility
 job="$ROOT/jobs/run_cdc.py"
-if [[ $# -gt 0 && "$1" == *.py ]]; then job="$ROOT/$1"; shift; fi
+if [[ $# -gt 0 ]]; then
+  case "$1" in
+    /*.py) job="$1"; shift;;
+    jobs/*.py) job="$ROOT/$1"; shift;;
+  esac
+fi
 exec spark-submit "${submit_args[@]}" \
     --py-files "$zip_path" \
     "$job" "$@"

@@ -54,6 +54,7 @@ full I/U/D semantics.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -1177,14 +1178,21 @@ class LakeTable:
         return df.join(F.broadcast(lookup), key_cols, "left_semi")
 
     def _semi_prune(
-        self, keys: DataFrame, snap: dict, probe_limit: int
-    ) -> tuple[list[dict], list, bool, set[int], int]:
+        self, keys_df: DataFrame, snap: dict, probe_limit: int
+    ) -> tuple[DataFrame, list[dict], list, bool, set[int], int]:
         """Shared pruning core for ``read_semi`` / ``explain_semi_skipping``.
 
-        ``keys`` must already be projected to the table's key columns
-        with the table's key TYPES (a mistyped literal would xxhash64
-        to a different bucket and silently prune the right one — same
-        hazard ``read_keys`` guards against). Two stages:
+        Projects ``keys_df`` to the table's key columns CAST to the
+        table's key types (a mistyped literal would xxhash64 to a
+        different bucket and silently prune the right one — same
+        hazard ``read_keys`` guards against). When the distinct key
+        set fits ``probe_limit`` the keys are additionally REBUILT as
+        a literal DataFrame from the single collected sample, so a
+        non-deterministic input plan (unordered limit, sample) cannot
+        diverge between the pruning decision and the closing semi
+        join; past the limit the projected plan is re-evaluated by
+        the bucket job and the caller's join — a non-deterministic
+        large keys_df must be materialized by the caller. Two stages:
 
         1. BUCKET pruning (always): hash the distinct keys to bucket
            ids — one tiny Spark job whose driver-side result is at
@@ -1203,14 +1211,27 @@ class LakeTable:
            wanted key is ever dropped (prune_files' delta-bucket
            exemption additionally keeps MOR buckets whole).
 
-        Returns (files, sampled_keys, small, want_buckets,
+        Returns (keys, files, sampled_keys, small, want_buckets,
         bucket_stage_file_count)."""
         from .predicate import And, Or, Pred
 
+        schema = self.schema(snap)
         key_cols = snap["key_cols"]
         n = snap["n_buckets"]
+        keys = (
+            keys_df.select(
+                *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
+            )
+            .na.drop()
+            .distinct()
+        )
         sample = keys.limit(probe_limit + 1).collect()
         small = 0 < len(sample) <= probe_limit
+        if small:
+            lookup_schema = T.StructType([schema[c] for c in key_cols])
+            keys = self.spark.createDataFrame(
+                [tuple(r[c] for c in key_cols) for r in sample], lookup_schema
+            )
         want = {
             r["b"]
             for r in keys.select(
@@ -1231,7 +1252,16 @@ class LakeTable:
                 ]
             )
             files = self.prune_files(dict(snap, files=files), tree)
-        return files, sample, small, want, bucket_stage
+        return keys, files, sample, small, want, bucket_stage
+
+    def _reader_schema(self, snap: dict) -> T.StructType:
+        """The schema ``read()`` (and the pruned readers) actually
+        return: the logical schema minus the internal LSN column —
+        empty-result shortcuts must match it exactly or a
+        unionByName with a populated result would fail."""
+        return T.StructType(
+            [f for f in self.schema(snap).fields if f.name != LSN_COL]
+        )
 
     def read_semi(
         self, keys_df: DataFrame, version: int | None = None, probe_limit: int = 1024
@@ -1254,17 +1284,11 @@ class LakeTable:
         I/O optimisation."""
         snap = self.snapshot(version)
         key_cols = snap["key_cols"]
-        schema = self.schema(snap)
-        keys = (
-            keys_df.select(
-                *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
-            )
-            .na.drop()
-            .distinct()
+        keys, files, sample, small, _, _ = self._semi_prune(
+            keys_df, snap, probe_limit
         )
-        files, sample, small, _, _ = self._semi_prune(keys, snap, probe_limit)
         if not files or not sample:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self._reader_schema(snap))
         has_delta = any(f.get("kind", "base") == "delta" for f in files)
         df = self._read_entries(
             files, snap, self._phys_schema(snap), with_seq=has_delta
@@ -1324,7 +1348,7 @@ class LakeTable:
         )
         sample = vals_df.limit(probe_limit + 1).collect()
         if not sample:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self._reader_schema(snap))
         if len(sample) <= probe_limit:
             vals = sorted({r[col] for r in sample})
             files = self.prune_files(snap, Or([Pred(col, "=", v) for v in vals]))
@@ -1347,17 +1371,8 @@ class LakeTable:
         an operator can see WHICH lever pruned (and whether adding an
         equality index on the key columns would help)."""
         snap = self.snapshot(version)
-        key_cols = snap["key_cols"]
-        schema = self.schema(snap)
-        keys = (
-            keys_df.select(
-                *[F.col(c).cast(schema[c].dataType).alias(c) for c in key_cols]
-            )
-            .na.drop()
-            .distinct()
-        )
-        files, sample, small, want, bucket_stage = self._semi_prune(
-            keys, snap, probe_limit
+        _keys, files, sample, small, want, bucket_stage = self._semi_prune(
+            keys_df, snap, probe_limit
         )
         total_bytes = sum(f.get("bytes") or 0 for f in snap["files"])
         kept_bytes = sum(f.get("bytes") or 0 for f in files)
@@ -2106,8 +2121,8 @@ class LakeTable:
         if snap.get("parent") is not None:
             try:
                 parent_ptrs = self.snapshot(snap["parent"]).get("manifests") or {}
-            except FileNotFoundError:
-                parent_ptrs = {}  # parent expired: nothing is provably shared
+            except (FileNotFoundError, json.JSONDecodeError):
+                parent_ptrs = {}  # parent expired/torn: nothing provably shared
         schema = T.StructType(
             [
                 T.StructField("bucket", T.IntegerType()),
@@ -2121,14 +2136,17 @@ class LakeTable:
         rows = []
         for b_str, rel in sorted(ptrs.items(), key=lambda kv: int(kv[0])):
             entries = self._load_manifest(rel)
+            with_stats = [e["rows"] for e in entries if e.get("rows") is not None]
             rows.append(
                 (
                     int(b_str),
                     rel,
                     len(entries),
-                    sum(e["rows"] for e in entries if e.get("rows") is not None)
-                    or None,
-                    sum(e.get("bytes") or 0 for e in entries) or None,
+                    # NULL means "stats unknown", never "sums to zero"
+                    sum(with_stats) if with_stats else None,
+                    sum(e.get("bytes") or 0 for e in entries)
+                    if any(e.get("bytes") is not None for e in entries)
+                    else None,
                     parent_ptrs.get(b_str) == rel,
                 )
             )
@@ -2671,8 +2689,18 @@ class LakeTable:
         mode: str = "cow",
         assume_deduped: bool = False,
         stage_id: str | None = None,
+        covered_batch_ids: "tuple[int, ...]" = (),
     ) -> MergeStats:
         """Apply one microbatch of change events (raw or pre-deduped).
+
+        ``covered_batch_ids``: additional ledger ids this commit
+        atomically marks applied alongside ``batch_id`` — for callers
+        whose one physical merge covers a RANGE of logical batches
+        (the change-feed follower nets several upstream versions per
+        step). Keeping the covered prefix contiguous lets the ledger's
+        hwm fold, so ledger size stays O(1) instead of O(applied
+        steps). Not supported with ``stage_id`` (a staged commit's
+        ledger entry is written at publish).
 
         events columns: key_cols + (lsn, op) + value columns
         (op: 'I'|'U' upsert full row, 'D' delete). Safe to call twice
@@ -2716,6 +2744,8 @@ class LakeTable:
         MergeStats(applied=False, stage_id=...).
         """
         snap = self.snapshot()
+        if covered_batch_ids and stage_id is not None:
+            raise ValueError("covered_batch_ids is not supported with stage_id")
         if self._ledger_contains(snap["ledger"], batch_id):
             return MergeStats(batch_id=batch_id, applied=False, version=snap["version"])
 
@@ -2847,7 +2877,8 @@ class LakeTable:
                 )
             else:
                 st = self._commit_merge(
-                    snap, schema, batch_id, version, new_files, lin_rows, touched, kind="delta"
+                    snap, schema, batch_id, version, new_files, lin_rows, touched,
+                    kind="delta", covered=covered_batch_ids,
                 )
             st.skew_prereduced = skew_prereduced
             return st
@@ -2940,7 +2971,8 @@ class LakeTable:
             )
         else:
             st = self._commit_merge(
-                snap, schema, batch_id, version, new_files, lin_rows, touched, kind="base"
+                snap, schema, batch_id, version, new_files, lin_rows, touched,
+                kind="base", covered=covered_batch_ids,
             )
         st.skew_prereduced = skew_prereduced
         return st
@@ -3019,6 +3051,7 @@ class LakeTable:
         lin_rows,
         touched: list[int],
         kind: str = "base",
+        covered: "tuple[int, ...]" = (),
     ) -> MergeStats:
         """Ledgered snapshot commit with Iceberg-style OPTIMISTIC
         retry: the data files are already durable; if another writer
@@ -3060,7 +3093,9 @@ class LakeTable:
                 schema=schema.jsonValue(),
                 files=files,
                 parent=base["version"],
-                ledger=self._ledger_add(base["ledger"], batch_id),
+                ledger=functools.reduce(
+                    self._ledger_add, [*covered, batch_id], base["ledger"]
+                ),
                 operation="merge-mor" if kind == "delta" else "merge-cow",
             )
             try:

@@ -8,9 +8,11 @@ mirrors, downstream feature tables). Recomputing a derivative per
 upstream commit is O(table); following the change feed is O(changed
 rows). This module packages that as a resumable follower with NO
 separate checkpoint store: the downstream table's own exactly-once
-ledger is the offset ledger — each applied step commits with
-``batch_id = upstream to-version``, so the resume point is read back
-from the ledger and a crash between steps re-applies nothing
+ledger is the offset ledger — each applied step commits zero-based
+upstream-version ids (the whole covered range, so the contiguous
+prefix folds into the ledger hwm and ledger size stays O(1) over any
+number of steps), the resume point is read back from the ledger, and
+a crash between steps re-applies nothing
 (``merge`` no-ops on a seen batch_id; ledger and data commit in the
 same snapshot write, so there is no window where one moved without
 the other). The downstream table must be EXCLUSIVELY follower-fed:
@@ -51,11 +53,14 @@ from ..plans.laketable import LakeTable
 def applied_source_version(dst: LakeTable) -> int:
     """The follower's resume point: the highest upstream version whose
     step committed into ``dst`` — read from dst's own exactly-once
-    ledger (batch ids ARE upstream to-versions), no side checkpoint.
+    ledger, no side checkpoint. Ledger ids are ZERO-BASED upstream
+    versions (id v-1 marks version v applied) and every step records
+    its whole covered range, so the contiguous prefix folds into the
+    ledger's hwm and ledger size stays O(1) over any number of steps.
     0 for a virgin table (upstream version 0 is the empty create)."""
     led = LakeTable._ledger_migrate(dst.snapshot()["ledger"])
     ids = [led["hwm"]] + [int(k) for k in led["extra"]]
-    return max(0, *ids)
+    return max(-1, *ids) + 1
 
 
 def sync_changes(
@@ -77,6 +82,7 @@ def sync_changes(
     cur = src.current_version() if until_version is None else until_version
     v0 = applied_source_version(dst)
     steps = 0
+    skipped = 0
     rows = 0
     while v0 < cur:
         v1 = min(v0 + max_versions_per_batch, cur)
@@ -96,15 +102,22 @@ def sync_changes(
             .otherwise(F.lit("U"))
             .alias("op"),
         )
-        stats = dst.merge(ev, batch_id=v1)
-        steps += 1
+        stats = dst.merge(
+            ev,
+            batch_id=v1 - 1,  # zero-based so the ledger prefix folds
+            covered_batch_ids=tuple(range(v0, v1 - 1)),
+        )
         if stats.applied:
+            steps += 1
             rows += stats.deduped_rows or 0
+        else:
+            skipped += 1  # a concurrent follower won this step
         v0 = v1
     return {
         "applied_through": v0,
         "source_version": cur,
         "steps": steps,
+        "skipped": skipped,
         "rows": rows,
     }
 
