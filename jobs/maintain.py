@@ -141,6 +141,16 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("refs", help="all named refs: main, branches, tags "
                    "(read-only)")
 
+    vf = sub.add_parser("fsck",
+                        help="table integrity check: manifest vs disk "
+                             "(read-only; --deep adds a distributed "
+                             "per-file stats + bucket-invariant audit)")
+    vf.add_argument("--deep", action="store_true",
+                    help="also rescan live files: row counts, LSN "
+                         "bounds, key-hash bucket membership")
+    vf.add_argument("--at", type=int, default=None,
+                    help="verify this snapshot version (default: current)")
+
     ex = sub.add_parser("explain-skip",
                         help="dry-run file skipping for a SQL predicate "
                              "(files/bytes opened vs skipped; read-only)")
@@ -243,6 +253,8 @@ def main(argv: list[str] | None = None) -> int:
             out = {"verb": "compact", "version": after}
         elif args.verb == "stats":
             out = {"verb": "stats", **t.stats()}
+        elif args.verb == "fsck":
+            out = {"verb": "fsck", **t.verify(version=args.at, deep=args.deep)}
         elif args.verb == "history":
             out = {"verb": "history", "entries": t.history()}
         elif args.verb == "compact-lineage":
@@ -355,7 +367,9 @@ def main(argv: list[str] | None = None) -> int:
             out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}
         out["previous_version"] = before
         print(json.dumps(out))
-        return 0
+        # fsck is the one verb whose RESULT is a verdict: non-zero
+        # exit on corruption so schedulers/alerting can key off it
+        return 0 if args.verb != "fsck" or out["ok"] else 3
     finally:
         spark.stop()
 

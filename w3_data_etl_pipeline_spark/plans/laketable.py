@@ -915,13 +915,15 @@ class LakeTable:
         schema: T.StructType,
         with_seq: bool = False,
         with_lineage: bool = False,
+        with_fpath: bool = False,
     ) -> DataFrame:
         if not files:
             df = self.spark.createDataFrame([], schema)
             if with_seq:
                 df = df.withColumn(SEQ_COL, F.lit(None).cast("long"))
-            if with_lineage:
+            if with_lineage or with_fpath:
                 df = df.withColumn("_fpath", F.lit(None).cast("string"))
+            if with_lineage:
                 df = df.withColumn("_ridx", F.lit(None).cast("long"))
             return df
         paths = [os.path.join(self.root, f) for f in files]
@@ -929,11 +931,12 @@ class LakeTable:
         df = self.spark.read.schema(schema).parquet(*paths)
         if with_seq:
             df = df.withColumn(SEQ_COL, F.expr(self._SEQ_EXPR))
-        if with_lineage:
-            # the raw ingredients of inherited row lineage: which file
-            # a row came from and its position in it — joined to the
-            # manifest's first_row_id downstream (_read_entries)
+        if with_lineage or with_fpath:
+            # the raw ingredients of inherited row lineage (and of
+            # verify(deep)'s per-file audit): which file a row came
+            # from — and, for lineage, its position in it
             df = df.withColumn("_fpath", F.col("_metadata.file_path"))
+        if with_lineage:
             df = df.withColumn("_ridx", F.col("_metadata.row_index"))
         return df
 
@@ -944,6 +947,7 @@ class LakeTable:
         phys: T.StructType,
         with_seq: bool = False,
         with_lineage: bool = False,
+        with_fpath: bool = False,
     ) -> DataFrame:
         """Field-id-aware scan of manifest ENTRIES: files are grouped
         by the schema epoch they were written under; each group is
@@ -1001,8 +1005,10 @@ class LakeTable:
             if identity:
                 ident_paths.extend(paths)
             else:
-                extras = ([F.col(SEQ_COL)] if with_seq else []) + (
-                    [F.col("_fpath"), F.col("_ridx")] if with_lineage else []
+                extras = (
+                    ([F.col(SEQ_COL)] if with_seq else [])
+                    + ([F.col("_fpath")] if (with_lineage or with_fpath) else [])
+                    + ([F.col("_ridx")] if with_lineage else [])
                 )
                 mapped.append(
                     self._read_files(
@@ -1010,12 +1016,14 @@ class LakeTable:
                         T.StructType(read_fields),
                         with_seq=with_seq,
                         with_lineage=with_lineage,
+                        with_fpath=with_fpath,
                     ).select(*(cols + extras))
                 )
         out = None
         if ident_paths:
             out = self._read_files(
-                ident_paths, phys, with_seq=with_seq, with_lineage=with_lineage
+                ident_paths, phys, with_seq=with_seq,
+                with_lineage=with_lineage, with_fpath=with_fpath,
             )
         for df in mapped:
             out = df if out is None else out.unionByName(df)
@@ -1023,8 +1031,9 @@ class LakeTable:
             out = self.spark.createDataFrame([], phys)
             if with_seq:
                 out = out.withColumn(SEQ_COL, F.lit(None).cast("long"))
-            if with_lineage:
+            if with_lineage or with_fpath:
                 out = out.withColumn("_fpath", F.lit(None).cast("string"))
+            if with_lineage:
                 out = out.withColumn("_ridx", F.lit(None).cast("long"))
         if with_lineage:
             # inherited row lineage: NULL materialized values resolve to
@@ -1062,7 +1071,10 @@ class LakeTable:
                 .withColumn(
                     LASTSEQ_COL, F.coalesce(F.col(LASTSEQ_COL), F.col("_fseq"))
                 )
-                .drop("_fpath", "_ridx", "_lkey", "_frid", "_fseq")
+                .drop(
+                    *([] if with_fpath else ["_fpath"]),
+                    "_ridx", "_lkey", "_frid", "_fseq",
+                )
             )
         return out
 
@@ -2072,6 +2084,185 @@ class LakeTable:
             for b, d in sorted(per.items())
         ]
         return self.spark.createDataFrame(rows, schema)
+
+    def verify(self, version: int | None = None, deep: bool = False) -> dict:
+        """Table integrity check — the lakehouse ``fsck`` (the Delta
+        FSCK / Iceberg snapshot-validation analogue; the reference's
+        psql-backed pipeline leans on Postgres for this class of
+        invariant, a lake layout must check its own).
+
+        SHALLOW (default) is O(metadata), driver-side, no data file
+        opened: every live manifest entry's data file exists on disk
+        with the recorded size; no path is referenced twice (a
+        double-counted file would double rows silently); bucket ids
+        are in range; equality-index bloom sidecars referenced by
+        ``cset`` resolve; the exactly-once ledger is well-formed
+        (every overflow id strictly above the folded hwm); and the
+        retained commit log loads (tolerating concurrent expiry,
+        like ``history()``).
+
+        DEEP (``deep=True``) adds ONE distributed Spark job over the
+        live (and readable) files that recomputes per-file row counts
+        and LSN bounds against the manifest stats and re-hashes every
+        row's key columns to assert the row lives in its file's
+        bucket — the invariant ALL bucket/key/semi pruning rests on
+        (a misbucketed row would be invisible to read_keys/read_semi
+        forever). O(table) by design: schedule it like a compaction,
+        not per commit; the per-file aggregate collected back is
+        O(files) — metadata-scale, same justification as stats().
+
+        Returns a JSON-able report: ``ok`` is the verdict, the rest
+        is evidence (example lists capped at 20 per category, full
+        counts in ``error_counts``)."""
+        snap = self.snapshot(version)
+        rep: dict = {
+            "version": snap["version"],
+            "files": len(snap["files"]),
+            "missing_files": [],
+            "size_mismatches": [],
+            "duplicate_paths": [],
+            "bad_bucket_ids": [],
+            "missing_index_sidecars": [],
+            "ledger_ok": True,
+            "error_counts": {},
+            "deep": None,
+        }
+
+        def note(key: str, item) -> None:
+            rep["error_counts"][key] = rep["error_counts"].get(key, 0) + 1
+            if len(rep[key]) < 20:
+                rep[key].append(item)
+
+        seen: set[str] = set()
+        readable: list[dict] = []
+        for f in snap["files"]:
+            p = f["path"]
+            if p in seen:
+                note("duplicate_paths", p)
+            seen.add(p)
+            b = f.get("bucket")
+            if not isinstance(b, int) or not 0 <= b < snap["n_buckets"]:
+                note("bad_bucket_ids", {"path": p, "bucket": b})
+            try:
+                size = os.path.getsize(os.path.join(self.root, p))
+            except OSError:
+                note("missing_files", p)
+                continue
+            if f.get("bytes") is not None and size != f["bytes"]:
+                note(
+                    "size_mismatches",
+                    {"path": p, "manifest": f["bytes"], "disk": size},
+                )
+                continue  # a torn file would also fail the parquet read
+            readable.append(f)
+            for col, ref in (f.get("cset") or {}).items():
+                if (
+                    isinstance(ref, str)
+                    and ref.startswith("idx:")
+                    and not os.path.exists(os.path.join(self.root, ref[4:]))
+                ):
+                    note(
+                        "missing_index_sidecars",
+                        {"path": p, "column": col, "ref": ref},
+                    )
+        led = self._ledger_migrate(snap["ledger"])
+        try:
+            rep["ledger_ok"] = all(int(k) > led["hwm"] for k in led["extra"])
+        except (TypeError, ValueError):
+            rep["ledger_ok"] = False
+        if version is None:
+            # loadability sweep of the retained commit log (history()
+            # already skips snapshots expired or torn under our feet)
+            rep["history_snapshots"] = len(self.history())
+        if deep:
+            rep["deep"] = self._verify_deep(snap, readable)
+        rep["ok"] = (
+            not rep["error_counts"]
+            and rep["ledger_ok"]
+            and (rep["deep"] is None or rep["deep"]["ok"])
+        )
+        return rep
+
+    def _verify_deep(self, snap: dict, entries: list[dict]) -> dict:
+        """The distributed half of ``verify``: one field-id-aware scan
+        of ``entries`` tagged with the originating file, aggregated
+        per file (count, LSN bounds, the set of buckets its rows hash
+        to under the CURRENT key columns and bucket count) and checked
+        against each manifest entry. Pre-stats entries (rows=None)
+        skip the count/bounds compare but still get the bucket check."""
+        out: dict = {
+            "files_checked": len(entries),
+            "rows_scanned": 0,
+            "row_count_mismatches": [],
+            "lsn_bound_violations": [],
+            "misbucketed_files": [],
+        }
+        if not entries:
+            out["ok"] = True
+            return out
+        df = self._read_entries(
+            entries, snap, self._phys_schema(snap), with_fpath=True
+        )
+        agg = (
+            df.withColumn("_vb", self._bucket_expr(snap))
+            .groupBy("_fpath")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(LSN_COL).alias("lmin"),
+                F.max(LSN_COL).alias("lmax"),
+                F.collect_set("_vb").alias("row_buckets"),
+            )
+            .collect()
+        )
+        # the same last-3-segment key _read_entries' lineage join uses:
+        # c{version}-{uuid}/_bucket=N/part-*.parquet is unique, and it
+        # strips the file:/ scheme _metadata.file_path carries
+        by_key = {"/".join(r["_fpath"].split("/")[-3:]): r for r in agg}
+
+        def note(key: str, item) -> None:
+            if len(out[key]) < 20:
+                out[key].append(item)
+
+        for e in entries:
+            r = by_key.get("/".join(e["path"].split("/")[-3:]))
+            n = int(r["n"]) if r is not None else 0  # 0-row files don't aggregate
+            out["rows_scanned"] += n
+            if e.get("rows") is not None and n != e["rows"]:
+                note(
+                    "row_count_mismatches",
+                    {"path": e["path"], "manifest": e["rows"], "actual": n},
+                )
+            if r is None:
+                continue
+            if (
+                e.get("lsn_min") is not None
+                and r["lmin"] is not None
+                and (r["lmin"] < e["lsn_min"] or r["lmax"] > e["lsn_max"])
+            ):
+                note(
+                    "lsn_bound_violations",
+                    {
+                        "path": e["path"],
+                        "manifest": [e["lsn_min"], e["lsn_max"]],
+                        "actual": [r["lmin"], r["lmax"]],
+                    },
+                )
+            buckets = {int(b) for b in r["row_buckets"] if b is not None}
+            if buckets and buckets != {int(e["bucket"])}:
+                note(
+                    "misbucketed_files",
+                    {
+                        "path": e["path"],
+                        "bucket": e["bucket"],
+                        "row_buckets": sorted(buckets),
+                    },
+                )
+        out["ok"] = not (
+            out["row_count_mismatches"]
+            or out["lsn_bound_violations"]
+            or out["misbucketed_files"]
+        )
+        return out
 
     def snapshots(self) -> DataFrame:
         """The commit log as a DataFrame — the Iceberg
