@@ -146,6 +146,11 @@ _DEMOTED_TAIL = [
     # must be invisible — plus in-query zero-rewrite/delta-only/fold
     # asserts; sequence tie-break pytest-pinned in tests/test_dml_mor.py
     "cdc_dml_mor",
+    # table integrity check (fsck): full DuckDB LWW oracle, with the
+    # shallow/deep verify verdicts pinned to TRUE as boolean columns
+    # so corruption flips the value hash; every corruption class is
+    # injected + localised in tests/test_verify.py
+    "cdc_fsck",
 ]
 
 

@@ -2395,3 +2395,104 @@ def cdc_follow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out_schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
+    "cdc_fsck",
+    """
+    WITH last AS (
+      SELECT user_id, event_type, event_id FROM (
+        SELECT user_id, event_type, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MIN(event_id) AS BIGINT) AS min_last,
+           CAST(MAX(event_id) AS BIGINT) AS max_last,
+           TRUE AS fsck_ok,
+           TRUE AS fsck_deep_ok
+    FROM last WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def cdc_fsck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table integrity check under the value-hash gate: events are
+    applied as three MOR batches then compacted (so verify sees a
+    real base+delta->base lifecycle), ``verify(deep=True)`` must come
+    back clean — its shallow and deep verdicts ride the output as
+    BOOLEAN COLUMNS the DuckDB oracle pins to TRUE, so a silently
+    corrupted table flips the value hash, not just a local assert —
+    and the final LWW state must still match the oracle's
+    last-writer-wins reduction of the raw stream."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_fsck_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        for i in range(3):
+            table.merge(
+                ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i), i, mode="mor"
+            )
+        table.compact()
+        rep = table.verify(deep=True)
+        if not rep["ok"]:  # fail fast locally; the hash gate sees the columns
+            raise AssertionError(f"fsck failed on a freshly built table: {rep}")
+        out_schema = T.StructType(
+            [
+                T.StructField("event_type", T.StringType()),
+                T.StructField("n_keys", T.LongType()),
+                T.StructField("min_last", T.LongType()),
+                T.StructField("max_last", T.LongType()),
+                T.StructField("fsck_ok", T.BooleanType()),
+                T.StructField("fsck_deep_ok", T.BooleanType()),
+            ]
+        )
+        rows = (
+            table.read()
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.min("event_id").alias("min_last"),
+                F.max("event_id").alias("max_last"),
+            )
+            .withColumn("fsck_ok", F.lit(bool(rep["ok"])))
+            .withColumn("fsck_deep_ok", F.lit(bool(rep["deep"]["ok"])))
+            .select(
+                "event_type", "n_keys", "min_last", "max_last",
+                "fsck_ok", "fsck_deep_ok",
+            )
+            .collect()
+        )
+        # O(event types) rows, materialized before the tempdir is removed
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
