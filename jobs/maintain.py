@@ -184,6 +184,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="append per-matched-key tombstones instead of "
                          "rewriting buckets (cost ~ matched rows; "
                          "compact folds them later)")
+    de.add_argument("--dv", action="store_true",
+                    help="append positional deletion vectors instead "
+                         "(cost ~ masked positions; reads stay "
+                         "shuffle-free; compact folds them later)")
 
     up = sub.add_parser("update",
                         help="row-level UPDATE ... SET ... WHERE (RHS sees "
@@ -323,9 +327,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.verb == "constraints":
             out = {"verb": "constraints", "constraints": t.constraints()}
         elif args.verb == "delete":
+            if args.mor and args.dv:
+                raise SystemExit("--mor and --dv are mutually exclusive")
+            mode = "dv" if args.dv else ("mor" if args.mor else "cow")
             out = {"verb": "delete", "predicate": args.predicate,
-                   **t.delete_where(args.predicate,
-                                    mode="mor" if args.mor else "cow")}
+                   **t.delete_where(args.predicate, mode=mode)}
         elif args.verb == "update":
             sets = {}
             for a in args.assignments:

@@ -332,7 +332,13 @@ class LakeTable:
             nxt = int(snap.get("next_row_id") or 0)
             assigned = []
             for e in files:
-                if "first_row_id" not in e and e.get("rows") is not None:
+                if (
+                    "first_row_id" not in e
+                    and e.get("rows") is not None
+                    # deletion vectors hold no data rows: assigning an
+                    # id range would burn ids and shift nothing
+                    and e.get("kind", "base") != "dv"
+                ):
                     e = {**e, "first_row_id": nxt}
                     nxt += int(e["rows"])
                 assigned.append(e)
@@ -916,6 +922,7 @@ class LakeTable:
         with_seq: bool = False,
         with_lineage: bool = False,
         with_fpath: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         if not files:
             df = self.spark.createDataFrame([], schema)
@@ -925,6 +932,9 @@ class LakeTable:
                 df = df.withColumn("_fpath", F.lit(None).cast("string"))
             if with_lineage:
                 df = df.withColumn("_ridx", F.lit(None).cast("long"))
+            if with_pos:
+                df = df.withColumn("_fkey", F.lit(None).cast("string"))
+                df = df.withColumn("_fpos", F.lit(None).cast("long"))
             return df
         paths = [os.path.join(self.root, f) for f in files]
         # explicit schema => old files missing newly-added columns read as NULL
@@ -938,6 +948,14 @@ class LakeTable:
             df = df.withColumn("_fpath", F.col("_metadata.file_path"))
         if with_lineage:
             df = df.withColumn("_ridx", F.col("_metadata.row_index"))
+        if with_pos:
+            # (file key, row position): the coordinates deletion-vector
+            # masks are expressed in — independent columns from the
+            # lineage pair above so the two features compose freely
+            df = df.withColumn(
+                "_fkey",
+                F.substring_index(F.col("_metadata.file_path"), "/", -3),
+            ).withColumn("_fpos", F.col("_metadata.row_index"))
         return df
 
     def _read_entries(
@@ -948,6 +966,7 @@ class LakeTable:
         with_seq: bool = False,
         with_lineage: bool = False,
         with_fpath: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Field-id-aware scan of manifest ENTRIES: files are grouped
         by the schema epoch they were written under; each group is
@@ -1009,6 +1028,7 @@ class LakeTable:
                     ([F.col(SEQ_COL)] if with_seq else [])
                     + ([F.col("_fpath")] if (with_lineage or with_fpath) else [])
                     + ([F.col("_ridx")] if with_lineage else [])
+                    + ([F.col("_fkey"), F.col("_fpos")] if with_pos else [])
                 )
                 mapped.append(
                     self._read_files(
@@ -1017,6 +1037,7 @@ class LakeTable:
                         with_seq=with_seq,
                         with_lineage=with_lineage,
                         with_fpath=with_fpath,
+                        with_pos=with_pos,
                     ).select(*(cols + extras))
                 )
         out = None
@@ -1024,6 +1045,7 @@ class LakeTable:
             out = self._read_files(
                 ident_paths, phys, with_seq=with_seq,
                 with_lineage=with_lineage, with_fpath=with_fpath,
+                with_pos=with_pos,
             )
         for df in mapped:
             out = df if out is None else out.unionByName(df)
@@ -1035,6 +1057,9 @@ class LakeTable:
                 out = out.withColumn("_fpath", F.lit(None).cast("string"))
             if with_lineage:
                 out = out.withColumn("_ridx", F.lit(None).cast("long"))
+            if with_pos:
+                out = out.withColumn("_fkey", F.lit(None).cast("string"))
+                out = out.withColumn("_fpos", F.lit(None).cast("long"))
         if with_lineage:
             # inherited row lineage: NULL materialized values resolve to
             # first_row_id(file) + row position / the file's data-
@@ -1077,6 +1102,87 @@ class LakeTable:
                 )
             )
         return out
+
+    # ----- deletion vectors (Iceberg v3 positional-delete analogue) ----
+    #
+    # A DV file is a bucket-scoped parquet of (file key, row position)
+    # pairs naming physical rows that are DELETED from the snapshot's
+    # data files — manifest kind='dv'. Masks apply by broadcast
+    # ANTI-JOIN on (_fkey, _fpos) at scan time, BEFORE MOR resolution,
+    # so they never add a shuffle: after a DV-only delete on a COW
+    # table a full read is still exchange-free (the headline advantage
+    # over equality-tombstone MOR, whose resolution costs a key
+    # shuffle). delete_where(mode='dv') masks EVERY physical version
+    # of a matched key — masking only the winning row would resurrect
+    # the previous version. A bucket rewrite (COW merge / compact /
+    # DML / rebucket) folds the bucket's masks away with the files
+    # they reference.
+    _DV_SCHEMA = "_dv_fkey string, _dv_pos long"
+    _DV_BROADCAST_MAX = 4_000_000  # masked positions; ~100 MB broadcast
+
+    @staticmethod
+    def _file_key(path: str) -> str:
+        """Last-3-segments file key — c{ver}-{uuid}/_bucket=N/part-*
+        is unique per data file; the same key the row-lineage join
+        and _verify_deep use (substring_index(_metadata.file_path,
+        '/', -3) reduces to it, scheme-independently)."""
+        return "/".join(path.split("/")[-3:])
+
+    def _scan(
+        self,
+        files: list[dict],
+        snap: dict,
+        meta_snap: dict | None = None,
+        phys: T.StructType | None = None,
+        with_lineage: bool = False,
+        keep_pos: bool = False,
+    ) -> tuple[DataFrame, bool]:
+        """THE manifest-entry scan every reader and fold path goes
+        through: splits deletion-vector entries out of ``files``,
+        reads the data entries (field-id/epoch-aware, with scan-time
+        data-sequence numbers whenever MOR deltas are present), and
+        applies the snapshot's DV masks for the scanned buckets.
+        Returns ``(df, has_delta)`` — has_delta tells the caller
+        whether max-LSN resolution is still required. Masks are
+        re-derived from ``snap`` by bucket, so a caller passing a
+        bounds-pruned file list can never lose one. ``meta_snap``
+        overrides the snapshot used for field-id/epoch resolution
+        (the change feed reads snap_a's files through snap_b's
+        name_log). With no DV entries in scope this is plan-identical
+        to the pre-DV direct _read_entries call."""
+        meta = meta_snap or snap
+        data = [f for f in files if f.get("kind", "base") != "dv"]
+        bks = {f["bucket"] for f in data}
+        dv = [
+            f
+            for f in snap["files"]
+            if f.get("kind", "base") == "dv" and f["bucket"] in bks
+        ]
+        has_delta = any(f.get("kind", "base") == "delta" for f in data)
+        df = self._read_entries(
+            data,
+            meta,
+            phys or self._phys_schema(meta),
+            with_seq=has_delta,
+            with_lineage=with_lineage,
+            with_pos=bool(dv) or keep_pos,
+        )
+        if dv:
+            mask = (
+                self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(*[os.path.join(self.root, f["path"]) for f in dv])
+                .select(
+                    F.col("_dv_fkey").alias("_fkey"),
+                    F.col("_dv_pos").alias("_fpos"),
+                )
+            )
+            known = [f.get("rows") for f in dv]
+            if all(r is not None for r in known) and sum(known) <= self._DV_BROADCAST_MAX:
+                mask = F.broadcast(mask)
+            df = df.join(mask, ["_fkey", "_fpos"], "left_anti")
+            if not keep_pos:
+                df = df.drop("_fkey", "_fpos")
+        return df, has_delta
 
     def _phys_schema(self, snap: dict) -> T.StructType:
         """On-disk read schema: table schema + the _op tombstone column
@@ -1124,13 +1230,8 @@ class LakeTable:
                 "row lineage is not enabled on this table "
                 "(LakeTable.enable_row_lineage / create(row_lineage=True))"
             )
-        has_delta = any(f.get("kind", "base") == "delta" for f in snap["files"])
-        df = self._read_entries(
-            snap["files"],
-            snap,
-            self._phys_schema(snap),
-            with_seq=has_delta,
-            with_lineage=include_lineage,
+        df, has_delta = self._scan(
+            snap["files"], snap, with_lineage=include_lineage
         )
         if has_delta:
             df = self._resolve(df, snap)
@@ -1163,10 +1264,7 @@ class LakeTable:
         ).distinct().collect():
             want_buckets.add(r["b"])
         files = [f for f in snap["files"] if f["bucket"] in want_buckets]
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        df = self._read_entries(
-            files, snap, self._phys_schema(snap), with_seq=has_delta
-        )
+        df, has_delta = self._scan(files, snap)
         # ROW-GROUP SKIPPING inside the surviving buckets: merge writes
         # each bucket's rows key-sorted (_first_per_key's window sort
         # is (_bucket, keys asc, ...) and the partitioned write keeps
@@ -1254,7 +1352,11 @@ class LakeTable:
             .distinct()
             .collect()
         }
-        files = [f for f in snap["files"] if f["bucket"] in want]
+        files = [
+            f
+            for f in snap["files"]
+            if f["bucket"] in want and f.get("kind", "base") != "dv"
+        ]  # data entries only — _scan re-attaches the buckets' DV masks
         bucket_stage = len(files)
         if small:
             tree = And(
@@ -1301,10 +1403,7 @@ class LakeTable:
         )
         if not files or not sample:
             return self.spark.createDataFrame([], self._reader_schema(snap))
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        df = self._read_entries(
-            files, snap, self._phys_schema(snap), with_seq=has_delta
-        )
+        df, has_delta = self._scan(files, snap)
         if small:
             # row-group skipping inside surviving files: per-column
             # In() is a superset of the wanted tuples (every row of a
@@ -1364,10 +1463,7 @@ class LakeTable:
         if len(sample) <= probe_limit:
             vals = sorted({r[col] for r in sample})
             files = self.prune_files(snap, Or([Pred(col, "=", v) for v in vals]))
-            has_delta = any(f.get("kind", "base") == "delta" for f in files)
-            df = self._read_entries(
-                files, snap, self._phys_schema(snap), with_seq=has_delta
-            )
+            df, has_delta = self._scan(files, snap)
             if has_delta:
                 df = self._resolve(df, snap)
             df = df.drop(LSN_COL, OP_COL)
@@ -1672,12 +1768,19 @@ class LakeTable:
         delta_buckets = {
             f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
         }
+        # DV entries are masks, not data: they never satisfy a predicate
+        # themselves and _scan re-attaches them by bucket at read time,
+        # so pruning excludes them (a dv entry admitted here would
+        # otherwise mark its bucket 'touched' in DML for no reason)
         return [
             f
             for f in snap["files"]
-            if f["bucket"] in delta_buckets
-            or tree is None
-            or not evaluate_excludes(tree, lambda p, _f=f: _leaf_excludes(_f, p))
+            if f.get("kind", "base") != "dv"
+            and (
+                f["bucket"] in delta_buckets
+                or tree is None
+                or not evaluate_excludes(tree, lambda p, _f=f: _leaf_excludes(_f, p))
+            )
         ]
 
     def read_where(
@@ -1695,10 +1798,7 @@ class LakeTable:
         O(matching) files instead of every live file."""
         snap = self.snapshot(version)
         files = self.prune_files(snap, predicates)
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        df = self._read_entries(
-            files, snap, self._phys_schema(snap), with_seq=has_delta
-        )
+        df, has_delta = self._scan(files, snap)
         if has_delta:
             df = self._resolve(df, snap)
         df = df.drop(LSN_COL, OP_COL)
@@ -1745,22 +1845,31 @@ class LakeTable:
         snap = self.snapshot(version)
         kept = self.prune_files(snap, predicates)
         kept_paths = {f["path"] for f in kept}
+        # data entries only: DV masks are neither kept nor skipped by a
+        # predicate — they ride the surviving buckets (reported below)
+        data = [f for f in snap["files"] if f.get("kind", "base") != "dv"]
         delta_buckets = {
-            f["bucket"] for f in snap["files"] if f.get("kind", "base") == "delta"
+            f["bucket"] for f in data if f.get("kind", "base") == "delta"
         }
-        base_only = [f for f in snap["files"] if f["bucket"] not in delta_buckets]
+        base_only = [f for f in data if f["bucket"] not in delta_buckets]
         kept_if_no_deltas = (
             self.prune_files(dict(snap, files=base_only), predicates)
             if delta_buckets
             else kept
         )
-        total_bytes = sum(f.get("bytes") or 0 for f in snap["files"])
+        total_bytes = sum(f.get("bytes") or 0 for f in data)
         kept_bytes = sum(f.get("bytes") or 0 for f in kept)
+        kept_buckets = {f["bucket"] for f in kept}
         return {
             "version": snap["version"],
-            "files_total": len(snap["files"]),
+            "files_total": len(data),
             "files_kept": len(kept),
-            "files_skipped": len(snap["files"]) - len(kept),
+            "files_skipped": len(data) - len(kept),
+            "dv_mask_files": sum(
+                1
+                for f in snap["files"]
+                if f.get("kind", "base") == "dv" and f["bucket"] in kept_buckets
+            ),
             "bytes_total": total_bytes,
             "bytes_kept": kept_bytes,
             "bytes_skipped": total_bytes - kept_bytes,
@@ -1849,13 +1958,14 @@ class LakeTable:
 
         def _side(snap: dict) -> DataFrame:
             files = [f for f in snap["files"] if f["bucket"] in changed]
-            has_delta = any(f.get("kind", "base") == "delta" for f in files)
             # field-id meta from snap_b: name_log is append-only, so it
             # resolves snap_a-era epochs too — the feed sees ONE
-            # continuous column across a rename boundary
-            df = self._read_entries(
-                files, snap_b, phys,
-                with_seq=has_delta, with_lineage=include_row_ids,
+            # continuous column across a rename boundary. DV masks come
+            # from each SIDE's snapshot (_scan's ``snap`` arg), so a
+            # dv-delete between the versions diffs as deletes.
+            df, has_delta = self._scan(
+                files, snap, meta_snap=snap_b, phys=phys,
+                with_lineage=include_row_ids,
             )
             if has_delta:
                 df = self._resolve(df, snap)
@@ -1949,7 +2059,8 @@ class LakeTable:
         (consumers must treat totals as partial when it is > 0)."""
         snap = self.snapshot(version)
         per_kind = {"base": {"files": 0, "rows": 0, "bytes": 0},
-                    "delta": {"files": 0, "rows": 0, "bytes": 0}}
+                    "delta": {"files": 0, "rows": 0, "bytes": 0},
+                    "dv": {"files": 0, "rows": 0, "bytes": 0}}
         buckets_with_deltas: set[int] = set()
         no_stats = 0
         lsn_max = None
@@ -1966,7 +2077,7 @@ class LakeTable:
                 buckets_with_deltas.add(f["bucket"])
             if f.get("lsn_max") is not None:
                 lsn_max = f["lsn_max"] if lsn_max is None else max(lsn_max, f["lsn_max"])
-        base, delta = per_kind["base"], per_kind["delta"]
+        base, delta, dv = per_kind["base"], per_kind["delta"], per_kind["dv"]
         return {
             "version": snap["version"],
             "n_buckets": snap["n_buckets"],
@@ -1974,13 +2085,22 @@ class LakeTable:
             "ledger_hwm": snap["ledger"]["hwm"],
             "base_files": base["files"],
             "delta_files": delta["files"],
+            # deletion vectors: masked positions are pending READ debt
+            # like delta rows (an anti-join per scan until compaction
+            # folds them), and their rows subtract from the totals —
+            # so row totals are upper bounds whenever dv files exist
+            "dv_files": dv["files"],
+            "dv_rows": dv["rows"],
             "files_without_stats": no_stats,
             "rows": base["rows"] + delta["rows"],
-            "rows_exact": delta["files"] == 0 and no_stats == 0,
+            "rows_exact": delta["files"] == 0 and no_stats == 0
+            and dv["files"] == 0,
             "bytes": base["bytes"] + delta["bytes"],
             "delta_rows": delta["rows"],
             "delta_debt": (
-                round(delta["rows"] / base["rows"], 4) if base["rows"] else None
+                round((delta["rows"] + dv["rows"]) / base["rows"], 4)
+                if base["rows"]
+                else None
             ),
             "buckets_with_deltas": len(buckets_with_deltas),
             "lsn_max": lsn_max,
@@ -2042,15 +2162,19 @@ class LakeTable:
             b = per.setdefault(
                 int(f["bucket"]),
                 {
-                    "base_files": 0, "delta_files": 0,
-                    "rows": 0, "bytes": 0, "delta_rows": 0,
+                    "base_files": 0, "delta_files": 0, "dv_files": 0,
+                    "rows": 0, "bytes": 0, "delta_rows": 0, "dv_rows": 0,
                     "lsn_max": None, "no_stats": 0,
                 },
             )
             kind = f.get("kind", "base")
-            b["base_files" if kind == "base" else "delta_files"] += 1
+            b[f"{kind}_files" if kind in ("delta", "dv") else "base_files"] += 1
             if f.get("rows") is None:
                 b["no_stats"] += 1
+            elif kind == "dv":
+                # masks, not data: masked-position count reported
+                # separately, never into the row/byte totals
+                b["dv_rows"] += f["rows"]
             else:
                 b["rows"] += f["rows"]
                 b["bytes"] += f.get("bytes") or 0
@@ -2067,9 +2191,11 @@ class LakeTable:
                 T.StructField("bucket", T.IntegerType()),
                 T.StructField("base_files", T.IntegerType()),
                 T.StructField("delta_files", T.IntegerType()),
+                T.StructField("dv_files", T.IntegerType()),
                 T.StructField("rows", T.LongType()),
                 T.StructField("bytes", T.LongType()),
                 T.StructField("delta_rows", T.LongType()),
+                T.StructField("dv_rows", T.LongType()),
                 T.StructField("lsn_max", T.LongType()),
                 T.StructField("files_without_stats", T.IntegerType()),
             ]
@@ -2077,8 +2203,8 @@ class LakeTable:
         rows = [
             (
                 b,
-                d["base_files"], d["delta_files"],
-                d["rows"], d["bytes"], d["delta_rows"],
+                d["base_files"], d["delta_files"], d["dv_files"],
+                d["rows"], d["bytes"], d["delta_rows"], d["dv_rows"],
                 d["lsn_max"], d["no_stats"],
             )
             for b, d in sorted(per.items())
@@ -2196,8 +2322,11 @@ class LakeTable:
             "row_count_mismatches": [],
             "lsn_bound_violations": [],
             "misbucketed_files": [],
+            "dv_dangling_refs": [],
         }
-        if not entries:
+        dv_entries = [f for f in entries if f.get("kind", "base") == "dv"]
+        entries = [f for f in entries if f.get("kind", "base") != "dv"]
+        if not entries and not dv_entries:
             out["ok"] = True
             return out
         df = self._read_entries(
@@ -2257,10 +2386,81 @@ class LakeTable:
                         "row_buckets": sorted(buckets),
                     },
                 )
+        if dv_entries:
+            # deletion-vector audit: recount each dv file against its
+            # manifest entry, and check every (file key, position) it
+            # masks names a LIVE same-bucket data file at a position
+            # inside that file's recorded row count — a dangling ref
+            # is inert at read time (the anti-join just misses) but
+            # means the mask no longer covers what the delete matched.
+            dvdf = (
+                self.spark.read.schema(self._DV_SCHEMA)
+                .parquet(
+                    *[os.path.join(self.root, f["path"]) for f in dv_entries]
+                )
+                .withColumn("_fpath", F.col("_metadata.file_path"))
+            )
+            live = self.spark.createDataFrame(
+                [
+                    (self._file_key(e["path"]), e.get("rows"), int(e["bucket"]))
+                    for e in entries
+                ]
+                or [(None, None, None)],
+                "_lk string, _lrows long, _lbucket int",
+            )
+            agg2 = (
+                dvdf.join(
+                    F.broadcast(live),
+                    F.col("_dv_fkey").eqNullSafe(F.col("_lk")),
+                    "left",
+                )
+                .groupBy("_fpath")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(
+                        (
+                            F.col("_lk").isNull()
+                            | (
+                                F.col("_lrows").isNotNull()
+                                & (F.col("_dv_pos") >= F.col("_lrows"))
+                            )
+                            # a mask must stay in its target's bucket —
+                            # a cross-bucket ref would silently miss on
+                            # any bucket-pruned read
+                            | (
+                                F.col("_lbucket").isNotNull()
+                                & (
+                                    F.regexp_extract(
+                                        F.col("_fpath"), "_bucket=([0-9]+)", 1
+                                    ).cast("int")
+                                    != F.col("_lbucket")
+                                )
+                            )
+                        ).cast("long")
+                    ).alias("dangling"),
+                )
+                .collect()
+            )
+            by_key2 = {self._file_key(r["_fpath"]): r for r in agg2}
+            for e in dv_entries:
+                r = by_key2.get(self._file_key(e["path"]))
+                n = int(r["n"]) if r is not None else 0
+                out["rows_scanned"] += n
+                if e.get("rows") is not None and n != e["rows"]:
+                    if len(out["row_count_mismatches"]) < 20:
+                        out["row_count_mismatches"].append(
+                            {"path": e["path"], "manifest": e["rows"], "actual": n}
+                        )
+                if r is not None and int(r["dangling"] or 0):
+                    if len(out["dv_dangling_refs"]) < 20:
+                        out["dv_dangling_refs"].append(
+                            {"path": e["path"], "count": int(r["dangling"])}
+                        )
         out["ok"] = not (
             out["row_count_mismatches"]
             or out["lsn_bound_violations"]
             or out["misbucketed_files"]
+            or out["dv_dangling_refs"]
         )
         return out
 
@@ -3087,11 +3287,11 @@ class LakeTable:
         # data-sequence tie-break among TARGET rows (base vs MOR
         # delta/DML images at equal _lsn); events still outrank all
         # target rows at equal _lsn via _src
-        tgt_seq = any(f.get("kind", "base") == "delta" for f in old_files)
         lineage_on = bool(snap.get("row_lineage"))
-        tgt = self._read_entries(
-            old_files, snap, phys, with_seq=tgt_seq, with_lineage=lineage_on
-        ).withColumn(
+        tgt, tgt_seq = self._scan(
+            old_files, snap, phys=phys, with_lineage=lineage_on
+        )
+        tgt = tgt.withColumn(
             "_bucket", self._bucket_expr(snap)
         ).withColumn("_src", F.lit(0))
         ev_aligned = deduped.select(
@@ -3480,13 +3680,15 @@ class LakeTable:
             ] + doc["new_files"]
         pseudo["schema"] = doc["schema"]
         pseudo["files"] = files
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        df = self._read_entries(
-            files,
-            pseudo,
-            self._phys_schema(pseudo),
-            with_seq=has_delta and scope != "batch",
-        )
+        if scope == "batch":
+            # staged files only — merges never stage DV entries, so a
+            # direct entry read (no mask, no seq) is exact
+            df = self._read_entries(
+                files, pseudo, self._phys_schema(pseudo), with_seq=False
+            )
+            has_delta = False
+        else:
+            df, has_delta = self._scan(files, pseudo)
         if scope == "batch":
             if not include_meta and OP_COL in df.columns:
                 df = df.filter(
@@ -4008,7 +4210,15 @@ class LakeTable:
             # bounds can only leave an out-of-scope bucket alone, never
             # mis-resolve one.
             relabeled = dict(
-                snap, files=[{**f, "kind": "base"} for f in snap["files"]]
+                snap,
+                files=[
+                    {**f, "kind": "base"}
+                    for f in snap["files"]
+                    # DV entries carry no value bounds to judge — scope
+                    # is decided by the DATA files; a scoped bucket's
+                    # dv masks fold with it via the bucket-whole fold
+                    if f.get("kind", "base") != "dv"
+                ],
             )
             scope = {f["bucket"] for f in self.prune_files(relabeled, where)}
             if not scope:
@@ -4029,7 +4239,10 @@ class LakeTable:
             rows: Counter = Counter()
             unknown: set[int] = set()
             for f in snap["files"]:
-                if f.get("kind", "base") != "delta":
+                # deletion vectors are read debt exactly like delta
+                # rows (one anti-join per scan until folded), so they
+                # count toward both compaction triggers
+                if f.get("kind", "base") not in ("delta", "dv"):
                     continue
                 dc[f["bucket"]] += 1
                 if f.get("rows") is None:
@@ -4050,13 +4263,13 @@ class LakeTable:
             kept_files = [f for f in snap["files"] if f["bucket"] not in fold]
         # resolving a bucket subset is safe: _bucket is a pure function
         # of the key, so every row of a key lives in exactly one bucket
-        # and all of that bucket's files are in the fold set
-        has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
-        df = self._read_entries(
+        # and all of that bucket's files are in the fold set. DV masks
+        # apply inside the fold read and the folded buckets' dv entries
+        # are in fold_files, so the rewrite retires them with the files
+        # they mask.
+        df, has_delta = self._scan(
             fold_files,
             snap,
-            self._phys_schema(snap),
-            with_seq=has_delta,
             # compact destroys the inheritance base (files are folded
             # away), so it must MATERIALIZE lineage: reading with
             # lineage turns the derived values into plain columns the
@@ -4158,8 +4371,13 @@ class LakeTable:
         max_retries: int,
         mode: str = "cow",
     ) -> dict:
-        if mode not in ("cow", "mor"):
-            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+        if mode not in ("cow", "mor", "dv"):
+            raise ValueError(f"mode must be 'cow', 'mor' or 'dv', got {mode!r}")
+        if mode == "dv" and what != "delete":
+            # Iceberg v3 DVs are delete-only; an update is a DV delete
+            # of the old positions plus an insert of full new images,
+            # which is exactly what mode='mor' already writes
+            raise ValueError("mode='dv' supports delete_where only")
         if assignments is not None:
             snap = self.snapshot()
             protected = set(snap["key_cols"]) | {LSN_COL, OP_COL}
@@ -4205,18 +4423,16 @@ class LakeTable:
         # in exactly one bucket and MOR resolution needs all of them
         fold_files = [f for f in snap["files"] if f["bucket"] in touched]
         kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
-        has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
         lineage_on = bool(snap.get("row_lineage"))
-        df = self._read_entries(
-            fold_files,
-            snap,
-            self._phys_schema(snap),
-            with_seq=has_delta,
-            with_lineage=lineage_on,
+        df, has_delta = self._scan(
+            fold_files, snap, with_lineage=lineage_on,
+            keep_pos=(mode == "dv"),
         )
+        raw = df  # pre-resolution physical rows (DV mode masks ALL of
+        # a matched key's versions, not just the resolved winner)
         if has_delta:
             df = self._resolve(df, snap)
-        df = df.drop(OP_COL)
+        df = df.drop(OP_COL, *(["_fkey", "_fpos"] if mode == "dv" else []))
         hit = self._pred_cond(predicates).eqNullSafe(F.lit(True))
         # one counting pass (predicate pushed into the pruned scan):
         # buys the no-op early exit when bounds over-admitted, and the
@@ -4234,6 +4450,53 @@ class LakeTable:
             "rows_changed": n_hit,
             "mode": mode,
         }
+        if mode == "dv":
+            # positional deletion vectors (Iceberg v3 DV / Delta
+            # deletion-vector analogue): append (file key, position)
+            # pairs naming EVERY physical row of the matched keys —
+            # base rows, MOR images, tombstones alike (masking only the
+            # resolved winner would resurrect the previous version).
+            # Matched keys come from the RESOLVED view, so SQL DELETE
+            # semantics hold under pending deltas. Write cost ∝ masked
+            # positions (two tiny columns — no key strings, no value
+            # columns); and unlike equality tombstones the masks add NO
+            # resolution shuffle at read time: a DV-only table scans
+            # exchange-free through one broadcast anti-join.
+            hit_keys = (
+                df.filter(hit).select(*snap["key_cols"]).distinct()
+            )
+            par = self.spark.sparkContext.defaultParallelism
+            dv_rows = (
+                raw.join(hit_keys, snap["key_cols"], "left_semi")
+                .select(
+                    F.col("_fkey").alias("_dv_fkey"),
+                    F.col("_fpos").alias("_dv_pos"),
+                    self._bucket_expr(snap).alias("_bucket"),
+                )
+                .repartition(max(1, min(len(touched), par)), "_bucket")
+            )
+            files = self._write_data(
+                dv_rows, snap, version, kind="dv", pre_bucketed=True,
+                enforce_constraints=False,
+            )
+            new = dict(snap)
+            new.update(
+                version=version,
+                files=snap["files"] + files,
+                parent=snap["version"],
+                operation=what,
+                dml=dml_audit,
+            )
+            self._write_snapshot(new)
+            return {
+                "operation": what,
+                "version": version,
+                "applied": True,
+                "rows_changed": n_hit,
+                "buckets_rewritten": 0,
+                "dv_files": len(files),
+                "files_skipped": len(snap["files"]) - len(fold_files),
+            }
         if mode == "mor":
             # merge-on-read DML: append only the MATCHED rows' new
             # images as delta files — tombstones for delete, updated
@@ -4428,15 +4691,8 @@ class LakeTable:
             }
         fold_files = [f for f in snap["files"] if f["bucket"] in touched]
         kept_files = [f for f in snap["files"] if f["bucket"] not in touched]
-        has_delta = any(f.get("kind", "base") == "delta" for f in fold_files)
         lineage_on = bool(snap.get("row_lineage"))
-        tgt = self._read_entries(
-            fold_files,
-            snap,
-            self._phys_schema(snap),
-            with_seq=has_delta,
-            with_lineage=lineage_on,
-        )
+        tgt, has_delta = self._scan(fold_files, snap, with_lineage=lineage_on)
         if has_delta:
             tgt = self._resolve(tgt, snap)
         tgt = tgt.drop(OP_COL)
@@ -4621,10 +4877,7 @@ class LakeTable:
             r["_bucket"] for r in ev.select("_bucket").distinct().collect()
         }  # O(n_buckets) metadata collect, same as merge's lineage pre-pass
         files = [f for f in snap["files"] if f["bucket"] in touched]
-        has_delta = any(f.get("kind", "base") == "delta" for f in files)
-        base = self._read_entries(
-            files, snap, self._phys_schema(snap), with_seq=has_delta
-        )
+        base, has_delta = self._scan(files, snap)
         if has_delta:
             from ..operators.dedupe import latest_by_key
 
@@ -4742,18 +4995,12 @@ class LakeTable:
             snap = self.snapshot()
             if snap["n_buckets"] == n_buckets:
                 return snap["version"]
-            has_delta = any(
-                f.get("kind", "base") == "delta" for f in snap["files"]
-            )
-            # _read_entries (not raw _read_files): epoch-aware rename/
-            # drop mapping, and — like compact — a rebucket destroys
-            # the row-lineage inheritance base, so it must MATERIALIZE
-            # _row_id/_last_seq into the rewritten files
-            df = self._read_entries(
-                snap["files"],
-                snap,
-                self._phys_schema(snap),
-                with_seq=has_delta,
+            # _scan (not raw _read_files): epoch-aware rename/drop
+            # mapping + DV masking, and — like compact — a rebucket
+            # destroys the row-lineage inheritance base, so it must
+            # MATERIALIZE _row_id/_last_seq into the rewritten files
+            df, has_delta = self._scan(
+                snap["files"], snap,
                 with_lineage=bool(snap.get("row_lineage")),
             )
             if has_delta:
