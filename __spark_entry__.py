@@ -146,6 +146,12 @@ _DEMOTED_TAIL = [
     # must be invisible — plus in-query zero-rewrite/delta-only/fold
     # asserts; sequence tie-break pytest-pinned in tests/test_dml_mor.py
     "cdc_dml_mor",
+    # positional deletion vectors: same LWW-delete oracle shape as
+    # cdc_dml_mor (storage strategy invisible), plus in-query asserts
+    # that only dv masks were added and the masked read plans no
+    # shuffle; no-resurrection/lineage/fsck interplay pytest-pinned
+    # in tests/test_dv.py
+    "cdc_delete_dv",
     # table integrity check (fsck): full DuckDB LWW oracle, with the
     # shallow/deep verify verdicts pinned to TRUE as boolean columns
     # so corruption flips the value hash; every corruption class is

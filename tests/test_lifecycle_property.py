@@ -185,8 +185,8 @@ def test_random_lifecycle_matches_model(spark, tmp_path, seed):
     merge_batch("cow")  # non-empty start
     for step in range(N_OPS):
         op = rng.choice(
-            ["cow", "cow", "mor", "dml", "compact", "add", "rename", "drop",
-             "rebucket"]
+            ["cow", "cow", "mor", "dml", "dvdel", "compact", "add", "rename",
+             "drop", "rebucket"]
         )
         if op in ("cow", "mor"):
             merge_batch(op)
@@ -196,6 +196,13 @@ def test_random_lifecycle_matches_model(spark, tmp_path, seed):
             t.update_where(f"k = {k}", {col: f"'dml@{step}'"},
                            mode=rng.choice(["cow", "mor"]))
             model.dml_update(k, col, f"dml@{step}", t.current_version())
+        elif op == "dvdel" and model.rows:
+            # positional deletion-vector delete interleaved with every
+            # other lifecycle op — masks must survive (or fold through)
+            # whatever came before and whatever comes after
+            k = rng.choice(sorted(model.rows))
+            t.delete_where(f"k = {k}", mode="dv")
+            model.delete(k)
         elif op == "compact":
             # sometimes a clustered/z-ordered rewrite: materialized
             # lineage must survive arbitrary row reordering

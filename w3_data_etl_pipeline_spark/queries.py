@@ -1993,6 +1993,104 @@ def cdc_dml_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_delete_dv",
+    """
+    WITH lww AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM lww
+    WHERE event_type <> 'error' OR event_type IS NULL
+    """,
+)
+def cdc_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional deletion vectors end-to-end (Iceberg v3 DV / Delta
+    deletion-vector analogue, SURVEY §11): LWW merge (COW), then
+    DELETE the error rows with mode='dv' — the commit appends only
+    bucket-scoped (file key, row position) masks. Same SQL oracle as
+    a COW delete: the storage strategy must be invisible to readers.
+    In-query asserts pin the scale contract the mode exists for —
+    ZERO buckets rewritten, every pre-existing file carried by
+    reference, only kind='dv' entries added, and (the headline) the
+    masked full read plans NO shuffle exchange: the mask is a
+    broadcast anti-join, where an equality-tombstone MOR delete would
+    force a key-hash exchange for resolution. The returned rows are
+    read AFTER a compact() fold, so a fold that resurrects a masked
+    position flips the value hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_dv_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(ev, 0, mode="cow")
+        before = {f["path"] for f in table.snapshot()["files"]}
+        res = table.delete_where("event_type = 'error'", mode="dv")
+        if not res["applied"]:
+            raise AssertionError("DV delete matched zero rows on real data")
+        if res["buckets_rewritten"] or res.get("dv_files", 0) < 1:
+            raise AssertionError("DV delete must add masks, not rewrite")
+        snap = table.snapshot()
+        paths = {f["path"] for f in snap["files"]}
+        if not before <= paths:
+            raise AssertionError("DV delete dropped a pre-existing file")
+        added = [f for f in snap["files"] if f["path"] not in before]
+        if not added or any(f["kind"] != "dv" for f in added):
+            raise AssertionError("DV delete must add only dv entries")
+        masked = table.read()
+        plan = masked._jdf.queryExecution().executedPlan().toString()
+        if "hashpartitioning" in plan or "SortMergeJoin" in plan:
+            raise AssertionError("DV-masked read planned a shuffle")
+        if "BroadcastHashJoin" not in plan or "LeftAnti" not in plan:
+            raise AssertionError("DV mask is not a broadcast anti-join")
+        pre_fold = sorted(map(tuple, masked.collect()))
+        table.compact(min_deltas=1, min_delta_rows=1)
+        if any(f.get("kind") == "dv" for f in table.snapshot()["files"]):
+            raise AssertionError("compact left DV masks unfolded")
+        rows = table.read().select(
+            "user_id", "event_id", "event_type", "value"
+        ).collect()
+        if sorted(map(tuple, rows)) != pre_fold:
+            raise AssertionError("compaction changed the visible state")
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_row_lineage",
     """
     SELECT c_custkey,
