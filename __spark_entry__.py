@@ -152,6 +152,12 @@ _DEMOTED_TAIL = [
     # shuffle; no-resurrection/lineage/fsck interplay pytest-pinned
     # in tests/test_dv.py
     "cdc_delete_dv",
+    # declared write order (Iceberg sort-order metadata): in-query
+    # asserts pin the standing-layout property — the first microbatch
+    # after the ALTER already file-skips >50% on the sort column with
+    # no compaction ever run; layout/override/versioning interplay
+    # pytest-pinned in tests/test_write_order.py
+    "cdc_write_order",
     # table integrity check (fsck): full DuckDB LWW oracle, with the
     # shallow/deep verify verdicts pinned to TRUE as boolean columns
     # so corruption flips the value hash; every corruption class is

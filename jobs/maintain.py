@@ -240,6 +240,23 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("name")
     wc.add_argument("type")
 
+    swo = sub.add_parser("set-write-order",
+                         help="declare a standing write order: every "
+                              "base write clusters each bucket by these "
+                              "columns so read_where skips files "
+                              "continuously, not just after a clustered "
+                              "compact")
+    swo.add_argument("cols", nargs="*",
+                     help="sort columns (empty with --clear)")
+    swo.add_argument("--zorder", action="store_true",
+                     help="Morton-order the columns (2+ numeric cols)")
+    swo.add_argument("--target-rows", type=int, default=None,
+                     help="split each bucket into value-contiguous "
+                          "files of at most this many rows (without a "
+                          "split, bounds have nothing to bite on)")
+    swo.add_argument("--clear", action="store_true",
+                     help="remove the declared write order")
+
     args = p.parse_args(argv)
     spark = get_spark("lake_maintain", master=SparkConf().get("spark.master", None))
     try:
@@ -368,6 +385,15 @@ def main(argv: list[str] | None = None) -> int:
             v = t.alter_column_type(args.name, args.type)
             out = {"verb": "widen", "name": args.name,
                    "type": args.type, "version": v}
+        elif args.verb == "set-write-order":
+            if args.clear == bool(args.cols):
+                raise SystemExit("pass sort columns OR --clear")
+            v = t.alter_write_order(
+                None if args.clear else args.cols,
+                zorder=args.zorder, target_rows=args.target_rows,
+            )
+            out = {"verb": "set-write-order", "version": v,
+                   "write_order": t.write_order()}
         else:
             after = t.rebucket(args.n_buckets)
             out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}

@@ -807,6 +807,89 @@ class LakeTable:
             f"alter_skip_columns lost the commit race {max_retries + 1} times"
         )
 
+    def alter_write_order(
+        self,
+        cols: "list[str] | None",
+        zorder: bool = False,
+        target_rows: int | None = None,
+        max_retries: int = 3,
+    ) -> int:
+        """Declare a table WRITE ORDER (the Iceberg sort-order table
+        metadata analogue; Delta's OPTIMIZE ZORDER made a standing
+        property): from this commit on, every BASE-file write — COW
+        merges, overwrite, compact, COW DML rewrites, rebucket — sorts
+        each bucket's rows by ``cols`` (Morton/z-order when ``zorder``,
+        for multi-column predicates) and, with ``target_rows``, splits
+        the bucket into value-contiguous files of at most that many
+        rows. That is what turns manifest min/max file skipping from a
+        maintenance-window property (only right after an explicitly
+        clustered ``compact(cluster_by=...)``) into a STANDING one:
+        the very next microbatch's rewrite is already clustered, so
+        ``read_where`` on the sort columns prunes files continuously.
+        ``target_rows`` matters: without a split, each bucket is one
+        file spanning its full value range and bounds prune nothing.
+
+        Costs, honestly: one extra in-partition sort per base write
+        (no extra exchange — it rides the existing bucket partitioning)
+        plus, for zorder, one approxQuantile pass over the write set
+        per commit (the grid-cell bounds); and MOR delta appends are
+        deliberately NOT sorted (delta buckets are exempt from
+        predicate pruning anyway — resolution needs them whole).
+        ``read_keys``' row-group In()-skip gets less effective (rows
+        are no longer key-sorted inside base files); its correctness
+        is unaffected (the semi join is the authority).
+
+        ``cols=None`` clears the order. Metadata-only commit,
+        optimistic retry. Versioned like constraints: time travel and
+        rollback see the order that was active at that snapshot."""
+        wo = None
+        if cols is not None:
+            if not cols:
+                raise ValueError("write order needs at least one column "
+                                 "(or None to clear)")
+            schema = self.schema()
+            for c in cols:
+                if c not in schema.fieldNames():
+                    raise ValueError(f"unknown write-order column {c!r}")
+            if zorder and len(cols) < 2:
+                raise ValueError("zorder needs at least 2 columns")
+            if zorder:
+                for c in cols:  # fail at ALTER time, not mid-write
+                    tn = schema[c].dataType.typeName()
+                    if not tn.startswith(self._Z_TYPES):
+                        raise ValueError(
+                            f"z-order column {c!r} ({tn}) is not numeric"
+                        )
+            if target_rows is not None and target_rows < 1:
+                raise ValueError("target_rows must be >= 1")
+            wo = {
+                "cols": list(cols),
+                "zorder": bool(zorder),
+                "target_rows": int(target_rows) if target_rows else None,
+            }
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="set-write-order" if wo else "clear-write-order",
+                write_order=wo,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue
+        raise CommitConflictError(
+            f"alter_write_order lost the commit race {max_retries + 1} times"
+        )
+
+    def write_order(self, version: int | None = None) -> "dict | None":
+        """The declared write order at ``version`` (None if unset)."""
+        wo = self.snapshot(version).get("write_order")
+        return dict(wo) if wo else None
+
     def add_constraint(
         self, name: str, expr: str, validate: bool = True, max_retries: int = 3
     ) -> int:
@@ -2104,6 +2187,7 @@ class LakeTable:
             ),
             "buckets_with_deltas": len(buckets_with_deltas),
             "lsn_max": lsn_max,
+            "write_order": snap.get("write_order"),
         }
 
     def files(self, version: int | None = None) -> DataFrame:
@@ -2834,6 +2918,16 @@ class LakeTable:
             df = df.withColumn("_bucket", self._bucket_expr(snap)).repartition(
                 max(1, min(snap["n_buckets"], par)), "_bucket"
             )
+        if cluster_by is None and kind == "base":
+            # declared table write order (alter_write_order): every
+            # base write is clustered by default — an explicit
+            # cluster_by (a targeted compact) still overrides
+            wo = snap.get("write_order")
+            if wo and all(c in df.columns for c in wo["cols"]):
+                cluster_by = wo["cols"]
+                zorder = bool(wo.get("zorder"))
+                if max_records_per_file is None:
+                    max_records_per_file = wo.get("target_rows")
         if cluster_by and zorder and len(cluster_by) > 1:
             # Z-ORDER clustering (Iceberg rewrite_data_files zorder /
             # Delta OPTIMIZE ZORDER BY analogue): lexicographic sort

@@ -2091,6 +2091,96 @@ def cdc_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_write_order",
+    """
+    WITH lww AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM lww
+    WHERE value >= 120.0
+    """,
+)
+def cdc_write_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared write order end-to-end (Iceberg sort-order metadata
+    analogue, SURVEY §12): ALTER the table's write order BEFORE the
+    first merge, and the very next COW microbatch's files are already
+    value-clustered and range-split — a selective predicate on the
+    sort column file-skips with NO compaction having ever run. That
+    is the standing-layout property this surface exists for: at
+    100 TB, bounds-based skipping that only holds until the next
+    microbatch is worth little. In-query asserts: the ALTER is
+    metadata-only (zero data files), the post-merge selective scan
+    skips >50% of files, and the pruned read equals the full
+    read().filter() twin row-for-row (value hash seals it)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_wo_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        v = table.alter_write_order(["value"], target_rows=6)
+        if table.snapshot()["files"]:
+            raise AssertionError("ALTER write order wrote data files")
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(ev, 0, mode="cow")
+        sel = "value >= 120.0"
+        rep = table.explain_skipping(sel)
+        if rep["files_skipped"] == 0 or (
+            rep["files_kept"] / max(rep["files_total"], 1) > 0.5
+        ):
+            raise AssertionError(
+                f"standing write order did not prune: {rep}"
+            )
+        pruned = sorted(
+            map(tuple, table.read_where(sel).collect())
+        )
+        full = sorted(
+            map(tuple, table.read().filter(F.expr(sel)).collect())
+        )
+        if pruned != full:
+            raise AssertionError("pruned read diverged from the full scan")
+        out_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        rows = table.read_where(sel).select(
+            "user_id", "event_id", "event_type", "value"
+        ).collect()
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_row_lineage",
     """
     SELECT c_custkey,
