@@ -158,6 +158,11 @@ _DEMOTED_TAIL = [
     # no compaction ever run; layout/override/versioning interplay
     # pytest-pinned in tests/test_write_order.py
     "cdc_write_order",
+    # ANALYZE TABLE: returns the EXACT per-column facts DuckDB
+    # recomputes (the exact-twin pattern); in-query asserts hold the
+    # approximate HLL side within 10% and pin the recommendation
+    # shape; persistence/staleness pytest-pinned in tests/test_analyze.py
+    "cdc_analyze",
     # table integrity check (fsck): full DuckDB LWW oracle, with the
     # shallow/deep verify verdicts pinned to TRUE as boolean columns
     # so corruption flips the value hash; every corruption class is

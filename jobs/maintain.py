@@ -240,6 +240,14 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("name")
     wc.add_argument("type")
 
+    an = sub.add_parser("analyze",
+                        help="ANALYZE TABLE: one distributed pass over "
+                             "the resolved table persisting per-column "
+                             "NDV/nulls/min/max plus equality-index and "
+                             "write-order recommendations")
+    an.add_argument("cols", nargs="*",
+                    help="columns to analyze (default: every scalar)")
+
     swo = sub.add_parser("set-write-order",
                          help="declare a standing write order: every "
                               "base write clusters each bucket by these "
@@ -385,6 +393,9 @@ def main(argv: list[str] | None = None) -> int:
             v = t.alter_column_type(args.name, args.type)
             out = {"verb": "widen", "name": args.name,
                    "type": args.type, "version": v}
+        elif args.verb == "analyze":
+            rep = t.analyze(args.cols or None)
+            out = {"verb": "analyze", **rep}
         elif args.verb == "set-write-order":
             if args.clear == bool(args.cols):
                 raise SystemExit("pass sort columns OR --clear")

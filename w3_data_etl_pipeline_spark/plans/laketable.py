@@ -807,6 +807,111 @@ class LakeTable:
             f"alter_skip_columns lost the commit race {max_retries + 1} times"
         )
 
+    def analyze(self, cols: "list[str] | None" = None, max_retries: int = 3) -> dict:
+        """ANALYZE TABLE — table-level column statistics (the Iceberg
+        ``ANALYZE``/Puffin theta-sketch analogue; the per-FILE manifest
+        stats the engine already keeps answer "can this file match",
+        this answers "what does this COLUMN look like"). ONE
+        distributed pass over the RESOLVED table (all columns
+        aggregated together) computes per scalar column: approximate
+        NDV (HyperLogLog++, rsd 5%), null count, min/max; plus the
+        exact resolved row count. Persisted in the snapshot as a
+        metadata commit (``col_stats``, stamped with the version
+        analyzed — consumers can see how stale it is), surfaced by
+        ``stats()`` and the maintain CLI.
+
+        The report also RECOMMENDS, from the measured shape:
+        ``equality_index`` candidates (indexable type, NDV within the
+        bloom cap, mostly non-null — the columns ``alter_skip_columns``
+        pays off on) and ``write_order`` candidates (numeric/orderable,
+        high-NDV — the columns whose min/max bounds a declared sort
+        makes selective). O(table) by design: schedule it like a
+        compaction, not per commit."""
+        snap = self.snapshot()
+        schema = self.schema(snap)
+        scalars = [
+            f_ for f_ in schema.fields
+            if f_.name != LSN_COL and not f_.dataType.typeName().startswith(
+                ("array", "map", "struct", "binary")
+            )
+        ]
+        if cols is not None:
+            want = set(cols)
+            unknown = want - {f_.name for f_ in scalars}
+            if unknown:
+                raise ValueError(f"unknown/unsupported columns: {sorted(unknown)}")
+            scalars = [f_ for f_ in scalars if f_.name in want]
+        if not scalars:
+            raise ValueError("no analyzable scalar columns")
+        df = self.read()
+        aggs = [F.count(F.lit(1)).alias("_n")]
+        for f_ in scalars:
+            c = f_.name
+            aggs += [
+                F.approx_count_distinct(c, rsd=0.05).alias(f"_ndv_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nul_{c}"),
+                F.min(c).alias(f"_min_{c}"),
+                F.max(c).alias(f"_max_{c}"),
+            ]
+        row = df.agg(*aggs).collect()[0]
+        n = int(row["_n"])
+        columns: dict = {}
+        rec_eq: list[str] = []
+        rec_wo: list[str] = []
+        for f_ in scalars:
+            c = f_.name
+            tn = f_.dataType.typeName()
+            ndv = int(row[f"_ndv_{c}"])
+            nul = int(row[f"_nul_{c}"])
+            columns[c] = {
+                "type": tn,
+                "ndv": ndv,
+                "nulls": nul,
+                "min": self._json_bound(row[f"_min_{c}"]),
+                "max": self._json_bound(row[f"_max_{c}"]),
+            }
+            nonnull = n - nul
+            if (
+                tn in self._EQ_INDEXABLE
+                and 1 < ndv
+                and ndv * self._BLOOM_BITS_PER_EL <= self._BLOOM_MAX_BITS
+                and nonnull > n // 2
+            ):
+                rec_eq.append(c)
+            if tn.startswith(self._Z_TYPES) and nonnull and ndv > max(64, n // 100):
+                rec_wo.append(c)
+        report = {
+            "analyzed_version": snap["version"],
+            "rows": n,
+            "columns": columns,
+            "recommend": {"equality_index": rec_eq, "write_order": rec_wo},
+        }
+        for _ in range(max_retries + 1):
+            cur = self.snapshot()
+            ns = dict(cur)
+            ns.update(
+                version=cur["version"] + 1,
+                parent=cur["version"],
+                operation="analyze",
+                col_stats=report,
+            )
+            try:
+                self._write_snapshot(ns)
+                report["version"] = ns["version"]
+                return report
+            except FileExistsError:
+                continue
+        raise CommitConflictError(
+            f"analyze lost the commit race {max_retries + 1} times"
+        )
+
+    def col_stats(self, version: int | None = None) -> "dict | None":
+        """The last persisted ANALYZE report at ``version`` (None if
+        the table was never analyzed). ``analyzed_version`` inside it
+        says which snapshot the numbers describe."""
+        cs = self.snapshot(version).get("col_stats")
+        return dict(cs) if cs else None
+
     def alter_write_order(
         self,
         cols: "list[str] | None",
@@ -2188,6 +2293,11 @@ class LakeTable:
             "buckets_with_deltas": len(buckets_with_deltas),
             "lsn_max": lsn_max,
             "write_order": snap.get("write_order"),
+            # last ANALYZE, if any: which snapshot it described (the
+            # staleness signal) — full report via col_stats()
+            "analyzed_version": (snap.get("col_stats") or {}).get(
+                "analyzed_version"
+            ),
         }
 
     def files(self, version: int | None = None) -> DataFrame:

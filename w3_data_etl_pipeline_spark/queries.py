@@ -2181,6 +2181,117 @@ def cdc_write_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_analyze",
+    """
+    WITH lww AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT col, ndv, nulls, rows FROM (
+      SELECT 'event_type' AS col,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS ndv,
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+             CAST(count(*) AS BIGINT) AS rows
+      FROM lww
+      UNION ALL
+      SELECT 'user_id',
+             CAST(count(DISTINCT user_id) AS BIGINT),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT)
+      FROM lww
+    )
+    """,
+)
+def cdc_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE on the oracle gate (SURVEY §12): LWW-merge the
+    events stream into a LakeTable, run ``analyze()``, and return the
+    EXACT per-column facts (distinct count, null count, resolved row
+    count) that DuckDB recomputes from the same events — the exact
+    twin pattern every approximate operator here uses (HLL, IVF). The
+    in-query asserts hold the APPROXIMATE side to account: the
+    persisted report's HLL NDV must land within 10% of exact for the
+    high-cardinality key and be exactly right for the tiny-NDV
+    category column, the resolved row count must be exact, nulls
+    exact, and the recommendation lists must follow the measured
+    shape (both columns equality-indexable; the value column a
+    write-order candidate)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_an_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        ev = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(ev, 0)
+        rep = table.analyze()
+        exact = table.read().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("uid"),
+            F.count_distinct("event_type").alias("et"),
+            F.sum(F.col("event_type").isNull().cast("long")).alias("et_nul"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("uid_nul"),
+        ).collect()[0]
+        if rep["rows"] != exact["n"]:
+            raise AssertionError("analyze row count is not the resolved count")
+        cols = rep["columns"]
+        if cols["event_type"]["ndv"] != exact["et"]:
+            raise AssertionError("tiny-NDV column must be HLL-exact")
+        if abs(cols["user_id"]["ndv"] - exact["uid"]) > 0.1 * exact["uid"]:
+            raise AssertionError(
+                f"HLL NDV off by >10%: {cols['user_id']['ndv']} vs {exact['uid']}"
+            )
+        if cols["event_type"]["nulls"] != exact["et_nul"]:
+            raise AssertionError("null count mismatch")
+        rec = rep["recommend"]
+        if "event_type" not in rec["equality_index"] or (
+            "user_id" not in rec["equality_index"]
+        ):
+            raise AssertionError(f"bad equality-index recommendation: {rec}")
+        if "value" not in rec["write_order"]:
+            raise AssertionError(f"bad write-order recommendation: {rec}")
+        if table.col_stats()["analyzed_version"] != rep["analyzed_version"]:
+            raise AssertionError("report did not persist")
+        out_schema = T.StructType(
+            [
+                T.StructField("col", T.StringType()),
+                T.StructField("ndv", T.LongType()),
+                T.StructField("nulls", T.LongType()),
+                T.StructField("rows", T.LongType()),
+            ]
+        )
+        rows = [
+            ("event_type", int(exact["et"]), int(exact["et_nul"]), int(exact["n"])),
+            ("user_id", int(exact["uid"]), int(exact["uid_nul"]), int(exact["n"])),
+        ]
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_row_lineage",
     """
     SELECT c_custkey,
