@@ -26,6 +26,14 @@ same optimistic version-race commit the merge path uses):
               head back as one metadata commit, drop it, list heads
     partitions   O(metadata) per-bucket rollup (files/rows/bytes/
               delta debt per bucket; read-only skew + compaction triage)
+    analyze   ANALYZE TABLE: persist per-column NDV/nulls/min-max +
+              equality-index / write-order recommendations
+    set-write-order   declare a standing write order (every base write
+              clusters + range-splits; --clear removes)
+    auto      maintenance autopilot: fsck gate, then fire exactly the
+              actions the O(metadata) signals call for (debt compaction,
+              small-file collapse, lineage consolidation, stale
+              re-ANALYZE, opt-in retention), reporting each decision
 
     tools/submit.sh --master local[8] -- \
         jobs/maintain.py --table /data/lake/repos compact --min-deltas 8
@@ -43,6 +51,113 @@ from pyspark import SparkConf
 
 from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
 from w3_data_etl_pipeline_spark.session import get_spark
+
+
+def _auto(t: LakeTable, args) -> dict:
+    """Maintenance autopilot: read the O(metadata) signals once, fire
+    only the actions they call for, and say why for each — the single
+    verb a scheduler runs on a cadence instead of an operator watching
+    stats(). fsck (shallow) gates everything: maintenance that rewrites
+    files must not run over a table whose manifests already lie.
+    Every fired action uses the same optimistic snapshot-race commits
+    the verbs use individually, so the autopilot is safe to run beside
+    a live writer."""
+    actions: list[dict] = []
+    skipped: list[dict] = []
+
+    def act(name: str, reason: str, fn):
+        if args.dry_run:
+            actions.append({"action": name, "reason": reason, "dry_run": True})
+            return None
+        res = fn()
+        actions.append({"action": name, "reason": reason, "result": res})
+        return res
+
+    rep = t.verify()
+    out = {"verb": "auto", "fsck_ok": rep["ok"], "dry_run": args.dry_run}
+    if not rep["ok"]:
+        out.update(actions=[], skipped=[], error_counts=rep["error_counts"])
+        return out
+
+    st = t.stats()
+    # 1. read-amplification debt: pending delta rows + dv masks vs base
+    debt = st["delta_debt"] or 0.0
+    if debt >= args.debt:
+        act(
+            "compact",
+            f"delta_debt {debt} >= {args.debt} "
+            f"({st['delta_rows']} delta rows + {st['dv_rows']} dv masks)",
+            lambda: {"version": t.compact(min_deltas=1, min_delta_rows=1)},
+        )
+    else:
+        skipped.append({"action": "compact", "reason": f"delta_debt {debt} < {args.debt}"})
+
+    # 2. small-file collapse (skip when a write order splits on purpose)
+    snap = t.snapshot()
+    wo = snap.get("write_order")
+    sized = [f for f in snap["files"]
+             if f.get("kind", "base") == "base" and f.get("bytes")]
+    mean_b = (sum(f["bytes"] for f in sized) / len(sized)) if sized else 0
+    if wo and wo.get("target_rows"):
+        skipped.append({"action": "collapse-small-files",
+                        "reason": "write order intentionally splits files"})
+    elif sized and len(sized) > 4 * snap["n_buckets"] and mean_b < args.small_bytes:
+        act(
+            "collapse-small-files",
+            f"{len(sized)} base files avg {int(mean_b)}B < {args.small_bytes}B",
+            lambda: {"version": t.compact()},
+        )
+    else:
+        skipped.append({"action": "collapse-small-files",
+                        "reason": f"{len(sized)} base files avg {int(mean_b)}B"})
+
+    # 3. lineage audit-file consolidation
+    import os as _os
+
+    lin_files = sum(
+        1
+        for _d, _s, names in _os.walk(t.lineage_dir)
+        for n in names
+        if n.endswith(".parquet")
+    ) if _os.path.isdir(t.lineage_dir) else 0
+    if lin_files > args.lineage_max_files:
+        act(
+            "compact-lineage",
+            f"{lin_files} lineage files > {args.lineage_max_files}",
+            lambda: t.compact_lineage(max_files=args.lineage_max_files),
+        )
+    else:
+        skipped.append({"action": "compact-lineage",
+                        "reason": f"{lin_files} lineage files"})
+
+    # 4. stale statistics
+    if args.analyze_every is not None:
+        av = st.get("analyzed_version")
+        stale = (t.current_version() - av) if av is not None else None
+        if av is None or stale >= args.analyze_every:
+            act(
+                "analyze",
+                "never analyzed" if av is None
+                else f"{stale} versions stale >= {args.analyze_every}",
+                lambda: {"analyzed_version": t.analyze()["analyzed_version"]},
+            )
+        else:
+            skipped.append({"action": "analyze", "reason": f"{stale} versions stale"})
+
+    # 5. retention (opt-in: expiry deletes history)
+    if args.retain is not None:
+        act(
+            "expire",
+            f"retain newest {args.retain} snapshots",
+            lambda: t.expire_snapshots(keep_last=args.retain),
+        )
+        if args.dry_run:
+            # expire has a real dry-run: report what WOULD go
+            actions[-1]["result"] = t.expire_snapshots(
+                keep_last=args.retain, dry_run=True
+            )
+    out.update(actions=actions, skipped=skipped, stats=st)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -240,6 +355,33 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("name")
     wc.add_argument("type")
 
+    au = sub.add_parser("auto",
+                        help="maintenance autopilot: fsck gate, then "
+                             "fire exactly the actions the O(metadata) "
+                             "signals call for — debt-triggered partial "
+                             "compaction, small-file collapse, lineage "
+                             "consolidation, stale re-ANALYZE, optional "
+                             "retention — and report every decision")
+    au.add_argument("--debt", type=float, default=0.25,
+                    help="compact when (delta+dv rows)/base rows >= this "
+                         "(default 0.25)")
+    au.add_argument("--small-bytes", type=int, default=4 << 20,
+                    help="collapse small files when the mean base file "
+                         "is under this AND the table averages >4 base "
+                         "files/bucket (default 4 MiB; skipped when a "
+                         "write order intentionally splits files)")
+    au.add_argument("--analyze-every", type=int, default=None,
+                    help="re-ANALYZE when the last report is >= N "
+                         "versions stale (default: never)")
+    au.add_argument("--lineage-max-files", type=int, default=64,
+                    help="consolidate lineage when more than N audit "
+                         "files accumulated (default 64)")
+    au.add_argument("--retain", type=int, default=None,
+                    help="ALSO expire snapshots beyond the newest N "
+                         "(default: keep everything)")
+    au.add_argument("--dry-run", action="store_true",
+                    help="report the decisions, mutate nothing")
+
     an = sub.add_parser("analyze",
                         help="ANALYZE TABLE: one distributed pass over "
                              "the resolved table persisting per-column "
@@ -393,6 +535,8 @@ def main(argv: list[str] | None = None) -> int:
             v = t.alter_column_type(args.name, args.type)
             out = {"verb": "widen", "name": args.name,
                    "type": args.type, "version": v}
+        elif args.verb == "auto":
+            out = _auto(t, args)
         elif args.verb == "analyze":
             rep = t.analyze(args.cols or None)
             out = {"verb": "analyze", **rep}
