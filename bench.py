@@ -73,6 +73,11 @@ EXTENDED = [
     # change-feed follower pipeline
     "cdc_join_prune",
     "cdc_follow_pipeline",
+    # round 4 resumed session: positional deletion vectors, standing
+    # write order, ANALYZE TABLE
+    "cdc_delete_dv",
+    "cdc_write_order",
+    "cdc_analyze",
 ]
 
 
