@@ -152,6 +152,11 @@ _DEMOTED_TAIL = [
     # shuffle; no-resurrection/lineage/fsck interplay pytest-pinned
     # in tests/test_dv.py
     "cdc_delete_dv",
+    # MERGE INTO in merge-on-read mode: same oracle as in-window
+    # cdc_merge_into (storage strategy invisible), plus append-only /
+    # metric-parity / fold asserts; twin + lineage interplay
+    # pytest-pinned in tests/test_merge_into.py
+    "cdc_merge_into_mor",
     # declared write order (Iceberg sort-order metadata): in-query
     # asserts pin the standing-layout property — the first microbatch
     # after the ALTER already file-skips >50% on the sort column with

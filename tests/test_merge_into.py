@@ -182,3 +182,71 @@ def test_resolves_mor_deltas_first(spark, tmp_path):
     )
     assert res["rows"]["updated"] == 50
     assert t.read().filter("event_type = 'was-resolved'").count() == 50
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+CLAUSES = [
+    ("delete", "t.value < 10.0", None),
+    ("update", "s.value > t.value", {"event_type": "concat(s.event_type, '-up')",
+                                     "value": "s.value + t.value"}),
+    ("insert", "s.value >= 5.0", None),
+]
+
+
+def test_mor_merge_into_matches_cow_twin(spark, tmp_path):
+    cow = LakeTable.create(spark, str(tmp_path / "c"), SCHEMA, ["user_id"], n_buckets=8)
+    mor = LakeTable.create(spark, str(tmp_path / "m"), SCHEMA, ["user_id"], n_buckets=8)
+    cow.merge(_base(spark), 0)
+    mor.merge(_base(spark), 0)
+    src = _source(spark)
+    res_c = cow.merge_into(src, CLAUSES)
+    snap0 = {f["path"] for f in mor.snapshot()["files"]}
+    res_m = mor.merge_into(src, CLAUSES, mode="mor")
+    # identical Delta-style metric split and identical visible state
+    assert res_m["rows"] == res_c["rows"]
+    assert res_m["buckets_rewritten"] == 0 and res_m["delta_files"] >= 1
+    snap1 = mor.snapshot()
+    assert snap0 <= {f["path"] for f in snap1["files"]}  # appended only
+    added = [f for f in snap1["files"] if f["path"] not in snap0]
+    assert added and all(f["kind"] == "delta" for f in added)
+    assert _rows(mor.read()) == _rows(cow.read())
+    # compaction folds the images without changing the visible state
+    before = _rows(mor.read())
+    mor.compact(min_deltas=1, min_delta_rows=1)
+    assert not any(f.get("kind") == "delta" for f in mor.snapshot()["files"])
+    assert _rows(mor.read()) == before
+
+
+def test_mor_merge_into_lineage_and_later_cdc_wins(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "l"), SCHEMA, ["user_id"], n_buckets=4,
+        row_lineage=True,
+    )
+    t.merge(_base(spark), 0)
+    ids0 = {
+        r["user_id"]: r["_row_id"]
+        for r in t.read(include_lineage=True).select("user_id", "_row_id").collect()
+    }
+    t.merge_into(
+        _source(spark),
+        [("update", None, {"value": "s.value"}), ("insert", None, None)],
+        mode="mor",
+    )
+    after = {
+        r["user_id"]: r["_row_id"]
+        for r in t.read(include_lineage=True).select("user_id", "_row_id").collect()
+    }
+    # updated keys keep their permanent identity through the MOR image
+    for k in range(200, 300):
+        assert after[k] == ids0[k]
+    # a strictly-later CDC event still outranks the MOR image
+    late = spark.createDataFrame(
+        [(250, "late", 1.0, 99, "U")],
+        "user_id long, event_type string, value double, lsn long, op string",
+    )
+    t.merge(late, 5, mode="mor")
+    got = t.read_keys([(250,)]).collect()
+    assert got[0]["event_type"] == "late"

@@ -4802,6 +4802,7 @@ class LakeTable:
         clauses: list[tuple],
         insert_lsn: int = 0,
         max_retries: int = 3,
+        mode: str = "cow",
     ) -> dict:
         """Generic MERGE INTO (the Delta ``merge``/Iceberg ``MERGE
         INTO`` clause API; merge() stays the CDC fast path for
@@ -4828,16 +4829,31 @@ class LakeTable:
         resolved (MOR fold) and rewritten; the rest carry by
         reference. Optimistic commit, recompute-on-conflict. The
         commit stamps a ``dml`` audit record (clause shapes + per-
-        action row counts) scoped to its own snapshot."""
+        action row counts) scoped to its own snapshot.
+
+        mode='mor' (merge-on-read, completing the DML triad's
+        symmetry with delete_where/update_where): instead of
+        rewriting the touched buckets, append ONLY the claimed rows'
+        images as delta files — post-images for update/insert
+        clauses, 'D' tombstones (keys + stored _lsn, value columns
+        NULL) for delete clauses; kept and copied rows write nothing.
+        Write cost ∝ claimed rows, not touched-bucket bytes; images
+        keep the stored _lsn and win resolution purely by
+        data-sequence number (this commit is later), so CDC max-LSN
+        rules are untouched and compact() folds them — identical
+        semantics to the COW mode by construction, pinned by the
+        twin test."""
         kinds = {c[0] for c in clauses}
         if not clauses or kinds - {"update", "delete", "insert"}:
             raise ValueError(
                 "clauses must be a non-empty list of (update|delete|insert, "
                 f"condition, sets) tuples, got {sorted(kinds) or clauses!r}"
             )
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
         for _ in range(max_retries + 1):
             try:
-                return self._merge_into_once(source, clauses, insert_lsn)
+                return self._merge_into_once(source, clauses, insert_lsn, mode)
             except FileExistsError:
                 continue  # lost the version race: recompute against the winner
         raise CommitConflictError(
@@ -4845,7 +4861,8 @@ class LakeTable:
         )
 
     def _merge_into_once(
-        self, source: DataFrame, clauses: list[tuple], insert_lsn: int
+        self, source: DataFrame, clauses: list[tuple], insert_lsn: int,
+        mode: str = "cow",
     ) -> dict:
         snap = self.snapshot()
         keys = snap["key_cols"]
@@ -4959,12 +4976,14 @@ class LakeTable:
                 "buckets_rewritten": 0,
             }
 
-        # drop: matched rows a delete clause claimed; source-only rows
-        # no insert clause claimed
+        # drop: source-only rows no insert clause claimed; in COW also
+        # the delete-claimed rows (the rewrite simply omits them — MOR
+        # keeps them: they become the 'D' tombstone images below)
         drop = is_s_only & (F.col("_action") == -1)
-        for i, (kind, _, _) in enumerate(clauses):
-            if kind == "delete":
-                drop = drop | (F.col("_action") == i)
+        if mode != "mor":
+            for i, (kind, _, _) in enumerate(clauses):
+                if kind == "delete":
+                    drop = drop | (F.col("_action") == i)
         j = j.filter(~drop)
 
         src_has_lsn = "lsn" in s_cols
@@ -5023,9 +5042,60 @@ class LakeTable:
                 .otherwise(F.col(f"t.{LASTSEQ_COL}"))
                 .alias(LASTSEQ_COL)
             )
+        version = snap["version"] + 1
+        if mode == "mor":
+            # images of the CLAIMED rows only: the same out_cols
+            # expressions (post-image values, lineage carries, LSN
+            # rule) evaluated on clause-hit rows, plus the op tag;
+            # delete images then NULL their value columns (the
+            # tombstone shape _dml's MOR delete writes — keys, stored
+            # _lsn and the retiring _row_id survive)
+            del_hit = F.lit(False)
+            for i, (kind, _, _) in enumerate(clauses):
+                if kind == "delete":
+                    del_hit = del_hit | (F.col("_action") == i)
+            img = j.filter(F.col("_action") >= 0).select(
+                *out_cols,
+                F.when(del_hit, F.lit("D")).otherwise(F.lit("U")).alias(OP_COL),
+            )
+            keep = set(keys) | {LSN_COL, ROWID_COL, OP_COL}
+            img = img.select(
+                *[
+                    (
+                        F.col(f.name)
+                        if f.name in keep
+                        else F.when(
+                            F.col(OP_COL) == "D",
+                            F.lit(None).cast(f.dataType),
+                        ).otherwise(F.col(f.name))
+                    ).alias(f.name)
+                    for f in img.schema.fields
+                ]
+            )
+            files = self._write_data(img, snap, version, kind="delta")
+            new = dict(snap)
+            new.update(
+                version=version,
+                files=snap["files"] + files,
+                parent=snap["version"],
+                operation="merge-into",
+                dml={
+                    "clauses": [[k, c, s] for k, c, s in clauses],
+                    "rows": rows,
+                    "mode": mode,
+                },
+            )
+            self._write_snapshot(new)
+            return {
+                "operation": "merge-into",
+                "version": version,
+                "applied": True,
+                "rows": rows,
+                "buckets_rewritten": 0,
+                "delta_files": len(files),
+            }
         out = j.select(*out_cols)
 
-        version = snap["version"] + 1
         files = self._write_data(out, snap, version, kind="base")
         new = dict(snap)
         new.update(
