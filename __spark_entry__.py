@@ -157,6 +157,11 @@ _DEMOTED_TAIL = [
     # metric-parity / fold asserts; twin + lineage interplay
     # pytest-pinned in tests/test_merge_into.py
     "cdc_merge_into_mor",
+    # WHEN NOT MATCHED BY SOURCE clause family (table-sync merge):
+    # full-outer first-clause-wins lattice replayed by the DuckDB
+    # oracle; bucket-granular rewrite over the widened fold
+    # pytest-pinned in tests/test_merge_into.py
+    "cdc_merge_sync",
     # declared write order (Iceberg sort-order metadata): in-query
     # asserts pin the standing-layout property — the first microbatch
     # after the ALTER already file-skips >50% on the sort column with

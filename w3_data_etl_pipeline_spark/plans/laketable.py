@@ -4842,12 +4842,29 @@ class LakeTable:
         data-sequence number (this commit is later), so CDC max-LSN
         rules are untouched and compact() folds them — identical
         semantics to the COW mode by construction, pinned by the
-        twin test."""
+        twin test.
+
+        ``nmbs_update`` / ``nmbs_delete`` clauses are the SQL ``WHEN
+        NOT MATCHED BY SOURCE THEN UPDATE/DELETE`` forms (Delta's
+        whenNotMatchedBySource*): they fire on TARGET rows with no
+        source match — conditions/SET exprs see ``t.<col>`` only
+        (``s.*`` is NULL there). This is the one clause family that
+        must read beyond the source's buckets (a target row absent
+        from the source can live anywhere — same as Delta, whose NMBS
+        merges scan the whole target), so their presence widens the
+        fold to every live bucket; the COW rewrite then drops back to
+        bucket granularity — only buckets holding a source row or an
+        NMBS-claimed row are rewritten, the rest carry by reference.
+        The canonical use is table sync: update+insert+nmbs_delete
+        makes the target exactly mirror the source."""
         kinds = {c[0] for c in clauses}
-        if not clauses or kinds - {"update", "delete", "insert"}:
+        if not clauses or kinds - {
+            "update", "delete", "insert", "nmbs_update", "nmbs_delete"
+        }:
             raise ValueError(
-                "clauses must be a non-empty list of (update|delete|insert, "
-                f"condition, sets) tuples, got {sorted(kinds) or clauses!r}"
+                "clauses must be a non-empty list of (update|delete|insert|"
+                f"nmbs_update|nmbs_delete, condition, sets) tuples, got "
+                f"{sorted(kinds) or clauses!r}"
             )
         if mode not in ("cow", "mor"):
             raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
@@ -4901,7 +4918,12 @@ class LakeTable:
                 "merge_into source has multiple rows for the same key "
                 "(ambiguous merge) — pre-aggregate the source first"
             )
+        has_nmbs = any(kind.startswith("nmbs_") for kind, _, _ in clauses)
         touched = {r["_bucket"] for r in amb}
+        if has_nmbs:
+            # NMBS rows can live in any bucket: fold everything, then
+            # rewrite at bucket granularity from the claim counts below
+            touched |= {f["bucket"] for f in snap["files"]}
         if not touched:
             return {
                 "operation": "merge-into",
@@ -4935,38 +4957,93 @@ class LakeTable:
 
         is_m = F.col("t").isNotNull() & F.col("s").isNotNull()
         is_s_only = F.col("t").isNull()
+        is_t_only = F.col("s").isNull()
         # first-applicable-clause-wins action column
-        action = None
         for i, (kind, c_sql, _) in enumerate(clauses):
-            guard = is_s_only if kind == "insert" else is_m
+            guard = (
+                is_s_only
+                if kind == "insert"
+                else is_t_only
+                if kind.startswith("nmbs_")
+                else is_m
+            )
             if c_sql is not None:
                 guard = guard & F.expr(c_sql).eqNullSafe(F.lit(True))
-            action = (action.when if action is not None else F.when)(
-                guard, F.lit(i)
-            )
+            action = (action.when if i else F.when)(guard, F.lit(i))
         action = action.otherwise(F.lit(-1))
         j = j.withColumn("_action", action)
 
         side = (
             F.when(is_m, F.lit("m")).when(is_s_only, F.lit("s")).otherwise(F.lit("t"))
         )
-        counts = {
-            (r["_action"], r["_side"]): r["n"]
-            for r in j.groupBy("_action", side.alias("_side"))
-            .agg(F.count("*").alias("n"))
-            .collect()
+        # with NMBS clauses the claim counts also carry the row's
+        # bucket (from the coalesced join keys) so the COW rewrite can
+        # stay bucket-granular over the widened fold
+        grp = [F.col("_action"), side.alias("_side")]
+        if has_nmbs:
+            jb = F.pmod(
+                F.xxhash64(
+                    *[
+                        F.coalesce(F.col(f"_tk_{k}"), F.col(f"_sk_{k}"))
+                        for k in keys
+                    ]
+                ),
+                F.lit(snap["n_buckets"]),
+            ).cast("int")
+            j = j.withColumn("_jb", jb)
+            grp.append(F.col("_jb"))
+        count_rows = j.groupBy(*grp).agg(F.count("*").alias("n")).collect()
+        counts: dict = {}
+        for r in count_rows:
+            k2 = (r["_action"], r["_side"])
+            counts[k2] = counts.get(k2, 0) + r["n"]
+        if has_nmbs:
+            # rewrite a bucket iff it holds a source row (m/s side —
+            # the pre-NMBS touched rule) or an NMBS-claimed row
+            nmbs_acts = {
+                i for i, (k, _, _) in enumerate(clauses) if k.startswith("nmbs_")
+            }
+            rewritten = {
+                r["_jb"]
+                for r in count_rows
+                if r["_side"] in ("m", "s") or r["_action"] in nmbs_acts
+            }
+        else:
+            rewritten = touched
+        _METRIC = {
+            "update": "updated",
+            "delete": "deleted",
+            "insert": "inserted",
+            "nmbs_update": "updated",
+            "nmbs_delete": "deleted",
+        }
+        _SIDE = {
+            "update": "m",
+            "delete": "m",
+            "insert": "s",
+            "nmbs_update": "t",
+            "nmbs_delete": "t",
         }
         rows = {"unchanged": 0, "copied": 0, "updated": 0, "deleted": 0, "inserted": 0}
         for i, (kind, _, _) in enumerate(clauses):
-            rows[
-                {"update": "updated", "delete": "deleted", "insert": "inserted"}[kind]
-            ] += counts.get((i, "s" if kind == "insert" else "m"), 0)
+            rows[_METRIC[kind]] += counts.get((i, _SIDE[kind]), 0)
         # Delta's metric split: "unchanged" = MATCHED rows no clause
         # accepted; "copied" = target-only rows the bucket rewrite
         # carries; unmatched-source rows no insert clause accepted are
         # dropped — they were never in the table
         rows["unchanged"] = counts.get((-1, "m"), 0)
-        rows["copied"] = counts.get((-1, "t"), 0)
+        if has_nmbs:
+            # only unclaimed target rows in REWRITTEN buckets are
+            # copied — the widened fold leaves other buckets untouched
+            rows["copied"] = sum(
+                r["n"]
+                for r in count_rows
+                if r["_action"] == -1
+                and r["_side"] == "t"
+                and r["_jb"] in rewritten
+            )
+        else:
+            rows["copied"] = counts.get((-1, "t"), 0)
         if rows["updated"] == rows["deleted"] == rows["inserted"] == 0:
             return {
                 "operation": "merge-into",
@@ -4982,9 +5059,16 @@ class LakeTable:
         drop = is_s_only & (F.col("_action") == -1)
         if mode != "mor":
             for i, (kind, _, _) in enumerate(clauses):
-                if kind == "delete":
+                if kind in ("delete", "nmbs_delete"):
                     drop = drop | (F.col("_action") == i)
         j = j.filter(~drop)
+        if has_nmbs and mode != "mor":
+            # bucket-granular rewrite over the widened fold: rows in
+            # unrewritten buckets carry by reference via their files
+            j = j.filter(F.col("_jb").isin(list(rewritten)))
+            kept_files = [
+                f for f in snap["files"] if f["bucket"] not in rewritten
+            ]
 
         src_has_lsn = "lsn" in s_cols
         out_cols = []
@@ -5005,7 +5089,7 @@ class LakeTable:
             e = F.col(f"t.{c}")
             for i, (kind, _, sets) in enumerate(clauses):
                 hit = F.col("_action") == i
-                if kind == "update":
+                if kind in ("update", "nmbs_update"):
                     if sets and c in sets:
                         e = F.when(hit, F.expr(sets[c]).cast(types[c])).otherwise(e)
                 elif kind == "insert":
@@ -5030,7 +5114,7 @@ class LakeTable:
             # rows carry both materialized values unchanged.
             upd = F.lit(False)
             for i, (kind, _, _) in enumerate(clauses):
-                if kind == "update":
+                if kind in ("update", "nmbs_update"):
                     upd = upd | (F.col("_action") == i)
             out_cols.append(
                 F.when(is_s_only, F.lit(None).cast("long"))
@@ -5052,7 +5136,7 @@ class LakeTable:
             # _lsn and the retiring _row_id survive)
             del_hit = F.lit(False)
             for i, (kind, _, _) in enumerate(clauses):
-                if kind == "delete":
+                if kind in ("delete", "nmbs_delete"):
                     del_hit = del_hit | (F.col("_action") == i)
             img = j.filter(F.col("_action") >= 0).select(
                 *out_cols,
@@ -5114,7 +5198,7 @@ class LakeTable:
             "version": version,
             "applied": True,
             "rows": rows,
-            "buckets_rewritten": len(touched),
+            "buckets_rewritten": len(rewritten),
         }
 
     def hydrate_patches(self, events: DataFrame) -> DataFrame:

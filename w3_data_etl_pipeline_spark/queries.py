@@ -2132,6 +2132,144 @@ def cdc_merge_into_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_merge_sync",
+    """
+    WITH tgt AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0 AND user_id % 4 <> 0)
+      WHERE rn = 1
+    ), src AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 1 AND user_id % 3 <> 0)
+      WHERE rn = 1
+    ), merged AS (
+      SELECT
+        COALESCE(t.user_id, s.user_id) AS user_id,
+        CASE
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.value > t.value THEN 'update'
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN 'keep'
+          WHEN t.user_id IS NULL AND s.event_type <> 'error' THEN 'insert'
+          WHEN t.user_id IS NULL THEN 'drop'
+          WHEN t.event_type = 'click' THEN 'stale'
+          ELSE 'delete'
+        END AS act,
+        t.event_id AS t_event_id, t.event_type AS t_event_type,
+        t.value AS t_value,
+        s.event_id AS s_event_id, s.event_type AS s_event_type,
+        s.value AS s_value
+      FROM tgt t FULL OUTER JOIN src s ON t.user_id = s.user_id
+    )
+    SELECT user_id,
+      CASE act WHEN 'insert' THEN s_event_id ELSE t_event_id END AS event_id,
+      CASE act WHEN 'update' THEN s_event_type
+               WHEN 'insert' THEN s_event_type
+               WHEN 'stale' THEN 'stale'
+               ELSE t_event_type END AS event_type,
+      CASE act WHEN 'update' THEN s_value
+               WHEN 'insert' THEN s_value
+               ELSE t_value END AS value
+    FROM merged WHERE act NOT IN ('delete', 'drop')
+    """,
+)
+def cdc_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with WHEN NOT MATCHED BY SOURCE clauses (SURVEY §13
+    — the Delta whenNotMatchedBySource / Spark 4 SQL NMBS forms): the
+    table-sync shape — matched rows conditionally update, unmatched
+    source rows conditionally insert, and target rows ABSENT from the
+    source either get flagged (nmbs_update on 'click' rows) or
+    deleted (unconditional nmbs_delete). The oracle replays the same
+    first-clause-wins lattice in DuckDB over a full outer join.
+    In-query asserts pin the scale contract: every clause family
+    fired on real data, the Delta-style metric split folds NMBS hits
+    into updated/deleted, and the audit record carries the clause
+    shapes."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_sync_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        base = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(
+            base.filter(
+                (F.pmod(F.col("event_id"), F.lit(2)) == 0)
+                & (F.pmod(F.col("user_id"), F.lit(4)) != 0)
+            ),
+            0,
+            mode="cow",
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        src = (
+            e.filter(
+                (F.pmod(F.col("event_id"), F.lit(2)) == 1)
+                & (F.pmod(F.col("user_id"), F.lit(3)) != 0)
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type", "value")
+        )
+        res = table.merge_into(
+            src,
+            [
+                (
+                    "update",
+                    "s.value > t.value",
+                    {"event_type": "s.event_type", "value": "s.value"},
+                ),
+                ("insert", "s.event_type <> 'error'", None),
+                ("nmbs_update", "t.event_type = 'click'", {"event_type": "'stale'"}),
+                ("nmbs_delete", None, None),
+            ],
+        )
+        r = res["rows"]
+        if not (r["updated"] and r["deleted"] and r["inserted"]):
+            raise AssertionError(f"a clause family never fired: {r}")
+        snap = table.snapshot()
+        if snap["dml"]["rows"] != r or len(snap["dml"]["clauses"]) != 4:
+            raise AssertionError("audit record missing/mismatched")
+        out = table.read().select("user_id", "event_id", "event_type", "value")
+        n_stale = out.filter("event_type = 'stale'").count()
+        if not n_stale:
+            raise AssertionError("nmbs_update never fired on real data")
+        # metric consistency: updated folds matched-updates AND the
+        # NMBS flag hits (Delta's numTargetRowsUpdated convention)
+        if r["updated"] < n_stale:
+            raise AssertionError(
+                f"metric fold broken: updated={r['updated']} < stale={n_stale}"
+            )
+        return spark.createDataFrame(out.collect(), schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_delete_dv",
     """
     WITH lww AS (
