@@ -1,0 +1,231 @@
+"""SQL front-end (LakeCatalog.sql): every statement kind parsed and
+dispatched onto the LakeTable API, checked against direct-API twins —
+MERGE INTO with all five clause families, UPDATE/DELETE (COW and MOR),
+SELECT incl. time travel, ALTER TABLE verbs, OPTIMIZE/VACUUM/ANALYZE/
+RESTORE, and the parse-error surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+from w3_data_etl_pipeline_spark.plans.sql import LakeCatalog
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _base(spark, n=300):
+    return spark.range(0, n).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("event_type"),
+        (F.col("id") % 97).cast("double").alias("value"),
+        F.lit(1).alias("lsn"),
+        F.lit("U").alias("op"),
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, ["user_id"], n_buckets=8)
+    t.merge(_base(spark), 0)
+    return LakeCatalog(spark).register("events_lake", t)
+
+
+def test_select_and_time_travel(cat, spark):
+    n = cat.sql("SELECT count(*) AS n FROM events_lake").collect()[0]["n"]
+    assert n == 300
+    cat.sql("DELETE FROM events_lake WHERE user_id >= 200")
+    assert cat.sql("SELECT count(*) AS n FROM events_lake").collect()[0]["n"] == 200
+    old = cat.sql(
+        "SELECT count(*) AS n FROM events_lake VERSION AS OF 1"
+    ).collect()[0]["n"]
+    assert old == 300
+    # aggregation over the live view
+    agg = cat.sql(
+        "SELECT event_type, count(*) AS n FROM events_lake "
+        "GROUP BY event_type ORDER BY event_type"
+    ).collect()
+    assert len(agg) == 5 and sum(r["n"] for r in agg) == 200
+
+
+def test_update_twin(cat, spark, tmp_path):
+    twin = LakeTable.create(
+        spark, str(tmp_path / "u"), SCHEMA, ["user_id"], n_buckets=8
+    )
+    twin.merge(_base(spark), 0)
+    res = cat.sql(
+        "UPDATE events_lake SET event_type = upper(event_type), "
+        "value = value * 2 WHERE user_id % 3 = 0"
+    ).collect()[0]
+    twin.update_where(
+        "user_id % 3 = 0",
+        {"event_type": "upper(event_type)", "value": "value * 2"},
+    )
+    assert _rows(cat.tables["events_lake"].read()) == _rows(twin.read())
+    assert res["rows_changed"] == 100
+
+
+def test_delete_mor_mode(cat):
+    t = cat.tables["events_lake"]
+    res = cat.sql(
+        "DELETE FROM events_lake WHERE event_type = 't0'", mode="mor"
+    ).collect()[0]
+    assert res["rows_changed"] == 60
+    assert any(f["kind"] in ("delta", "dv") for f in t.snapshot()["files"])
+    assert t.read().filter("event_type = 't0'").count() == 0
+
+
+def test_merge_all_clause_families(cat, spark, tmp_path):
+    twin = LakeTable.create(
+        spark, str(tmp_path / "m"), SCHEMA, ["user_id"], n_buckets=8
+    )
+    twin.merge(_base(spark), 0)
+    src = spark.range(200, 400).select(
+        F.col("id").alias("user_id"),
+        F.lit("src").alias("event_type"),
+        (F.col("id") % 89).cast("double").alias("value"),
+    )
+    src.createOrReplaceTempView("merge_src")
+    res = cat.sql(
+        """
+        MERGE INTO events_lake AS tgt
+        USING (SELECT * FROM merge_src) AS src
+        ON tgt.user_id = src.user_id
+        WHEN MATCHED AND src.value > tgt.value THEN
+          UPDATE SET event_type = src.event_type, value = src.value
+        WHEN MATCHED AND tgt.event_type = 't0' THEN DELETE
+        WHEN NOT MATCHED AND src.value >= 5.0 THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND tgt.user_id < 50 THEN
+          UPDATE SET event_type = 'stale'
+        WHEN NOT MATCHED BY SOURCE AND tgt.user_id >= 190 THEN DELETE
+        """
+    ).collect()[0]
+    twin.merge_into(
+        src,
+        [
+            ("update", "s.value > t.value",
+             {"event_type": "s.event_type", "value": "s.value"}),
+            ("delete", "t.event_type = 't0'", None),
+            ("insert", "s.value >= 5.0", None),
+            ("nmbs_update", "t.user_id < 50", {"event_type": "'stale'"}),
+            ("nmbs_delete", "t.user_id >= 190", None),
+        ],
+    )
+    assert _rows(cat.tables["events_lake"].read()) == _rows(twin.read())
+    assert res["rows_updated"] > 0 and res["rows_deleted"] > 0
+    assert res["rows_inserted"] > 0
+
+
+def test_merge_insert_values_form(cat, spark):
+    src = spark.range(500, 520).select(
+        F.col("id").alias("user_id"),
+        F.lit("new").alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    src.createOrReplaceTempView("vals_src")
+    cat.sql(
+        """
+        MERGE INTO events_lake t2 USING vals_src s2
+        ON t2.user_id = s2.user_id
+        WHEN NOT MATCHED THEN
+          INSERT (event_type, value) VALUES (concat(s2.event_type, '!'), s2.value + 1)
+        """
+    )
+    got = {
+        r["user_id"]: r
+        for r in cat.tables["events_lake"].read().filter("user_id >= 500").collect()
+    }
+    assert len(got) == 20
+    assert got[500]["event_type"] == "new!" and got[500]["value"] == 2.0
+
+
+def test_alter_verbs(cat):
+    t = cat.tables["events_lake"]
+    cat.sql("ALTER TABLE events_lake ADD COLUMN lang STRING DEFAULT 'und'")
+    assert "lang" in [f.name for f in t.schema().fields]
+    assert t.read().filter("lang = 'und'").count() == 300
+    cat.sql("ALTER TABLE events_lake RENAME COLUMN lang TO language")
+    assert "language" in [f.name for f in t.schema().fields]
+    cat.sql("ALTER TABLE events_lake ALTER COLUMN language SET DEFAULT 'en'")
+    cat.sql("ALTER TABLE events_lake ALTER COLUMN language DROP DEFAULT")
+    cat.sql("ALTER TABLE events_lake DROP COLUMN language")
+    assert "language" not in [f.name for f in t.schema().fields]
+    cat.sql("ALTER TABLE events_lake ALTER COLUMN value TYPE DOUBLE")
+    cat.sql(
+        "ALTER TABLE events_lake ADD CONSTRAINT v_nonneg CHECK (value >= 0)"
+    )
+    assert "v_nonneg" in t.constraints()
+    cat.sql("ALTER TABLE events_lake DROP CONSTRAINT v_nonneg")
+    assert "v_nonneg" not in t.constraints()
+    cat.sql("ALTER TABLE events_lake WRITE ORDERED BY value TARGET 100 ROWS")
+    wo = t.write_order()
+    assert wo and wo["cols"] == ["value"] and wo["target_rows"] == 100
+    cat.sql("ALTER TABLE events_lake WRITE UNORDERED")
+    assert not t.write_order()
+
+
+def test_maintenance_verbs(cat):
+    t = cat.tables["events_lake"]
+    cat.sql("DELETE FROM events_lake WHERE user_id = 7", mode="mor")
+    cat.sql("OPTIMIZE events_lake")
+    assert not any(f["kind"] == "delta" for f in t.snapshot()["files"])
+    rep = cat.sql(
+        "ANALYZE TABLE events_lake FOR COLUMNS user_id, value"
+    ).collect()[0]
+    assert rep["rows"] == 299
+    vac = cat.sql("VACUUM events_lake RETAIN 2 VERSIONS DRY RUN").collect()[0]
+    assert "expired" in vac.asDict() or vac is not None
+    v_now = t.current_version()
+    cat.sql("DELETE FROM events_lake WHERE user_id < 100")
+    cat.sql(f"RESTORE TABLE events_lake TO VERSION AS OF {v_now}")
+    assert t.read().count() == 299
+
+
+def test_parse_errors(cat):
+    with pytest.raises(ValueError, match="unsupported statement"):
+        cat.sql("TRUNCATE TABLE events_lake")
+    with pytest.raises(ValueError, match="unknown table"):
+        cat.sql("DELETE FROM nope WHERE 1=1")
+    with pytest.raises(ValueError, match="key columns"):
+        cat.sql(
+            "MERGE INTO events_lake USING events_lake s2 "
+            "ON t.value = s2.value WHEN MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="only INSERT"):
+        cat.sql(
+            "MERGE INTO events_lake USING events_lake s2 "
+            "ON t.user_id = s2.user_id WHEN NOT MATCHED THEN DELETE"
+        )
+    with pytest.raises(ValueError, match="ambiguous aliases"):
+        cat.sql(
+            "MERGE INTO events_lake AS s USING events_lake AS x "
+            "ON s.user_id = x.user_id WHEN MATCHED THEN DELETE"
+        )
+
+
+def test_where_keyword_inside_string_and_subquery(cat):
+    # WHERE inside a string literal must not split the SET list
+    cat.sql(
+        "UPDATE events_lake SET event_type = 'WHERE, SET' WHERE user_id = 3"
+    )
+    got = cat.tables["events_lake"].read().filter("user_id = 3").collect()[0]
+    assert got["event_type"] == "WHERE, SET"
+    # scalar subquery with its own WHERE in an assignment
+    cat.sql(
+        "UPDATE events_lake SET value = (SELECT 41.0 WHERE 1 = 1) + 1 "
+        "WHERE user_id = 4"
+    )
+    got = cat.tables["events_lake"].read().filter("user_id = 4").collect()[0]
+    assert got["value"] == 42.0

@@ -1910,10 +1910,27 @@ class LakeTable:
         branch proves exclusion, OR only when every branch does, so
         ``lang = 'py' OR lang IS NULL`` keeps exactly the files either
         side admits. Unknown always keeps."""
-        from .predicate import And, Or, Pred, evaluate_excludes, parse_predicate
+        from .predicate import (
+            And,
+            Or,
+            ParseError,
+            Pred,
+            evaluate_excludes,
+            parse_predicate,
+        )
 
         if isinstance(predicates, str):
-            tree = parse_predicate(predicates)
+            try:
+                tree = parse_predicate(predicates)
+            except ParseError:
+                # the documented contract (plans/predicate.py): a
+                # predicate outside the prunable subset (functions,
+                # arithmetic, NOT, ...) falls back to a plain filtered
+                # scan — tree=None keeps every file; the row-level
+                # F.expr filter downstream still applies it exactly
+                # (truly malformed SQL surfaces there as an analysis
+                # error instead of a misleading prune failure)
+                tree = None
         elif isinstance(predicates, (And, Or, Pred)):
             tree = predicates  # pre-built AST (read_semi's IN trees)
         else:

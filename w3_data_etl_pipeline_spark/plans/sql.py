@@ -1,0 +1,582 @@
+"""SQL front-end over LakeTable (the Delta/Iceberg SQL surface the
+reference's users actually write — its whole query layer is SQL task
+strings run by PostgresOperator, /root/reference/src/dags/w3c.py —
+re-expressed as lakehouse DML against snapshot-versioned tables).
+
+``LakeCatalog`` registers LakeTables under names and executes one
+statement per ``sql()`` call:
+
+  SELECT/WITH ...                 -> Spark SQL over temp views of the
+                                     registered tables' resolved reads;
+                                     ``<tbl> [FOR] VERSION AS OF n`` and
+                                     ``TIMESTAMP AS OF <epoch|'ts'>``
+                                     rewrite to time-travel views first
+  MERGE INTO t USING src ON ...   -> LakeTable.merge_into (WHEN MATCHED
+                                     UPDATE/DELETE, WHEN NOT MATCHED
+                                     INSERT */(cols) VALUES, WHEN NOT
+                                     MATCHED BY SOURCE UPDATE/DELETE,
+                                     clause order preserved)
+  UPDATE t SET ... [WHERE ...]    -> update_where
+  DELETE FROM t WHERE ...         -> delete_where
+  ALTER TABLE t ADD COLUMN ...    -> add_column (DEFAULT -> write+initial)
+  ALTER TABLE t RENAME COLUMN a TO b / DROP COLUMN a
+  ALTER TABLE t ALTER COLUMN a TYPE ty / SET DEFAULT v / DROP DEFAULT
+  ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
+  ALTER TABLE t WRITE ORDERED BY a, b [TARGET n ROWS] / WRITE UNORDERED
+  OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]   -> compact
+  VACUUM t [RETAIN n VERSIONS] [DRY RUN]    -> expire_snapshots
+  ANALYZE TABLE t [FOR COLUMNS a, b]        -> analyze
+  RESTORE TABLE t TO VERSION AS OF n        -> rollback
+
+Parsing is a tiny top-level tokenizer (quote- and paren-aware keyword
+scanning), NOT a grammar for arbitrary SQL: conditions and SET
+right-hand sides pass through verbatim to the engine, which already
+evaluates them as Spark SQL expressions — so anything Spark accepts in
+a predicate works here unchanged. DML statements return a one-row
+metrics DataFrame (Delta's operation-metrics convention); SELECT
+returns the query result.
+
+DML mode (copy-on-write vs merge-on-read) is a ``sql(..., mode=)``
+argument rather than dialect: storage strategy is an engine knob, not
+query text.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .laketable import LakeTable
+
+_WORD = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+def _strip(s: str) -> str:
+    return s.strip().rstrip(";").strip()
+
+
+def _scan_level(stmt: str):
+    """Yield (index, char, depth, in_string) for top-level keyword
+    scanning: depth counts unquoted parens, in_string covers single-
+    quoted SQL literals (with '' escapes) and double-quoted idents."""
+    depth = 0
+    q: str | None = None
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if q:
+            if c == q:
+                if q == "'" and i + 1 < n and stmt[i + 1] == "'":
+                    i += 2
+                    continue
+                q = None
+        elif c in ("'", '"'):
+            q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        yield i, c, depth, q is not None
+        i += 1
+
+
+def _find_kw(stmt: str, kw: str, start: int = 0) -> int:
+    """First index of whole-word keyword ``kw`` (spaces in kw match any
+    whitespace run) at paren depth 0 outside strings, or -1."""
+    pat = re.compile(
+        r"(?<![A-Za-z0-9_])" + r"\s+".join(map(re.escape, kw.split())) + r"(?![A-Za-z0-9_])",
+        re.IGNORECASE,
+    )
+    levels = {}
+    for i, _, depth, instr in _scan_level(stmt):
+        levels[i] = (depth, instr)
+    for m in pat.finditer(stmt):
+        if m.start() >= start:
+            d, instr = levels.get(m.start(), (0, False))
+            if d == 0 and not instr:
+                return m.start()
+    return -1
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at depth 0 outside strings."""
+    parts, last = [], 0
+    for i, c, depth, instr in _scan_level(s):
+        if c == sep and depth == 0 and not instr:
+            parts.append(s[last:i])
+            last = i + 1
+    parts.append(s[last:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+class LakeCatalog:
+    """Name -> LakeTable registry with a one-statement SQL executor."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: dict[str, LakeTable] = {}
+
+    def register(self, name: str, table: LakeTable) -> "LakeCatalog":
+        if not re.fullmatch(_WORD, name):
+            raise ValueError(f"invalid table name {name!r}")
+        self.tables[name] = table
+        return self
+
+    def sql(self, statement: str, mode: str = "cow") -> DataFrame:
+        stmt = _strip(statement)
+        head = stmt.split(None, 1)[0].upper() if stmt else ""
+        dispatch = {
+            "SELECT": self._select,
+            "WITH": self._select,
+            "MERGE": lambda s: self._merge(s, mode),
+            "UPDATE": lambda s: self._update(s, mode),
+            "DELETE": lambda s: self._delete(s, mode),
+            "ALTER": self._alter,
+            "OPTIMIZE": self._optimize,
+            "VACUUM": self._vacuum,
+            "ANALYZE": self._analyze,
+            "RESTORE": self._restore,
+        }
+        if head not in dispatch:
+            raise ValueError(f"unsupported statement kind {head!r}")
+        return dispatch[head](stmt)
+
+    # -- helpers ----------------------------------------------------
+
+    def _table(self, name: str) -> LakeTable:
+        if name not in self.tables:
+            raise ValueError(
+                f"unknown table {name!r} (registered: {sorted(self.tables)})"
+            )
+        return self.tables[name]
+
+    def _metrics_df(self, payload: dict) -> DataFrame:
+        flat = {}
+        for k, v in payload.items():
+            if isinstance(v, dict):
+                for k2, v2 in v.items():
+                    if isinstance(v2, (str, int, float, bool)):
+                        flat[f"{k}_{k2}"] = v2
+            elif isinstance(v, (str, int, float, bool)):
+                flat[k] = v
+        cols = sorted(flat)
+        return self.spark.createDataFrame([tuple(flat[c] for c in cols)], cols)
+
+    # -- SELECT -----------------------------------------------------
+
+    _TT = re.compile(
+        rf"\b({_WORD})\s+(?:FOR\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"('(?:[^']|'')*'|[0-9][0-9.]*)",
+        re.IGNORECASE,
+    )
+
+    def _select(self, stmt: str) -> DataFrame:
+        # time-travel refs first: each becomes its own view
+        def tt_view(m: re.Match) -> str:
+            name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+            if name not in self.tables:
+                return m.group(0)
+            t = self.tables[name]
+            vname = f"{name}__tt_{uuid.uuid4().hex[:8]}"
+            if kind == "VERSION":
+                df = t.read(int(float(lit)))
+            else:
+                ts = float(lit) if not lit.startswith("'") else None
+                if ts is None:
+                    from datetime import datetime
+
+                    ts = datetime.fromisoformat(lit.strip("'")).timestamp()
+                df = t.read_as_of(ts)
+            df.createOrReplaceTempView(vname)
+            return vname
+
+        rewritten = self._TT.sub(tt_view, stmt)
+        for name, t in self.tables.items():
+            if re.search(rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_])", rewritten):
+                t.read().createOrReplaceTempView(name)
+        return self.spark.sql(rewritten)
+
+    # -- DML --------------------------------------------------------
+
+    def _delete(self, stmt: str, mode: str) -> DataFrame:
+        m = re.match(
+            rf"DELETE\s+FROM\s+({_WORD})\s+WHERE\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("expected DELETE FROM <table> WHERE <predicate>")
+        res = self._table(m.group(1)).delete_where(m.group(2).strip(), mode=mode)
+        return self._metrics_df(res)
+
+    def _update(self, stmt: str, mode: str) -> DataFrame:
+        m = re.match(rf"UPDATE\s+({_WORD})\s+SET\s+", stmt, re.IGNORECASE)
+        if not m:
+            raise ValueError("expected UPDATE <table> SET ...")
+        rest = stmt[m.end():]
+        wpos = _find_kw(rest, "WHERE")
+        set_part = rest if wpos < 0 else rest[:wpos]
+        pred = "true" if wpos < 0 else rest[wpos + len("WHERE"):].strip()
+        sets = self._parse_sets(set_part)
+        res = self._table(m.group(1)).update_where(pred, sets, mode=mode)
+        return self._metrics_df(res)
+
+    @staticmethod
+    def _parse_sets(s: str) -> dict[str, str]:
+        sets = {}
+        for item in _split_top(s):
+            # split on the first top-level '='
+            pos = -1
+            for i, c, depth, instr in _scan_level(item):
+                if c == "=" and depth == 0 and not instr:
+                    pos = i
+                    break
+            if pos < 0:
+                raise ValueError(f"bad assignment {item!r}")
+            col = item[:pos].strip()
+            if not re.fullmatch(rf"(?:[ts]\.)?{_WORD}", col):
+                raise ValueError(f"bad assignment target {col!r}")
+            sets[col.split(".")[-1]] = item[pos + 1:].strip()
+        if not sets:
+            raise ValueError("empty SET list")
+        return sets
+
+    def _merge(self, stmt: str, mode: str) -> DataFrame:
+        m = re.match(
+            rf"MERGE\s+INTO\s+({_WORD})(?:\s+AS\s+({_WORD})|\s+((?!USING\b){_WORD}))?\s+USING\s+",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected MERGE INTO <table> [alias] USING ...")
+        tname = m.group(1)
+        t_alias = m.group(2) or m.group(3) or "t"
+        rest = stmt[m.end():]
+
+        # source: (subquery) [AS] alias | ident [AS] alias
+        if rest.lstrip().startswith("("):
+            rest = rest.lstrip()
+            depth = 0
+            end = -1
+            for i, c, d, instr in _scan_level(rest):
+                if c == ")" and d == 0 and not instr:
+                    end = i
+                    break
+            if end < 0:
+                raise ValueError("unbalanced parens in USING subquery")
+            src_sql = rest[1:end]
+            src_df = self._select(_strip(src_sql))
+            rest = rest[end + 1:]
+        else:
+            sm = re.match(rf"\s*({_WORD})", rest)
+            if not sm:
+                raise ValueError("expected USING <source>")
+            sname = sm.group(1)
+            src_df = (
+                self.tables[sname].read()
+                if sname in self.tables
+                else self.spark.table(sname)
+            )
+            rest = rest[sm.end():]
+        am = re.match(rf"\s*(?:AS\s+)?({_WORD})\s+(?=ON\b)", rest, re.IGNORECASE)
+        s_alias = "s"
+        if am:
+            s_alias = am.group(1)
+            rest = rest[am.end():]
+
+        if t_alias == s_alias or t_alias == "s" or s_alias == "t":
+            raise ValueError(
+                f"ambiguous aliases target={t_alias!r} source={s_alias!r} "
+                "(swapping/reusing the canonical t/s names is not supported)"
+            )
+        onpos = _find_kw(rest, "ON")
+        wpos = _find_kw(rest, "WHEN")
+        if onpos < 0 or wpos < 0 or wpos < onpos:
+            raise ValueError("expected ON <cond> WHEN ...")
+        on_cond = rest[onpos + 2: wpos].strip()
+        self._check_on(tname, on_cond, t_alias, s_alias)
+
+        clauses = []
+        body = rest[wpos:]
+        # split on top-level WHEN
+        starts = []
+        pos = 0
+        while True:
+            p = _find_kw(body, "WHEN", pos)
+            if p < 0:
+                break
+            starts.append(p)
+            pos = p + 4
+        chunks = [
+            body[starts[i]: starts[i + 1] if i + 1 < len(starts) else len(body)]
+            for i in range(len(starts))
+        ]
+        for chunk in chunks:
+            clauses.append(self._parse_when(chunk, t_alias, s_alias))
+
+        # rewrite aliases to the engine's canonical t./s.
+        def canon(expr: str | None) -> str | None:
+            if expr is None:
+                return None
+            out = re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(t_alias)}\.", "t.", expr)
+            return re.sub(rf"(?<![A-Za-z0-9_.]){re.escape(s_alias)}\.", "s.", out)
+
+        canon_clauses = [
+            (
+                kind,
+                canon(cond),
+                None if sets is None else {c: canon(e) for c, e in sets.items()},
+            )
+            for kind, cond, sets in clauses
+        ]
+        res = self._table(tname).merge_into(src_df, canon_clauses, mode=mode)
+        return self._metrics_df(res)
+
+    def _check_on(self, tname: str, cond: str, ta: str, sa: str) -> None:
+        keys = set(self._table(tname).snapshot()["key_cols"])
+        seen = set()
+        for part in re.split(r"(?i)\bAND\b", cond):
+            pm = re.fullmatch(
+                rf"\s*({_WORD})\.({_WORD})\s*=\s*({_WORD})\.({_WORD})\s*", part
+            )
+            if not pm:
+                raise ValueError(
+                    f"ON must be AND-ed key equalities, got {part.strip()!r}"
+                )
+            a1, c1, a2, c2 = pm.groups()
+            if {a1, a2} != {ta, sa} or c1 != c2:
+                raise ValueError(f"ON term must equate t/s on one column: {part!r}")
+            seen.add(c1)
+        if seen != keys:
+            raise ValueError(
+                f"ON must cover exactly the key columns {sorted(keys)}, got {sorted(seen)}"
+            )
+
+    def _parse_when(self, chunk: str, ta: str, sa: str):
+        m = re.match(
+            r"WHEN\s+(MATCHED|NOT\s+MATCHED(?:\s+BY\s+(TARGET|SOURCE))?)\s*",
+            chunk,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"bad WHEN clause: {chunk[:60]!r}")
+        matched = m.group(1).upper().startswith("MATCHED")
+        by_source = (m.group(2) or "").upper() == "SOURCE"
+        rest = chunk[m.end():]
+        cond = None
+        if re.match(r"AND\b", rest, re.IGNORECASE):
+            tpos = _find_kw(rest, "THEN")
+            if tpos < 0:
+                raise ValueError(f"WHEN ... AND without THEN: {chunk[:60]!r}")
+            cond = rest[3:tpos].strip()
+            rest = rest[tpos:]
+        tm = re.match(r"THEN\s+", rest, re.IGNORECASE)
+        if not tm:
+            raise ValueError(f"expected THEN in {chunk[:60]!r}")
+        action = rest[tm.end():].strip()
+        au = action.upper()
+        if au.startswith("DELETE"):
+            if matched:
+                return ("delete", cond, None)
+            if by_source:
+                return ("nmbs_delete", cond, None)
+            raise ValueError("WHEN NOT MATCHED supports only INSERT")
+        if au.startswith("UPDATE"):
+            sm = re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE)
+            if not sm:
+                raise ValueError(f"expected UPDATE SET in {action[:60]!r}")
+            sets = self._parse_sets(action[sm.end():])
+            if matched:
+                return ("update", cond, sets)
+            if by_source:
+                return ("nmbs_update", cond, sets)
+            raise ValueError("WHEN NOT MATCHED supports only INSERT")
+        if au.startswith("INSERT"):
+            if matched or by_source:
+                raise ValueError("INSERT is only valid on WHEN NOT MATCHED [BY TARGET]")
+            body = action[len("INSERT"):].strip()
+            if body == "*" or body == "":
+                return ("insert", cond, None)
+            im = re.match(r"\((?P<cols>[^)]*)\)\s*VALUES\s*\(", body, re.IGNORECASE)
+            if not im:
+                raise ValueError(f"expected INSERT * or (cols) VALUES (...): {body[:60]!r}")
+            cols = [c.strip() for c in im.group("cols").split(",")]
+            vals_part = body[im.end() - 1:]
+            depth_end = -1
+            for i, c, d, instr in _scan_level(vals_part):
+                if c == ")" and d == 0 and not instr:
+                    depth_end = i
+                    break
+            vals = _split_top(vals_part[1:depth_end])
+            if len(cols) != len(vals):
+                raise ValueError(
+                    f"INSERT arity mismatch: {len(cols)} cols, {len(vals)} values"
+                )
+            return ("insert", cond, dict(zip(cols, vals)))
+        raise ValueError(f"unknown merge action {action[:40]!r}")
+
+    # -- maintenance ------------------------------------------------
+
+    def _alter(self, stmt: str) -> DataFrame:
+        m = re.match(rf"ALTER\s+TABLE\s+({_WORD})\s+(.+)$", stmt, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError("expected ALTER TABLE <table> <action>")
+        t = self._table(m.group(1))
+        act = m.group(2).strip()
+        au = act.upper()
+
+        def out(version: int, op: str) -> DataFrame:
+            return self._metrics_df({"version": version, "operation": op})
+
+        if au.startswith("ADD COLUMN"):
+            cm = re.match(
+                rf"ADD\s+COLUMN\s+({_WORD})\s+([A-Za-z0-9_()<>, ]+?)"
+                r"(?:\s+DEFAULT\s+(.+))?$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"bad ADD COLUMN: {act!r}")
+            default = cm.group(3)
+            dv = None if default is None else _sql_scalar(default)
+            v = t.add_column(
+                cm.group(1), cm.group(2).strip(), initial_default=dv, write_default=dv
+            )
+            return out(v, "add-column")
+        if au.startswith("RENAME COLUMN"):
+            cm = re.match(
+                rf"RENAME\s+COLUMN\s+({_WORD})\s+TO\s+({_WORD})$", act, re.IGNORECASE
+            )
+            if not cm:
+                raise ValueError(f"bad RENAME COLUMN: {act!r}")
+            return out(t.rename_column(cm.group(1), cm.group(2)), "rename-column")
+        if au.startswith("DROP COLUMN"):
+            cm = re.match(rf"DROP\s+COLUMN\s+({_WORD})$", act, re.IGNORECASE)
+            if not cm:
+                raise ValueError(f"bad DROP COLUMN: {act!r}")
+            return out(t.drop_column(cm.group(1)), "drop-column")
+        if au.startswith("ALTER COLUMN"):
+            cm = re.match(
+                rf"ALTER\s+COLUMN\s+({_WORD})\s+(TYPE\s+(.+)|SET\s+DEFAULT\s+(.+)|DROP\s+DEFAULT)$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"bad ALTER COLUMN: {act!r}")
+            col, verb = cm.group(1), cm.group(2).upper()
+            if verb.startswith("TYPE"):
+                return out(t.alter_column_type(col, cm.group(3).strip()), "alter-type")
+            if verb.startswith("SET"):
+                return out(
+                    t.alter_column_default(col, _sql_scalar(cm.group(4))),
+                    "set-default",
+                )
+            return out(t.alter_column_default(col, None), "drop-default")
+        if au.startswith("ADD CONSTRAINT"):
+            cm = re.match(
+                rf"ADD\s+CONSTRAINT\s+({_WORD})\s+CHECK\s*\((.+)\)$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"bad ADD CONSTRAINT: {act!r}")
+            return out(t.add_constraint(cm.group(1), cm.group(2).strip()), "add-constraint")
+        if au.startswith("DROP CONSTRAINT"):
+            cm = re.match(rf"DROP\s+CONSTRAINT\s+({_WORD})$", act, re.IGNORECASE)
+            if not cm:
+                raise ValueError(f"bad DROP CONSTRAINT: {act!r}")
+            return out(t.drop_constraint(cm.group(1)), "drop-constraint")
+        if au.startswith("WRITE UNORDERED"):
+            return out(t.alter_write_order(None), "write-unordered")
+        if au.startswith("WRITE ORDERED BY"):
+            cm = re.match(
+                r"WRITE\s+ORDERED\s+BY\s+(?:ZORDER\s*\(([^)]+)\)|([A-Za-z0-9_,\s]+?))"
+                r"(?:\s+TARGET\s+(\d+)\s+ROWS)?$",
+                act,
+                re.IGNORECASE,
+            )
+            if not cm:
+                raise ValueError(f"bad WRITE ORDERED BY: {act!r}")
+            cols = [c.strip() for c in (cm.group(1) or cm.group(2)).split(",")]
+            tr = int(cm.group(3)) if cm.group(3) else None
+            v = t.alter_write_order(cols, zorder=bool(cm.group(1)), target_rows=tr)
+            return out(v, "write-ordered")
+        raise ValueError(f"unsupported ALTER TABLE action: {act[:60]!r}")
+
+    def _optimize(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"OPTIMIZE\s+({_WORD})"
+            r"(?:\s+WHERE\s+(.+?))?"
+            r"(?:\s+ZORDER\s+BY\s*\(([^)]+)\))?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("expected OPTIMIZE <table> [WHERE p] [ZORDER BY (...)]")
+        t = self._table(m.group(1))
+        cluster = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+        v = t.compact(
+            where=m.group(2).strip() if m.group(2) else None,
+            cluster_by=cluster,
+            zorder=bool(cluster),
+        )
+        return self._metrics_df({"version": v, "operation": "optimize"})
+
+    def _vacuum(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"VACUUM\s+({_WORD})(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?(\s+DRY\s+RUN)?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected VACUUM <table> [RETAIN n VERSIONS] [DRY RUN]")
+        res = self._table(m.group(1)).expire_snapshots(
+            keep_last=int(m.group(2)) if m.group(2) else 2,
+            dry_run=bool(m.group(3)),
+        )
+        return self._metrics_df(res)
+
+    def _analyze(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"ANALYZE\s+TABLE\s+({_WORD})(?:\s+COMPUTE\s+STATISTICS)?"
+            r"(?:\s+FOR\s+COLUMNS\s+([A-Za-z0-9_,\s]+))?$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected ANALYZE TABLE <table> [FOR COLUMNS a, b]")
+        cols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        rep = self._table(m.group(1)).analyze(cols)
+        return self._metrics_df(
+            {"analyzed_version": rep["analyzed_version"], "rows": rep["rows"]}
+        )
+
+    def _restore(self, stmt: str) -> DataFrame:
+        m = re.match(
+            rf"RESTORE\s+TABLE\s+({_WORD})\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$",
+            stmt,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError("expected RESTORE TABLE <table> TO VERSION AS OF n")
+        v = self._table(m.group(1)).rollback(int(m.group(2)))
+        return self._metrics_df({"version": v, "operation": "restore"})
+
+
+def _sql_scalar(lit: str):
+    """A SQL literal -> the JSON scalar the defaults API stores."""
+    s = lit.strip()
+    if s.startswith("'") and s.endswith("'"):
+        return s[1:-1].replace("''", "'")
+    if s.upper() in ("TRUE", "FALSE"):
+        return s.upper() == "TRUE"
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        raise ValueError(f"DEFAULT must be a scalar literal, got {lit!r}")
