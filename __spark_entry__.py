@@ -162,6 +162,11 @@ _DEMOTED_TAIL = [
     # oracle; bucket-granular rewrite over the widened fold
     # pytest-pinned in tests/test_merge_into.py
     "cdc_merge_sync",
+    # SQL front-end (plans/sql.py): UPDATE/DELETE/4-clause MERGE/
+    # time-travel SELECT driven entirely through SQL statement
+    # strings, DuckDB oracle replays each statement relationally;
+    # statement-kind coverage pytest-pinned in tests/test_sql_frontend.py
+    "cdc_sql_surface",
     # declared write order (Iceberg sort-order metadata): in-query
     # asserts pin the standing-layout property — the first microbatch
     # after the ALTER already file-skips >50% on the sort column with

@@ -2270,6 +2270,145 @@ def cdc_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_sql_surface",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    ), upd1 AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN value + 1.0 ELSE value END
+               AS value
+      FROM base
+    ), del1 AS (
+      SELECT * FROM upd1 WHERE event_type <> 'error'
+    ), src AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'signup')
+      WHERE rn = 1
+    ), merged AS (
+      SELECT
+        COALESCE(t.user_id, s.user_id) AS user_id,
+        CASE
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND s.value > t.value THEN 'update'
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+               AND t.value < 1.0 THEN 'delete'
+          WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL THEN 'keep'
+          WHEN t.user_id IS NULL THEN 'insert'
+          WHEN t.event_type = 'view' THEN 'stale'
+          ELSE 'keep'
+        END AS act,
+        t.event_id AS t_event_id, t.event_type AS t_event_type,
+        t.value AS t_value,
+        s.event_id AS s_event_id, s.value AS s_value
+      FROM del1 t FULL OUTER JOIN src s ON t.user_id = s.user_id
+    ), cur AS (
+      SELECT user_id,
+        CASE act WHEN 'insert' THEN s_event_id ELSE t_event_id END AS event_id,
+        CASE act WHEN 'update' THEN 'resignup'
+                 WHEN 'insert' THEN 'signup'
+                 WHEN 'stale' THEN 'stale'
+                 ELSE t_event_type END AS event_type,
+        CASE act WHEN 'update' THEN s_value
+                 WHEN 'insert' THEN s_value
+                 ELSE t_value END AS value
+      FROM merged WHERE act <> 'delete'
+    )
+    SELECT c.user_id, c.event_id, c.event_type, c.value,
+           b.value AS value_v1
+    FROM cur c LEFT JOIN base b ON c.user_id = b.user_id
+    """,
+)
+def cdc_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end end-to-end (SURVEY §13 — plans/sql.py): the
+    reference's interface is SQL task strings (PostgresOperator,
+    /root/reference/src/dags/w3c.py), so the lakehouse DML surface is
+    driven here entirely through SQL statements — UPDATE, DELETE, a
+    four-clause-family MERGE INTO (matched update/delete, insert,
+    NOT MATCHED BY SOURCE update), and a final SELECT that joins the
+    live table against ``VERSION AS OF 1`` time travel. The DuckDB
+    oracle replays every statement as pure relational algebra; any
+    divergence in the parser, the clause dispatch, or the time-travel
+    view rewriting flips the value hash."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+    from .plans.sql import LakeCatalog
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_sql_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        table.merge(
+            e.select(
+                "user_id",
+                "event_id",
+                "event_type",
+                "value",
+                F.col("event_id").alias("lsn"),
+                F.lit("U").alias("op"),
+            ),
+            0,
+        )
+        cat = LakeCatalog(spark).register("lake", table)
+        cat.sql("UPDATE lake SET value = value + 1.0 WHERE event_type = 'click'")
+        cat.sql("DELETE FROM lake WHERE event_type = 'error'")
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        (
+            e.filter("event_type = 'signup'")
+            .withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("user_id", "event_id", "event_type", "value")
+        ).createOrReplaceTempView("sql_gate_src")
+        cat.sql(
+            """
+            MERGE INTO lake t USING sql_gate_src s
+            ON t.user_id = s.user_id
+            WHEN MATCHED AND s.value > t.value THEN
+              UPDATE SET value = s.value, event_type = 'resignup'
+            WHEN MATCHED AND t.value < 1.0 THEN DELETE
+            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED BY SOURCE AND t.event_type = 'view' THEN
+              UPDATE SET event_type = 'stale'
+            """
+        )
+        out = cat.sql(
+            """
+            SELECT c.user_id, c.event_id, c.event_type, c.value,
+                   v1.value AS value_v1
+            FROM lake c LEFT JOIN lake VERSION AS OF 1 v1
+              ON c.user_id = v1.user_id
+            """
+        )
+        out_schema = T.StructType(
+            schema.fields + [T.StructField("value_v1", T.DoubleType())]
+        )
+        return spark.createDataFrame(out.collect(), out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_delete_dv",
     """
     WITH lww AS (
