@@ -1,0 +1,349 @@
+"""LakeTable as a TRUE Structured Streaming source (the Delta
+streaming-source / Iceberg incremental-streaming-read analogue),
+built on Spark 4's Python DataSource API:
+
+    spark.dataSource.register(LakeTableChangeSource)
+    df = (spark.readStream.format("laketable_cdf")
+          .option("path", table_root)
+          .option("startingVersion", 0)          # optional, default 0
+          .option("maxVersionsPerTrigger", 10)   # optional backpressure
+          .load())
+
+Each microbatch emits the table's change feed between two snapshot
+versions — identical row semantics to ``LakeTable.changes(a, b)``
+(one row per key whose stored state differs; ``_change_type`` in
+insert/update/delete, deletes carrying pre-image values) — with
+offsets checkpointed by Spark itself, so the stream is exactly-once
+resumable with zero engine-side ledger.
+
+Scale architecture (what the Python DataSource API makes possible):
+
+* ``partitions(start, end)`` runs on the DRIVER and is O(metadata):
+  it diffs the two snapshots' per-bucket manifest POINTERS
+  (content-addressed — equal pointer <=> identical file set) and
+  emits one InputPartition per CHANGED bucket, carrying only file
+  lists + the field-id column mapping. No data is read on the driver.
+* ``read(partition)`` runs on EXECUTORS with no JVM round-trip: the
+  per-bucket resolve-and-diff (max-LSN/commit-sequence winner per
+  key, 'D' tombstone drop, deletion-vector masks, epoch-aware column
+  mapping with initial-defaults) executes as ONE generated DuckDB SQL
+  statement over the bucket's parquet files, vectorized end-to-end,
+  and streams back to Spark as Arrow RecordBatches cast to the exact
+  declared schema. A key lives in exactly one bucket, so per-bucket
+  diffs compose with no cross-partition exchange at all.
+
+Semantics parity with the DataFrame path is pinned by tests that run
+randomized COW/MOR/DV lifecycles through BOTH ``LakeTable.changes``
+and this source and compare row sets (tests/test_stream_source_cdf.py).
+
+Retention contract: the checkpointed offset names a snapshot version,
+so ``expire_snapshots`` must retain at least the stream's lag (same
+rule as Delta/Iceberg streaming reads from expired snapshots).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Sequence
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+from ..plans.laketable import LSN_COL, OP_COL, LakeTable
+
+_CHANGE_COL = "_change_type"
+
+
+def _duck_type(dt: T.DataType) -> str:
+    m = {
+        T.LongType: "BIGINT",
+        T.IntegerType: "INTEGER",
+        T.ShortType: "SMALLINT",
+        T.ByteType: "TINYINT",
+        T.DoubleType: "DOUBLE",
+        T.FloatType: "FLOAT",
+        T.StringType: "VARCHAR",
+        T.BooleanType: "BOOLEAN",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMP",
+        T.BinaryType: "BLOB",
+    }
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return v
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    raise ValueError(f"unsupported column type for the stream source: {dt}")
+
+
+def _arrow_type(dt: T.DataType):
+    import pyarrow as pa
+
+    m = {
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.ShortType: pa.int16(),
+        T.ByteType: pa.int8(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.StringType: pa.string(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us"),
+        T.BinaryType: pa.binary(),
+    }
+    for k, v in m.items():
+        if isinstance(dt, k):
+            return v
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise ValueError(f"unsupported column type for the stream source: {dt}")
+
+
+def _q(ident: str) -> str:
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def _lit(v, duck: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {duck})"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return f"CAST({v!r} AS {duck})"
+    s = str(v).replace("'", "''")
+    return f"CAST('{s}' AS {duck})"
+
+
+class LakeTableChangeSource(DataSource):
+    """``format("laketable_cdf")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable_cdf"
+
+    def _table(self) -> LakeTable:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("option 'path' (the LakeTable root) is required")
+        return LakeTable(None, path)  # metadata-only: no SparkSession needed
+
+    def schema(self) -> T.StructType:
+        t = self._table()
+        snap = t.snapshot()
+        keys = snap["key_cols"]
+        s = t.schema(snap)
+        fields = [s[k] for k in keys] + [
+            f for f in s.fields if f.name not in keys and f.name != LSN_COL
+        ]
+        return T.StructType(fields + [T.StructField(_CHANGE_COL, T.StringType(), False)])
+
+    def streamReader(self, schema: T.StructType) -> "LakeCdfStreamReader":
+        return LakeCdfStreamReader(self._table(), self.options, schema)
+
+
+class LakeCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, table: LakeTable, options, schema: T.StructType):
+        self._t = table
+        self._start = int(options.get("startingversion", options.get("startingVersion", 0)))
+        mv = options.get("maxversionspertrigger", options.get("maxVersionsPerTrigger"))
+        self._max_versions = int(mv) if mv is not None else None
+        self._schema = schema
+        self._last = self._start
+
+    # -- offsets ------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self._start}
+
+    def latestOffset(self) -> dict:
+        cur = self._t.current_version()
+        if self._max_versions is not None:
+            cur = min(cur, self._last + self._max_versions)
+        # never move backward (restart with a stale in-memory floor:
+        # partitions() re-raises the floor from the checkpointed range)
+        cur = max(cur, self._last)
+        self._last = cur
+        return {"version": cur}
+
+    def commit(self, end: dict) -> None:
+        self._last = max(self._last, int(end["version"]))
+
+    # -- planning (driver, O(metadata)) --------------------------------
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        a, b = int(start["version"]), int(end["version"])
+        self._last = max(self._last, b)
+        if a == b:
+            return [InputPartition(None)]
+        snap_a = self._t.snapshot(a)
+        snap_b = self._t.snapshot(b)
+        changed = sorted(self._t.changed_buckets(a, b))
+        keys = snap_b["key_cols"]
+        cur_schema = self._t.schema(snap_b)
+        value_cols = [
+            f.name for f in cur_schema.fields
+            if f.name not in keys and f.name != LSN_COL
+        ]
+        types = {f.name: _duck_type(f.dataType) for f in cur_schema.fields}
+        fids = snap_b.get("field_ids") or {}
+        log = snap_b.get("name_log") or {}
+        defaults = {
+            c: self._t._default_value(snap_b, c, "initial")
+            for c in types
+        }
+
+        def _side(snap: dict, bucket: int) -> dict:
+            files = [
+                {
+                    "path": os.path.join(self._t.root, f["path"]),
+                    "epoch": int(f.get("epoch", 0)),
+                    "kind": f.get("kind", "base"),
+                }
+                for f in snap["files"]
+                if f["bucket"] == bucket and f.get("kind", "base") != "dv"
+            ]
+            dv = [
+                os.path.join(self._t.root, f["path"])
+                for f in snap["files"]
+                if f["bucket"] == bucket and f.get("kind", "base") == "dv"
+            ]
+            return {"files": files, "dv": dv}
+
+        parts = []
+        for bk in changed:
+            parts.append(
+                InputPartition(
+                    {
+                        "a": _side(snap_a, bk),
+                        "b": _side(snap_b, bk),
+                        "keys": keys,
+                        "value_cols": value_cols,
+                        "types": types,
+                        "fids": {c: fids.get(c) for c in types},
+                        "name_log": log,
+                        "defaults": defaults,
+                        "fields": json.dumps(
+                            T.StructType(
+                                [cur_schema[k] for k in keys]
+                                + [cur_schema[c] for c in value_cols]
+                            ).jsonValue()
+                        ),
+                    }
+                )
+            )
+        return parts or [InputPartition(None)]
+
+    # -- execution (executor, DuckDB over parquet) ----------------------
+
+    @staticmethod
+    def _side_sql(side: dict, spec: dict, alias: str) -> str:
+        """One resolved side: per-file epoch-mapped SELECTs unioned,
+        DV-masked, then max-(_lsn, _seq) winner per key minus 'D'
+        tombstones — LakeTable._scan + _resolve semantics in SQL."""
+        import pyarrow.parquet as pq
+
+        keys, types = spec["keys"], spec["types"]
+        cols = keys + spec["value_cols"]
+        selects = []
+        for f in side["files"]:
+            phys = set(pq.read_schema(f["path"]).names)
+            emap = (spec["name_log"] or {}).get(str(f["epoch"]))
+            exprs = []
+            for c in cols:
+                fid = spec["fids"].get(c)
+                old = (
+                    emap.get(str(fid))
+                    if (emap is not None and fid is not None)
+                    else c
+                )
+                if old is not None and old in phys:
+                    exprs.append(f"{_q(old)} AS {_q(c)}")
+                else:
+                    # column (by id) absent at this file's epoch, or
+                    # physically missing: initial-default, else NULL
+                    exprs.append(
+                        f"{_lit(spec['defaults'].get(c), types[c])} AS {_q(c)}"
+                    )
+            lsn = f"{_q(LSN_COL)}" if LSN_COL in phys else "CAST(NULL AS BIGINT)"
+            op = f"{_q(OP_COL)}" if OP_COL in phys else "CAST(NULL AS VARCHAR)"
+            p = f["path"].replace("'", "''")
+            selects.append(
+                f"SELECT {', '.join(exprs)}, {lsn} AS _lsn, {op} AS _op, "
+                r"try_cast(regexp_extract(filename, 'c(\d{12})-', 1) AS BIGINT)"
+                " AS _seq, "
+                "array_to_string(string_split(filename, '/')[-3:], '/') AS _fkey, "
+                "file_row_number AS _fpos "
+                f"FROM read_parquet(['{p}'], filename=true, file_row_number=true)"
+            )
+        if not selects:
+            cast_cols = ", ".join(
+                f"CAST(NULL AS {types[c]}) AS {_q(c)}" for c in cols
+            )
+            selects = [
+                f"SELECT {cast_cols}, CAST(NULL AS BIGINT) AS _lsn, "
+                "CAST(NULL AS VARCHAR) AS _op, CAST(NULL AS BIGINT) AS _seq, "
+                "CAST(NULL AS VARCHAR) AS _fkey, CAST(NULL AS BIGINT) AS _fpos "
+                "WHERE 1 = 0"
+            ]
+        raw = " UNION ALL ".join(f"({s})" for s in selects)
+        if side["dv"]:
+            dvp = ", ".join("'" + p.replace("'", "''") + "'" for p in side["dv"])
+            raw = (
+                f"SELECT * FROM ({raw}) r WHERE NOT EXISTS ("
+                f"SELECT 1 FROM read_parquet([{dvp}]) m "
+                "WHERE m._dv_fkey = r._fkey AND m._dv_pos = r._fpos)"
+            )
+        key_list = ", ".join(_q(k) for k in keys)
+        return (
+            f"{alias} AS (SELECT * FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {key_list} "
+            "ORDER BY _lsn DESC NULLS LAST, _seq DESC NULLS LAST) AS _rn "
+            f"FROM ({raw})) WHERE _rn = 1 AND (_op IS NULL OR _op <> 'D'))"
+        )
+
+    def read(self, partition: InputPartition) -> Iterator:
+        spec = partition.value
+        if spec is None:
+            return iter(())
+        import duckdb
+        import pyarrow as pa
+
+        keys, vals = spec["keys"], spec["value_cols"]
+        sql_a = self._side_sql(spec["a"], spec, "sa")
+        sql_b = self._side_sql(spec["b"], spec, "sb")
+        on = " AND ".join(f"sa.{_q(k)} = sb.{_q(k)}" for k in keys)
+        out_keys = ", ".join(
+            f"COALESCE(sb.{_q(k)}, sa.{_q(k)}) AS {_q(k)}" for k in keys
+        )
+        out_vals = ", ".join(
+            f"CASE WHEN sb._p IS NULL THEN sa.{_q(c)} ELSE sb.{_q(c)} END AS {_q(c)}"
+            for c in vals
+        )
+        changed = " OR ".join(
+            f"sa.{_q(c)} IS DISTINCT FROM sb.{_q(c)}" for c in vals
+        ) or "FALSE"
+        q = (
+            f"WITH {sql_a}, {sql_b}, "
+            "pa_ AS (SELECT *, TRUE AS _p FROM sa), "
+            "pb_ AS (SELECT *, TRUE AS _p FROM sb) "
+            f"SELECT {out_keys}{',' if vals else ''} {out_vals}, "
+            "CASE WHEN sa._p IS NULL THEN 'insert' "
+            "WHEN sb._p IS NULL THEN 'delete' "
+            "ELSE 'update' END AS _change_type "
+            "FROM pa_ sa FULL OUTER JOIN pb_ sb ON "
+            f"{on} WHERE sa._p IS NULL OR sb._p IS NULL OR ({changed})"
+        )
+        tbl = duckdb.sql(q).arrow()
+        fields = T.StructType.fromJson(json.loads(spec["fields"]))
+        target = pa.schema(
+            [pa.field(f.name, _arrow_type(f.dataType)) for f in fields.fields]
+            + [pa.field(_CHANGE_COL, pa.string())]
+        )
+        tbl = tbl.select(target.names).cast(target)
+        return iter(tbl.to_batches(max_chunksize=65536))
