@@ -167,6 +167,11 @@ _DEMOTED_TAIL = [
     # strings, DuckDB oracle replays each statement relationally;
     # statement-kind coverage pytest-pinned in tests/test_sql_frontend.py
     "cdc_sql_surface",
+    # Structured Streaming CDF source (Python DataSource API): per-
+    # changed-bucket partitions, executor-side DuckDB resolve+diff,
+    # snapshot-version offsets checkpointed by Spark; lifecycle parity
+    # pytest-pinned in tests/test_stream_source_cdf.py
+    "cdc_stream_cdf",
     # declared write order (Iceberg sort-order metadata): in-query
     # asserts pin the standing-layout property — the first microbatch
     # after the ALTER already file-skips >50% on the sort column with

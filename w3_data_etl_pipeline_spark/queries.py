@@ -2270,6 +2270,119 @@ def cdc_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_stream_cdf",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_id % 2 = 0)
+      WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    ), s3 AS (
+      SELECT * FROM s2 WHERE event_type <> 'error'
+    )
+    SELECT
+      COALESCE(c.user_id, o.user_id) AS user_id,
+      CASE WHEN c.user_id IS NULL THEN o.event_id ELSE c.event_id END
+        AS event_id,
+      CASE WHEN c.user_id IS NULL THEN o.event_type ELSE c.event_type END
+        AS event_type,
+      CASE WHEN c.user_id IS NULL THEN o.value ELSE c.value END AS value,
+      CASE WHEN o.user_id IS NULL THEN 'insert'
+           WHEN c.user_id IS NULL THEN 'delete'
+           ELSE 'update' END AS _change_type
+    FROM s1 o FULL OUTER JOIN s3 c ON o.user_id = c.user_id
+    WHERE o.user_id IS NULL OR c.user_id IS NULL
+       OR o.event_id IS DISTINCT FROM c.event_id
+       OR o.event_type IS DISTINCT FROM c.event_type
+       OR o.value IS DISTINCT FROM c.value
+    """,
+)
+def cdc_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a TRUE Structured Streaming source (SURVEY §13 —
+    streaming/source.py, Spark 4 Python DataSource API): a three-
+    commit lifecycle (COW base of even events, MOR merge of the odd
+    stream, DV delete of error rows) is then consumed as a stream
+    FROM version 1 — Spark plans one InputPartition per changed
+    bucket and executors run the resolve-and-diff as embedded DuckDB
+    over the bucket's parquet files. The oracle recomputes the same
+    snapshot diff relationally: any slip in the executor-side
+    resolution order, tombstone drop, DV masking, or the netting of
+    insert+delete within the window flips the value hash."""
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+    from .streaming.source import LakeTableChangeSource
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_scdf_q_")
+    try:
+        try:
+            spark.dataSource.register(LakeTableChangeSource)
+        except Exception:
+            pass  # already registered on this session
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        base = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(base.filter("event_id % 2 = 0"), 0)               # v1
+        table.merge(base.filter("event_id % 2 = 1"), 1, mode="mor")   # v2
+        table.delete_where("event_type = 'error'", mode="dv")         # v3
+        name = f"cdf_gate_{_uuid.uuid4().hex[:8]}"
+        q_ = (
+            spark.readStream.format("laketable_cdf")
+            .option("path", f"{work}/t")
+            .option("startingVersion", 1)
+            .load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(180)
+        deadline = _time.time() + 60
+        while q_.isActive and _time.time() < deadline:
+            _time.sleep(0.2)
+        q_.stop()
+        rows = spark.sql(f"select * from {name}").collect()
+        twin = sorted(map(tuple, table.changes(1).collect()))
+        if sorted(map(tuple, rows)) != twin:
+            raise AssertionError("stream feed diverged from changes()")
+        out_schema = T.StructType(
+            schema.fields + [T.StructField("_change_type", T.StringType())]
+        )
+        return spark.createDataFrame(sorted(map(tuple, rows)), out_schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_sql_surface",
     """
     WITH base AS (
