@@ -78,6 +78,12 @@ EXTENDED = [
     "cdc_delete_dv",
     "cdc_write_order",
     "cdc_analyze",
+    # round 4 second resume: MOR MERGE INTO, NOT-MATCHED-BY-SOURCE
+    # sync merge, SQL front-end, streaming CDF source
+    "cdc_merge_into_mor",
+    "cdc_merge_sync",
+    "cdc_sql_surface",
+    "cdc_stream_cdf",
 ]
 
 

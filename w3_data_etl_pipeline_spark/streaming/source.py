@@ -59,6 +59,17 @@ from ..plans.laketable import LSN_COL, OP_COL, LakeTable
 _CHANGE_COL = "_change_type"
 
 
+def _trace(msg: str) -> None:
+    """Offset-protocol trace, gated on LAKETABLE_CDF_TRACE=<file>:
+    the offset methods run inside Spark's python source-runner
+    process, so ordinary debugging (breakpoints, monkeypatching from
+    the driver script) cannot observe them — this can."""
+    p = os.environ.get("LAKETABLE_CDF_TRACE")
+    if p:
+        with open(p, "a") as f:
+            f.write(msg + "\n")
+
+
 def _duck_type(dt: T.DataType) -> str:
     m = {
         T.LongType: "BIGINT",
@@ -155,30 +166,47 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         self._max_versions = int(mv) if mv is not None else None
         self._schema = schema
         self._last = self._start
+        # maxVersionsPerTrigger is BEST EFFORT on the first trigger
+        # after a cold start (same caveat as Delta's maxFilesPerTrigger):
+        # Spark may ask latestOffset() before it has told us the real
+        # floor — initialOffset() on a fresh stream, or the
+        # partitions()/commit() replay of the checkpointed batch on a
+        # restart. Until one of those runs, a limited answer computed
+        # from a stale floor could fall BEHIND a restarted stream's
+        # checkpointed start and make Spark plan a reversed range, so
+        # the first answer is deliberately unlimited instead; every
+        # subsequent trigger is capped. Correctness (exactly-once, no
+        # dup, no gap) is unaffected either way — only batch sizing.
+        self._floor_known = False
 
     # -- offsets ------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        self._floor_known = True  # fresh stream: the floor IS _start
+        _trace(f"initialOffset -> {self._start}")
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         cur = self._t.current_version()
-        if self._max_versions is not None:
+        if self._max_versions is not None and self._floor_known:
             cur = min(cur, self._last + self._max_versions)
-        # never move backward (restart with a stale in-memory floor:
-        # partitions() re-raises the floor from the checkpointed range)
-        cur = max(cur, self._last)
+        cur = max(cur, self._last)  # never move backward
         self._last = cur
+        _trace(f"latestOffset -> {cur} (floor_known={self._floor_known})")
         return {"version": cur}
 
     def commit(self, end: dict) -> None:
+        _trace(f"commit {end}")
         self._last = max(self._last, int(end["version"]))
+        self._floor_known = True
 
     # -- planning (driver, O(metadata)) --------------------------------
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         a, b = int(start["version"]), int(end["version"])
+        _trace(f"partitions {a} -> {b}")
         self._last = max(self._last, b)
+        self._floor_known = True
         if a == b:
             return [InputPartition(None)]
         snap_a = self._t.snapshot(a)
