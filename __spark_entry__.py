@@ -172,6 +172,10 @@ _DEMOTED_TAIL = [
     # snapshot-version offsets checkpointed by Spark; lifecycle parity
     # pytest-pinned in tests/test_stream_source_cdf.py
     "cdc_stream_cdf",
+    # batch Python DataSource with pushFilters->prune_files manifest
+    # skipping, versionAsOf/timestampAsOf; parity + pruning
+    # pytest-pinned in tests/test_batch_source.py
+    "cdc_batch_read",
     # declared write order (Iceberg sort-order metadata): in-query
     # asserts pin the standing-layout property — the first microbatch
     # after the ALTER already file-skips >50% on the sort column with

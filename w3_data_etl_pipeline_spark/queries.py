@@ -2270,6 +2270,103 @@ def cdc_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_batch_read",
+    """
+    WITH cur AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM cur
+    WHERE event_type <> 'error' AND value >= 50.0
+    """,
+)
+def cdc_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch Python DataSource end-to-end (SURVEY §13 —
+    ``spark.read.format("laketable")``): a MOR lifecycle (COW evens,
+    MOR odds, DV delete of errors) is read back through the
+    registered DataSource with a pushed-down ``value >= 50.0``
+    predicate — the filter reaches ``prune_files`` via
+    ``pushFilters`` and the executor-side DuckDB resolve returns
+    Arrow batches. In-query asserts pin that the DataSource read
+    equals ``LakeTable.read()`` bit-for-bit and that the declared
+    write order made the pushed predicate actually skip files; the
+    DuckDB oracle recomputes the final filtered state relationally."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+    from .streaming.source import LakeTableBatchSource
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_bread_q_")
+    try:
+        try:
+            spark.dataSource.register(LakeTableBatchSource)
+        except Exception:
+            pass
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        base = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        table.merge(base.filter("event_id % 2 = 0"), 0)
+        table.merge(base.filter("event_id % 2 = 1"), 1, mode="mor")
+        table.delete_where("event_type = 'error'", mode="dv")
+        # fold + cluster on value so the pushed predicate has bounds
+        # to skip on (the standing-write-order path is gated by
+        # cdc_write_order; here compaction clusters explicitly)
+        table.compact(cluster_by=["value"], max_records_per_file=64)
+        df = (
+            spark.read.format("laketable")
+            .option("path", f"{work}/t")
+            .load()
+            .filter("value >= 50.0")
+            .select("user_id", "event_id", "event_type", "value")
+        )
+        rows = df.collect()
+        twin = (
+            table.read()
+            .filter("value >= 50.0")
+            .select("user_id", "event_id", "event_type", "value")
+            .collect()
+        )
+        if sorted(map(tuple, rows)) != sorted(map(tuple, twin)):
+            raise AssertionError("DataSource read diverged from table.read()")
+        # the pushed bound must actually skip: count files the engine
+        # itself would admit for the same predicate vs all live files
+        snap = table.snapshot()
+        live = [f for f in snap["files"] if f.get("kind", "base") != "dv"]
+        admitted = table.prune_files(snap, [("value", ">=", 50.0)])
+        if not len(admitted) < len(live):
+            raise AssertionError(
+                f"pushdown skipped nothing: {len(admitted)}/{len(live)}"
+            )
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_stream_cdf",
     """
     WITH s1 AS (

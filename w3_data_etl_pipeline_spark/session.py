@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python DataSources receive pushed filters (the batch
+        # laketable reader turns them into manifest file skipping)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # zstd: on this payload (2KB repetitive code text) files are
         # 1.9x smaller than lz4 and 3.1x smaller than snappy; apply
         # throughput in matched A/B (interleaved CDC COW benches,

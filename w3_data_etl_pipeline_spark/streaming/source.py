@@ -50,6 +50,7 @@ from typing import Iterator, Sequence
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -129,6 +130,123 @@ def _lit(v, duck: str) -> str:
         return f"CAST({v!r} AS {duck})"
     s = str(v).replace("'", "''")
     return f"CAST('{s}' AS {duck})"
+
+
+def _resolved_side_sql(side: dict, spec: dict, alias: str) -> str:
+    """One resolved table side as a DuckDB CTE: per-file epoch-mapped
+    SELECTs unioned, DV-masked, then max-(_lsn, _seq) winner per key
+    minus 'D' tombstones — LakeTable._scan + _resolve semantics in
+    SQL, shared by the streaming CDF source and the batch reader."""
+    import pyarrow.parquet as pq
+
+    keys, types = spec["keys"], spec["types"]
+    cols = keys + spec["value_cols"]
+    selects = []
+    for f in side["files"]:
+        phys = set(pq.read_schema(f["path"]).names)
+        emap = (spec["name_log"] or {}).get(str(f["epoch"]))
+        exprs = []
+        for c in cols:
+            fid = spec["fids"].get(c)
+            old = (
+                emap.get(str(fid))
+                if (emap is not None and fid is not None)
+                else c
+            )
+            if old is not None and old in phys:
+                exprs.append(f"{_q(old)} AS {_q(c)}")
+            else:
+                # column (by id) absent at this file's epoch, or
+                # physically missing: initial-default, else NULL
+                exprs.append(
+                    f"{_lit(spec['defaults'].get(c), types[c])} AS {_q(c)}"
+                )
+        lsn = f"{_q(LSN_COL)}" if LSN_COL in phys else "CAST(NULL AS BIGINT)"
+        op = f"{_q(OP_COL)}" if OP_COL in phys else "CAST(NULL AS VARCHAR)"
+        p = f["path"].replace("'", "''")
+        selects.append(
+            f"SELECT {', '.join(exprs)}, {lsn} AS _lsn, {op} AS _op, "
+            r"try_cast(regexp_extract(filename, 'c(\d{12})-', 1) AS BIGINT)"
+            " AS _seq, "
+            "array_to_string(string_split(filename, '/')[-3:], '/') AS _fkey, "
+            "file_row_number AS _fpos "
+            f"FROM read_parquet(['{p}'], filename=true, file_row_number=true)"
+        )
+    if not selects:
+        cast_cols = ", ".join(
+            f"CAST(NULL AS {types[c]}) AS {_q(c)}" for c in cols
+        )
+        selects = [
+            f"SELECT {cast_cols}, CAST(NULL AS BIGINT) AS _lsn, "
+            "CAST(NULL AS VARCHAR) AS _op, CAST(NULL AS BIGINT) AS _seq, "
+            "CAST(NULL AS VARCHAR) AS _fkey, CAST(NULL AS BIGINT) AS _fpos "
+            "WHERE 1 = 0"
+        ]
+    raw = " UNION ALL ".join(f"({s})" for s in selects)
+    if side["dv"]:
+        dvp = ", ".join("'" + p.replace("'", "''") + "'" for p in side["dv"])
+        raw = (
+            f"SELECT * FROM ({raw}) r WHERE NOT EXISTS ("
+            f"SELECT 1 FROM read_parquet([{dvp}]) m "
+            "WHERE m._dv_fkey = r._fkey AND m._dv_pos = r._fpos)"
+        )
+    key_list = ", ".join(_q(k) for k in keys)
+    return (
+        f"{alias} AS (SELECT * FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY {key_list} "
+        "ORDER BY _lsn DESC NULLS LAST, _seq DESC NULLS LAST) AS _rn "
+        f"FROM ({raw})) WHERE _rn = 1 AND (_op IS NULL OR _op <> 'D'))"
+    )
+
+
+def _bucket_spec(table: LakeTable, snap: dict) -> dict:
+    """The pickled per-partition planning payload both readers share:
+    current schema + field-id epoch maps + defaults, driver-computed
+    so executor code stays semantics-free."""
+    keys = snap["key_cols"]
+    cur_schema = table.schema(snap)
+    value_cols = [
+        f.name for f in cur_schema.fields
+        if f.name not in keys and f.name != LSN_COL
+    ]
+    types = {f.name: _duck_type(f.dataType) for f in cur_schema.fields}
+    return {
+        "keys": keys,
+        "value_cols": value_cols,
+        "types": types,
+        "fids": {c: (snap.get("field_ids") or {}).get(c) for c in types},
+        "name_log": snap.get("name_log") or {},
+        "defaults": {
+            c: table._default_value(snap, c, "initial") for c in types
+        },
+        "fields": json.dumps(
+            T.StructType(
+                [cur_schema[k] for k in keys]
+                + [cur_schema[c] for c in value_cols]
+            ).jsonValue()
+        ),
+    }
+
+
+def _side_files(table: LakeTable, snap: dict, bucket: int,
+                admitted: "set[str] | None" = None) -> dict:
+    files = [
+        {
+            "path": os.path.join(table.root, f["path"]),
+            "epoch": int(f.get("epoch", 0)),
+            "kind": f.get("kind", "base"),
+        }
+        for f in snap["files"]
+        if f["bucket"] == bucket
+        and f.get("kind", "base") != "dv"
+        and (admitted is None or f["path"] in admitted)
+    ]
+    dv = [
+        os.path.join(table.root, f["path"])
+        for f in snap["files"]
+        if f["bucket"] == bucket and f.get("kind", "base") == "dv"
+    ]
+    return {"files": files, "dv": dv}
 
 
 class LakeTableChangeSource(DataSource):
@@ -212,128 +330,24 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         snap_a = self._t.snapshot(a)
         snap_b = self._t.snapshot(b)
         changed = sorted(self._t.changed_buckets(a, b))
-        keys = snap_b["key_cols"]
-        cur_schema = self._t.schema(snap_b)
-        value_cols = [
-            f.name for f in cur_schema.fields
-            if f.name not in keys and f.name != LSN_COL
-        ]
-        types = {f.name: _duck_type(f.dataType) for f in cur_schema.fields}
-        fids = snap_b.get("field_ids") or {}
-        log = snap_b.get("name_log") or {}
-        defaults = {
-            c: self._t._default_value(snap_b, c, "initial")
-            for c in types
-        }
-
-        def _side(snap: dict, bucket: int) -> dict:
-            files = [
-                {
-                    "path": os.path.join(self._t.root, f["path"]),
-                    "epoch": int(f.get("epoch", 0)),
-                    "kind": f.get("kind", "base"),
-                }
-                for f in snap["files"]
-                if f["bucket"] == bucket and f.get("kind", "base") != "dv"
-            ]
-            dv = [
-                os.path.join(self._t.root, f["path"])
-                for f in snap["files"]
-                if f["bucket"] == bucket and f.get("kind", "base") == "dv"
-            ]
-            return {"files": files, "dv": dv}
-
-        parts = []
-        for bk in changed:
-            parts.append(
-                InputPartition(
-                    {
-                        "a": _side(snap_a, bk),
-                        "b": _side(snap_b, bk),
-                        "keys": keys,
-                        "value_cols": value_cols,
-                        "types": types,
-                        "fids": {c: fids.get(c) for c in types},
-                        "name_log": log,
-                        "defaults": defaults,
-                        "fields": json.dumps(
-                            T.StructType(
-                                [cur_schema[k] for k in keys]
-                                + [cur_schema[c] for c in value_cols]
-                            ).jsonValue()
-                        ),
-                    }
+        spec = _bucket_spec(self._t, snap_b)
+        parts = [
+            InputPartition(
+                dict(
+                    spec,
+                    a=_side_files(self._t, snap_a, bk),
+                    b=_side_files(self._t, snap_b, bk),
                 )
             )
+            for bk in changed
+        ]
         return parts or [InputPartition(None)]
 
     # -- execution (executor, DuckDB over parquet) ----------------------
 
     @staticmethod
     def _side_sql(side: dict, spec: dict, alias: str) -> str:
-        """One resolved side: per-file epoch-mapped SELECTs unioned,
-        DV-masked, then max-(_lsn, _seq) winner per key minus 'D'
-        tombstones — LakeTable._scan + _resolve semantics in SQL."""
-        import pyarrow.parquet as pq
-
-        keys, types = spec["keys"], spec["types"]
-        cols = keys + spec["value_cols"]
-        selects = []
-        for f in side["files"]:
-            phys = set(pq.read_schema(f["path"]).names)
-            emap = (spec["name_log"] or {}).get(str(f["epoch"]))
-            exprs = []
-            for c in cols:
-                fid = spec["fids"].get(c)
-                old = (
-                    emap.get(str(fid))
-                    if (emap is not None and fid is not None)
-                    else c
-                )
-                if old is not None and old in phys:
-                    exprs.append(f"{_q(old)} AS {_q(c)}")
-                else:
-                    # column (by id) absent at this file's epoch, or
-                    # physically missing: initial-default, else NULL
-                    exprs.append(
-                        f"{_lit(spec['defaults'].get(c), types[c])} AS {_q(c)}"
-                    )
-            lsn = f"{_q(LSN_COL)}" if LSN_COL in phys else "CAST(NULL AS BIGINT)"
-            op = f"{_q(OP_COL)}" if OP_COL in phys else "CAST(NULL AS VARCHAR)"
-            p = f["path"].replace("'", "''")
-            selects.append(
-                f"SELECT {', '.join(exprs)}, {lsn} AS _lsn, {op} AS _op, "
-                r"try_cast(regexp_extract(filename, 'c(\d{12})-', 1) AS BIGINT)"
-                " AS _seq, "
-                "array_to_string(string_split(filename, '/')[-3:], '/') AS _fkey, "
-                "file_row_number AS _fpos "
-                f"FROM read_parquet(['{p}'], filename=true, file_row_number=true)"
-            )
-        if not selects:
-            cast_cols = ", ".join(
-                f"CAST(NULL AS {types[c]}) AS {_q(c)}" for c in cols
-            )
-            selects = [
-                f"SELECT {cast_cols}, CAST(NULL AS BIGINT) AS _lsn, "
-                "CAST(NULL AS VARCHAR) AS _op, CAST(NULL AS BIGINT) AS _seq, "
-                "CAST(NULL AS VARCHAR) AS _fkey, CAST(NULL AS BIGINT) AS _fpos "
-                "WHERE 1 = 0"
-            ]
-        raw = " UNION ALL ".join(f"({s})" for s in selects)
-        if side["dv"]:
-            dvp = ", ".join("'" + p.replace("'", "''") + "'" for p in side["dv"])
-            raw = (
-                f"SELECT * FROM ({raw}) r WHERE NOT EXISTS ("
-                f"SELECT 1 FROM read_parquet([{dvp}]) m "
-                "WHERE m._dv_fkey = r._fkey AND m._dv_pos = r._fpos)"
-            )
-        key_list = ", ".join(_q(k) for k in keys)
-        return (
-            f"{alias} AS (SELECT * FROM ("
-            f"SELECT *, row_number() OVER (PARTITION BY {key_list} "
-            "ORDER BY _lsn DESC NULLS LAST, _seq DESC NULLS LAST) AS _rn "
-            f"FROM ({raw})) WHERE _rn = 1 AND (_op IS NULL OR _op <> 'D'))"
-        )
+        return _resolved_side_sql(side, spec, alias)
 
     def read(self, partition: InputPartition) -> Iterator:
         spec = partition.value
@@ -372,6 +386,137 @@ class LakeCdfStreamReader(DataSourceStreamReader):
         target = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType)) for f in fields.fields]
             + [pa.field(_CHANGE_COL, pa.string())]
+        )
+        tbl = tbl.select(target.names).cast(target)
+        return iter(tbl.to_batches(max_chunksize=65536))
+
+
+class LakeTableBatchSource(DataSource):
+    """LakeTable as a batch Python DataSource with FILTER PUSHDOWN —
+    ``spark.read.format("laketable").option("path", root).load()``:
+    any Spark SQL consumer reads the resolved table state (max-LSN
+    winner per key, tombstones dropped, DV masks applied, epoch-aware
+    rename/default mapping) without importing this library, and
+    predicates the planner pushes reach the MANIFEST layer: supported
+    comparisons turn into the same (col, op, value) triples
+    ``prune_files`` evaluates against per-file min/max/null-count/
+    equality-index stats, so file skipping happens inside Spark's own
+    query planning. All filters are also RETAINED for Spark to
+    re-evaluate post-scan (manifest pruning is file-granular and
+    deliberately conservative — returning every filter keeps
+    row-level semantics exact, the Iceberg/Delta convention).
+
+    Time travel: ``option("versionAsOf", n)`` / ``option(
+    "timestampAsOf", epoch_seconds)``. One InputPartition per bucket
+    with admitted files (MOR safety rides prune_files: a bucket
+    holding deltas is kept whole); executors run the shared DuckDB
+    resolve over the bucket's parquet files and return Arrow batches.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable"
+
+    def _table(self) -> LakeTable:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("option 'path' (the LakeTable root) is required")
+        return LakeTable(None, path)
+
+    def _version(self, t: LakeTable) -> int:
+        v = self.options.get("versionasof", self.options.get("versionAsOf"))
+        if v is not None:
+            return int(v)
+        ts = self.options.get("timestampasof", self.options.get("timestampAsOf"))
+        if ts is not None:
+            return t.version_at(float(ts))
+        return t.current_version()
+
+    def schema(self) -> T.StructType:
+        t = self._table()
+        snap = t.snapshot(self._version(t))
+        keys = snap["key_cols"]
+        s = t.schema(snap)
+        return T.StructType(
+            [s[k] for k in keys]
+            + [f for f in s.fields if f.name not in keys and f.name != LSN_COL]
+        )
+
+    def reader(self, schema: T.StructType) -> "LakeTableBatchReader":
+        return LakeTableBatchReader(self._table(), self._version(self._table()))
+
+
+class LakeTableBatchReader(DataSourceReader):
+    _OPS = {
+        "EqualTo": "=",
+        "GreaterThan": ">",
+        "GreaterThanOrEqual": ">=",
+        "LessThan": "<",
+        "LessThanOrEqual": "<=",
+        "IsNull": "is_null",
+        "IsNotNull": "is_not_null",
+    }
+
+    def __init__(self, table: LakeTable, version: int):
+        self._t = table
+        self._version = version
+        self._preds: list[tuple] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            kind = type(f).__name__
+            op = self._OPS.get(kind)
+            col = getattr(f, "attribute", None)
+            # ColumnPath tuples: only top-level scalar columns prune
+            if op and col is not None and len(col) == 1:
+                if op in ("is_null", "is_not_null"):
+                    self._preds.append((col[0], op, None))
+                else:
+                    self._preds.append((col[0], op, f.value))
+        # retain EVERY filter: manifest pruning is file-granular, so
+        # Spark must still evaluate the row-level predicates exactly
+        return filters
+
+    def partitions(self):
+        snap = self._t.snapshot(self._version)
+        prunable = [
+            p for p in self._preds
+            if p[1] in LakeTable._PRUNE_OPS or p[1] in ("is_null", "is_not_null")
+        ]
+        admitted = self._t.prune_files(snap, prunable) if prunable else [
+            f for f in snap["files"] if f.get("kind", "base") != "dv"
+        ]
+        _trace(
+            f"batch partitions v{self._version}: admitted "
+            f"{len(admitted)}/{len([x for x in snap['files'] if x.get('kind', 'base') != 'dv'])}"
+            f" files, preds={prunable}"
+        )
+        admitted_paths = {f["path"] for f in admitted}
+        buckets = sorted({f["bucket"] for f in admitted})
+        spec = _bucket_spec(self._t, snap)
+        return [
+            InputPartition(
+                dict(spec, b=_side_files(self._t, snap, bk, admitted_paths))
+            )
+            for bk in buckets
+        ] or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        spec = partition.value
+        if spec is None:
+            return iter(())
+        import duckdb
+        import pyarrow as pa
+
+        cols = ", ".join(_q(c) for c in spec["keys"] + spec["value_cols"])
+        q = (
+            f"WITH {_resolved_side_sql(spec['b'], spec, 'sb')} "
+            f"SELECT {cols} FROM sb"
+        )
+        tbl = duckdb.sql(q).arrow()
+        fields = T.StructType.fromJson(json.loads(spec["fields"]))
+        target = pa.schema(
+            [pa.field(f.name, _arrow_type(f.dataType)) for f in fields.fields]
         )
         tbl = tbl.select(target.names).cast(target)
         return iter(tbl.to_batches(max_chunksize=65536))
