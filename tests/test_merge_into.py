@@ -383,3 +383,26 @@ def test_nmbs_lineage_carry(spark, tmp_path):
         assert after[k] == ids0[k]
     for k in range(200, 300):  # matched-unclaimed rows untouched
         assert after[k] == ids0[k]
+
+
+def test_narrow_key_type_coerced_not_misbucketed(spark, tmp_path):
+    # a VALUES-literal/JSON-inferred INT key against a BIGINT-keyed
+    # table must upsert, not land in the wrong bucket and duplicate
+    t = LakeTable.create(spark, str(tmp_path / "k"), SCHEMA, ["user_id"],
+                         n_buckets=8)
+    t.merge(_base(spark, n=10), 0)
+    narrow = spark.createDataFrame(
+        [(3, "n", 99.0, 5, "U")],
+        "user_id int, event_type string, value double, lsn int, op string",
+    )
+    t.merge(narrow, 1)
+    got = t.read().filter("user_id = 3").collect()
+    assert len(got) == 1 and got[0]["event_type"] == "n"
+    # merge_into with a narrow-keyed source matches, not duplicates
+    t.merge_into(
+        spark.createDataFrame([(4, "m", 1.0)],
+                              "user_id int, event_type string, value double"),
+        [("update", None, {"event_type": "'m'"}), ("insert", None, None)],
+    )
+    assert t.read().filter("user_id = 4").count() == 1
+    assert t.read().count() == 10

@@ -229,3 +229,63 @@ def test_where_keyword_inside_string_and_subquery(cat):
     )
     got = cat.tables["events_lake"].read().filter("user_id = 4").collect()[0]
     assert got["value"] == 42.0
+
+
+def test_create_insert_describe_tvf(spark, tmp_path):
+    cat = LakeCatalog(spark)
+    loc = str(tmp_path / "sqlmade")
+    res = cat.sql(
+        f"""
+        CREATE TABLE sqlmade (user_id BIGINT, event_type STRING,
+                              value DOUBLE)
+        USING laketable LOCATION '{loc}' KEY (user_id) BUCKETS 8
+        """
+    ).collect()[0]
+    assert res["operation"] == "create" and "sqlmade" in cat.tables
+    t = cat.tables["sqlmade"]
+    assert t.snapshot()["n_buckets"] == 8
+
+    cat.sql(
+        "INSERT INTO sqlmade VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)"
+    )
+    assert _rows(t.read()) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # INSERT of an existing key is an upsert on these PK'd CDC tables
+    cat.sql("INSERT INTO sqlmade VALUES (3, 'c2', 30.0), (4, 'd', 4.0)")
+    got = {r[0]: r for r in _rows(t.read())}
+    assert got[3] == (3, "c2", 30.0) and got[4] == (4, "d", 4.0)
+    # SELECT-sourced insert
+    cat.sql(
+        "INSERT INTO sqlmade SELECT user_id + 100 AS user_id, event_type, "
+        "value FROM sqlmade WHERE user_id <= 2"
+    )
+    assert t.read().count() == 6
+
+    hist = cat.sql("DESCRIBE HISTORY sqlmade").collect()
+    assert [r["version"] for r in hist] == list(range(len(hist)))
+    assert hist[0]["operation"] == "create"
+
+    # table_changes TVF: the CDF between two versions through SQL
+    cdf = cat.sql(
+        "SELECT user_id, _change_type FROM table_changes('sqlmade', 1, 2) "
+        "ORDER BY user_id"
+    ).collect()
+    assert [(r["user_id"], r["_change_type"]) for r in cdf] == [
+        (3, "update"),
+        (4, "insert"),
+    ]
+
+
+def test_insert_coexists_with_stream_ledger(spark, tmp_path):
+    # a table that already applied stream batches 0..2: INSERT INTO
+    # must pick a fresh ledger id, not mask a replayed stream batch
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), SCHEMA, ["user_id"], n_buckets=4
+    )
+    for b in range(3):
+        t.merge(_base(spark, n=10 * (b + 1)), b)
+    cat = LakeCatalog(spark).register("st", t)
+    cat.sql("INSERT INTO st VALUES (999, 'x', 9.0)")
+    assert t.read().filter("user_id = 999").count() == 1
+    # a replay of stream batch 2 is still a ledger no-op
+    stats = t.merge(_base(spark, n=30), 2)
+    assert not stats.applied

@@ -2928,6 +2928,7 @@ class LakeTable:
         """Replace the whole table (idempotent drop-and-rebuild — the
         reference's dominant table-maintenance mode, SURVEY.md §1.4)."""
         snap = self.snapshot()
+        df = self._align_keys(df, snap)
         if LSN_COL not in df.columns:
             df = df.withColumn(LSN_COL, F.lit(lsn).cast("long"))
         new_files = self._write_data(df, snap, version=snap["version"] + 1)
@@ -3264,6 +3265,29 @@ class LakeTable:
     # Spark 4's vectorized reader), so no rewrite is needed.
     _PROMOTIONS = {("integer", "long"), ("float", "double")}
 
+    def _align_keys(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Cast incoming KEY columns (and ``lsn``) to the declared
+        types before any bucket hash. _unify_schema already refuses to
+        promote a key's stored type (xxhash64 hashes int 3 and bigint
+        3 to different values), but an events frame whose key merely
+        ARRIVED narrower — a VALUES literal, a JSON source inferring
+        int — would otherwise hash into the wrong bucket and silently
+        duplicate the key instead of upserting it."""
+        types = {f.name: f.dataType for f in self.schema(snap).fields}
+        out = []
+        changed = False
+        for c in df.columns:
+            dt = df.schema[c].dataType
+            if c in snap["key_cols"] and c in types and dt != types[c]:
+                out.append(F.col(c).cast(types[c]).alias(c))
+                changed = True
+            elif c == "lsn" and not isinstance(dt, T.LongType):
+                out.append(F.col(c).cast("long").alias(c))
+                changed = True
+            else:
+                out.append(F.col(c))
+        return df.select(*out) if changed else df
+
     @classmethod
     def _unify_schema(
         cls, base: T.StructType, incoming: T.StructType, protect: tuple = ()
@@ -3362,6 +3386,7 @@ class LakeTable:
             return MergeStats(batch_id=batch_id, applied=False, version=snap["version"])
 
         keys = snap["key_cols"]
+        events = self._align_keys(events, snap)
         # additive + widening schema evolution (keys protected)
         schema = self._unify_schema(self.schema(snap), events.schema, protect=tuple(keys))
 
@@ -4916,7 +4941,7 @@ class LakeTable:
                 if c not in table_cols:
                     raise ValueError(f"unknown column {c!r} in {kind} clause")
 
-        src = source
+        src = self._align_keys(source, snap)
         if "op" in src.columns:
             src = src.drop("op")
         # ambiguity guard + touched-bucket discovery in ONE metadata-

@@ -138,6 +138,9 @@ class LakeCatalog:
             "VACUUM": self._vacuum,
             "ANALYZE": self._analyze,
             "RESTORE": self._restore,
+            "CREATE": self._create,
+            "INSERT": self._insert,
+            "DESCRIBE": self._describe,
         }
         if head not in dispatch:
             raise ValueError(f"unsupported statement kind {head!r}")
@@ -164,6 +167,107 @@ class LakeCatalog:
         cols = sorted(flat)
         return self.spark.createDataFrame([tuple(flat[c] for c in cols)], cols)
 
+    # -- DDL / INSERT / DESCRIBE ------------------------------------
+
+    def _create(self, stmt: str) -> DataFrame:
+        """CREATE TABLE name (col TYPE, ...) USING laketable
+        LOCATION '<root>' KEY (k1[, k2]) [BUCKETS n] [ROW LINEAGE]"""
+        m = re.match(
+            rf"CREATE\s+TABLE\s+({_WORD})\s*\((.*?)\)\s*USING\s+laketable\s+"
+            r"LOCATION\s+'((?:[^']|'')*)'\s+KEY\s*\(([^)]+)\)"
+            r"(?:\s+BUCKETS\s+(\d+))?(\s+ROW\s+LINEAGE)?$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "expected CREATE TABLE <name> (cols) USING laketable "
+                "LOCATION '<root>' KEY (k...) [BUCKETS n] [ROW LINEAGE]"
+            )
+        from pyspark.sql import types as T
+
+        name = m.group(1)
+        if name in self.tables:
+            raise ValueError(f"table {name!r} already registered")
+        fields = []
+        for item in _split_top(m.group(2)):
+            cm = re.match(rf"({_WORD})\s+(.+)$", item, re.DOTALL)
+            if not cm:
+                raise ValueError(f"bad column definition {item!r}")
+            fields.append(
+                T.StructField(
+                    cm.group(1),
+                    T._parse_datatype_string(cm.group(2).strip()),
+                    True,
+                )
+            )
+        keys = [k.strip() for k in m.group(4).split(",")]
+        t = LakeTable.create(
+            self.spark,
+            m.group(3).replace("''", "'"),
+            T.StructType(fields),
+            keys,
+            n_buckets=int(m.group(5)) if m.group(5) else 64,
+            row_lineage=bool(m.group(6)),
+        )
+        self.register(name, t)
+        return self._metrics_df({"operation": "create", "table": name, "version": 0})
+
+    def _insert(self, stmt: str) -> DataFrame:
+        """INSERT INTO t SELECT ... | VALUES (...), (...) — an UPSERT
+        on the table's keys (these are PK'd CDC tables: a re-inserted
+        key resolves by max-LSN exactly like an arriving change event;
+        rows get lsn 0 unless the source carries an lsn column)."""
+        m = re.match(rf"INSERT\s+INTO\s+({_WORD})\s+(.+)$", stmt, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise ValueError("expected INSERT INTO <table> SELECT ...|VALUES ...")
+        t = self._table(m.group(1))
+        body = m.group(2).strip()
+        if re.match(r"VALUES\b", body, re.IGNORECASE):
+            cols = [f.name for f in t.schema().fields if f.name != "_lsn"]
+            src = self.spark.sql(
+                f"SELECT {', '.join(f'col{i + 1} AS {c}' for i, c in enumerate(cols))} "
+                f"FROM {body}"
+            )
+        else:
+            src = self._select(body)
+        from pyspark.sql import functions as F
+
+        if "op" not in src.columns:
+            src = src.withColumn("op", F.lit("U"))
+        if "lsn" not in src.columns and "_lsn" not in src.columns:
+            src = src.withColumn("lsn", F.lit(0).cast("long"))
+        # next ledger id after everything the table has applied, so an
+        # interactive INSERT coexists with (and never masks) a stream
+        ledger = t.snapshot()["ledger"]
+        nxt = max([ledger["hwm"]] + [int(k) for k in ledger.get("extra", {})]) + 1
+        stats = t.merge(src, batch_id=nxt)
+        return self._metrics_df(
+            {
+                "operation": "insert",
+                "version": stats.version,
+                "rows": stats.output_rows,
+            }
+        )
+
+    def _describe(self, stmt: str) -> DataFrame:
+        m = re.match(rf"DESCRIBE\s+HISTORY\s+({_WORD})$", stmt, re.IGNORECASE)
+        if not m:
+            raise ValueError("expected DESCRIBE HISTORY <table>")
+        hist = self._table(m.group(1)).history()
+        rows = [
+            (
+                int(h["version"]),
+                str(h.get("operation")),
+                None if h.get("parent") is None else int(h["parent"]),
+                float(h["committed_at"]) if h.get("committed_at") else None,
+            )
+            for h in hist
+        ]
+        return self.spark.createDataFrame(
+            rows, "version long, operation string, parent long, committed_at double"
+        )
+
     # -- SELECT -----------------------------------------------------
 
     _TT = re.compile(
@@ -172,8 +276,27 @@ class LakeCatalog:
         re.IGNORECASE,
     )
 
+    _TVF = re.compile(
+        rf"\btable_changes\s*\(\s*'({_WORD})'\s*,\s*(\d+)(?:\s*,\s*(\d+))?\s*\)",
+        re.IGNORECASE,
+    )
+
     def _select(self, stmt: str) -> DataFrame:
-        # time-travel refs first: each becomes its own view
+        # table_changes('t', from [, to]) — the Delta CDF TVF shape
+        def tvf_view(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in self.tables:
+                return m.group(0)
+            df = self.tables[name].changes(
+                int(m.group(2)), int(m.group(3)) if m.group(3) else None
+            )
+            vname = f"{name}__cdf_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(vname)
+            return vname
+
+        stmt = self._TVF.sub(tvf_view, stmt)
+
+        # time-travel refs: each becomes its own view
         def tt_view(m: re.Match) -> str:
             name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
             if name not in self.tables:
