@@ -289,3 +289,33 @@ def test_insert_coexists_with_stream_ledger(spark, tmp_path):
     # a replay of stream batch 2 is still a ledger no-op
     stats = t.merge(_base(spark, n=30), 2)
     assert not stats.applied
+
+
+def test_branch_tag_sql(cat, spark):
+    t = cat.tables["events_lake"]
+    cat.sql("ALTER TABLE events_lake CREATE TAG v_base")
+    cat.sql("DELETE FROM events_lake WHERE user_id >= 200")
+    # tag time travel through a quoted VERSION AS OF
+    n_tag = cat.sql(
+        "SELECT count(*) AS n FROM events_lake VERSION AS OF 'v_base'"
+    ).collect()[0]["n"]
+    assert n_tag == 300
+    assert cat.sql("SELECT count(*) AS n FROM events_lake").collect()[0]["n"] == 200
+
+    cat.sql("ALTER TABLE events_lake CREATE BRANCH fixup")
+    b = t.branch("fixup")
+    b.update_where("user_id < 10", {"event_type": "'patched'"})
+    n_b = cat.sql(
+        "SELECT count(*) AS n FROM events_lake VERSION AS OF 'fixup' "
+        "WHERE event_type = 'patched'"
+    ).collect()[0]["n"]
+    assert n_b == 10
+    # main unchanged until fast forward
+    assert t.read().filter("event_type = 'patched'").count() == 0
+    cat.sql("ALTER TABLE events_lake FAST FORWARD fixup")
+    assert t.read().filter("event_type = 'patched'").count() == 10
+    cat.sql("ALTER TABLE events_lake DROP BRANCH fixup")
+    cat.sql("ALTER TABLE events_lake DROP TAG v_base")
+    assert not t.tags() and not t.branches()
+    with pytest.raises(ValueError, match="no such tag"):
+        cat.sql("ALTER TABLE events_lake DROP TAG nope")

@@ -281,6 +281,22 @@ class LakeCatalog:
         re.IGNORECASE,
     )
 
+    def _tt_df(self, t: LakeTable, kind: str, lit: str) -> DataFrame:
+        """One time-travel reference resolved: VERSION AS OF n,
+        VERSION AS OF 'tag-or-branch', TIMESTAMP AS OF epoch|'iso'."""
+        if kind == "VERSION":
+            if lit.startswith("'"):
+                name = lit.strip("'")
+                if name in t.branches():
+                    return t.branch(name).read()
+                return t.read_tag(name)
+            return t.read(int(float(lit)))
+        if lit.startswith("'"):
+            from datetime import datetime
+
+            return t.read_as_of(datetime.fromisoformat(lit.strip("'")).timestamp())
+        return t.read_as_of(float(lit))
+
     def _select(self, stmt: str) -> DataFrame:
         # table_changes('t', from [, to]) — the Delta CDF TVF shape
         def tvf_view(m: re.Match) -> str:
@@ -301,17 +317,8 @@ class LakeCatalog:
             name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
             if name not in self.tables:
                 return m.group(0)
-            t = self.tables[name]
+            df = self._tt_df(self.tables[name], kind, lit)
             vname = f"{name}__tt_{uuid.uuid4().hex[:8]}"
-            if kind == "VERSION":
-                df = t.read(int(float(lit)))
-            else:
-                ts = float(lit) if not lit.startswith("'") else None
-                if ts is None:
-                    from datetime import datetime
-
-                    ts = datetime.fromisoformat(lit.strip("'")).timestamp()
-                df = t.read_as_of(ts)
             df.createOrReplaceTempView(vname)
             return vname
 
@@ -611,6 +618,36 @@ class LakeCatalog:
             if not cm:
                 raise ValueError(f"bad DROP CONSTRAINT: {act!r}")
             return out(t.drop_constraint(cm.group(1)), "drop-constraint")
+        if au.startswith("CREATE TAG") or au.startswith("CREATE BRANCH"):
+            cm = re.match(
+                rf"CREATE\s+(TAG|BRANCH)\s+({_WORD})"
+                r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?$",
+                act,
+                re.IGNORECASE,
+            )
+            if not cm:
+                raise ValueError(f"bad CREATE TAG/BRANCH: {act!r}")
+            v = int(cm.group(3)) if cm.group(3) else None
+            if cm.group(1).upper() == "TAG":
+                return out(t.create_tag(cm.group(2), v), "create-tag")
+            return out(t.create_branch(cm.group(2), v), "create-branch")
+        if au.startswith("DROP TAG") or au.startswith("DROP BRANCH"):
+            cm = re.match(rf"DROP\s+(TAG|BRANCH)\s+({_WORD})$", act, re.IGNORECASE)
+            if not cm:
+                raise ValueError(f"bad DROP TAG/BRANCH: {act!r}")
+            if cm.group(1).upper() == "TAG":
+                ok = t.drop_tag(cm.group(2))
+            else:
+                ok = t.drop_branch(cm.group(2))
+            if not ok:
+                raise ValueError(f"no such {cm.group(1).lower()}: {cm.group(2)}")
+            return out(t.current_version(), f"drop-{cm.group(1).lower()}")
+        if au.startswith("FAST FORWARD"):
+            cm = re.match(rf"FAST\s+FORWARD\s+({_WORD})$", act, re.IGNORECASE)
+            if not cm:
+                raise ValueError(f"bad FAST FORWARD: {act!r}")
+            stats = t.fast_forward(cm.group(1))
+            return out(stats.version, "fast-forward")
         if au.startswith("WRITE UNORDERED"):
             return out(t.alter_write_order(None), "write-unordered")
         if au.startswith("WRITE ORDERED BY"):
