@@ -140,3 +140,24 @@ def test_schema_evolution_read(reg, spark, tmp_path):
     got = {r["user_id"]: r for r in df.collect()}
     assert got[0]["lang"] == "und" and got[0]["etype"] == "a"
     assert got[45]["lang"] == "en" and got[45]["etype"] == "b"
+
+
+def test_in_filter_pushdown(reg, spark, tmp_path):
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["user_id"], n_buckets=4)
+    t.alter_write_order(["value"], target_rows=30)
+    t.merge(_ev(spark, 0, 400, "a", 1), 0)
+    df = _read(spark, root)
+    open(TRACE, "w").close()
+    got = _rows(df.filter(F.col("value").isin(1.0, 2.0, 96.0)))
+    assert got == _rows(t.read().filter("value in (1.0, 2.0, 96.0)"))
+    assert got
+    lines = [
+        ln for ln in open(TRACE).read().splitlines()
+        if ln.startswith("batch partitions")
+    ]
+    assert lines
+    admitted, total = lines[-1].split("admitted ")[1].split(" files")[0].split("/")
+    # value-clustered files: an IN over two value regions must still
+    # skip the files whose bounds exclude every listed value
+    assert int(admitted) < int(total), lines[-1]

@@ -463,29 +463,45 @@ class LakeTableBatchReader(DataSourceReader):
         self._preds: list[tuple] = []
 
     def pushFilters(self, filters):
+        self._in_lists: list[tuple] = getattr(self, "_in_lists", [])
         for f in filters:
             kind = type(f).__name__
             op = self._OPS.get(kind)
             col = getattr(f, "attribute", None)
             # ColumnPath tuples: only top-level scalar columns prune
-            if op and col is not None and len(col) == 1:
-                if op in ("is_null", "is_not_null"):
-                    self._preds.append((col[0], op, None))
-                else:
-                    self._preds.append((col[0], op, f.value))
+            if col is None or len(col) != 1:
+                continue
+            if op in ("is_null", "is_not_null"):
+                self._preds.append((col[0], op, None))
+            elif op:
+                self._preds.append((col[0], op, f.value))
+            elif kind == "In":
+                # IN prunes through the same per-value equality path
+                # as '=' (bounds + equality index), OR-composed
+                self._in_lists.append((col[0], tuple(f.value)))
         # retain EVERY filter: manifest pruning is file-granular, so
         # Spark must still evaluate the row-level predicates exactly
         return filters
 
     def partitions(self):
+        from ..plans.predicate import And, Or, Pred
+
         snap = self._t.snapshot(self._version)
         prunable = [
             p for p in self._preds
             if p[1] in LakeTable._PRUNE_OPS or p[1] in ("is_null", "is_not_null")
         ]
-        admitted = self._t.prune_files(snap, prunable) if prunable else [
-            f for f in snap["files"] if f.get("kind", "base") != "dv"
-        ]
+        in_lists = getattr(self, "_in_lists", [])
+        if prunable or in_lists:
+            tree = And(
+                [Pred(c, "=" if o == "==" else o, v) for c, o, v in prunable]
+                + [Or([Pred(c, "=", v) for v in vals]) for c, vals in in_lists]
+            )
+            admitted = self._t.prune_files(snap, tree)
+        else:
+            admitted = [
+                f for f in snap["files"] if f.get("kind", "base") != "dv"
+            ]
         _trace(
             f"batch partitions v{self._version}: admitted "
             f"{len(admitted)}/{len([x for x in snap['files'] if x.get('kind', 'base') != 'dv'])}"
