@@ -22,6 +22,7 @@ import pytest
 from pyspark.sql import types as T
 
 from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+from w3_data_etl_pipeline_spark.streaming.source import LakeTableBatchSource
 
 KEYS = list(range(14))
 N_OPS = 24
@@ -139,6 +140,29 @@ def _check(t, model, prev_ids, step):
         }
         want_in = {k for k, r in model.rows.items() if r["v"] in vs}
         assert got_in == want_in, f"step {step}: read_in keyset diverged"
+    # batch-DataSource equivalence (every 4th step, offset 2): the
+    # executor-side DuckDB resolve — epoch maps, defaults, DV masks,
+    # MOR fold — must see exactly the model state through ANY
+    # interleaving of merges, DML, DDL, compaction and rebucketing
+    if step % 4 == 2:
+        try:
+            t.spark.dataSource.register(LakeTableBatchSource)
+        except Exception:
+            pass
+        ds = {
+            r["k"]: r.asDict()
+            for r in t.spark.read.format("laketable")
+            .option("path", t.root)
+            .load()
+            .collect()
+        }
+        assert set(ds) == set(model.rows), f"step {step}: datasource keyset"
+        for k, row in model.rows.items():
+            for c, wantv in row.items():
+                assert ds[k][c] == wantv, (
+                    f"step {step}: datasource key {k} col {c}: "
+                    f"{ds[k][c]!r} != {wantv!r}"
+                )
     return {k: (got[k]["_row_id"], model.ident[k]) for k in got}
 
 
