@@ -381,7 +381,15 @@ class LakeCdfStreamReader(DataSourceStreamReader):
             "FROM pa_ sa FULL OUTER JOIN pb_ sb ON "
             f"{on} WHERE sa._p IS NULL OR sb._p IS NULL OR ({changed})"
         )
-        tbl = duckdb.sql(q).arrow()
+        # one partition is one bucket's files: small by design, and
+        # ~cores of these run concurrently in separate python workers —
+        # DuckDB's default threads=ncores would oversubscribe the host
+        # by cores^2 (measured: a 6 s batch diff took minutes)
+        con = duckdb.connect(config={"threads": 1})
+        try:
+            tbl = con.sql(q).arrow()
+        finally:
+            con.close()
         fields = T.StructType.fromJson(json.loads(spec["fields"]))
         target = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType)) for f in fields.fields]
@@ -529,7 +537,15 @@ class LakeTableBatchReader(DataSourceReader):
             f"WITH {_resolved_side_sql(spec['b'], spec, 'sb')} "
             f"SELECT {cols} FROM sb"
         )
-        tbl = duckdb.sql(q).arrow()
+        # one partition is one bucket's files: small by design, and
+        # ~cores of these run concurrently in separate python workers —
+        # DuckDB's default threads=ncores would oversubscribe the host
+        # by cores^2 (measured: a 6 s batch diff took minutes)
+        con = duckdb.connect(config={"threads": 1})
+        try:
+            tbl = con.sql(q).arrow()
+        finally:
+            con.close()
         fields = T.StructType.fromJson(json.loads(spec["fields"]))
         target = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType)) for f in fields.fields]
