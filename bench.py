@@ -84,6 +84,7 @@ EXTENDED = [
     "cdc_merge_sync",
     "cdc_sql_surface",
     "cdc_stream_cdf",
+    "cdc_batch_read",
 ]
 
 
