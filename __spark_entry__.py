@@ -176,6 +176,10 @@ _DEMOTED_TAIL = [
     # skipping, versionAsOf/timestampAsOf; parity + pruning
     # pytest-pinned in tests/test_batch_source.py
     "cdc_batch_read",
+    # streaming SINK via the vanilla write API (python xxhash64 twin
+    # bucket-splits executor-side; sink_hwm exactly-once); merge-twin
+    # + replay + constraints pytest-pinned in tests/test_stream_sink.py
+    "cdc_stream_sink",
     # declared write order (Iceberg sort-order metadata): in-query
     # asserts pin the standing-layout property — the first microbatch
     # after the ALTER already file-skips >50% on the sort column with

@@ -2270,6 +2270,119 @@ def cdc_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_stream_sink",
+    """
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM latest WHERE event_type <> 'error'
+    """,
+)
+def cdc_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table as a Structured Streaming SINK through the vanilla
+    write API (SURVEY §13 — ``df.writeStream.format("laketable")``):
+    the events table becomes a file-backed change stream (op 'U'
+    rows, then 'D' tombstones for error-typed latest rows in a second
+    segment) drained through a checkpointed availableNow query into a
+    MOR-append sink — executor tasks bucket-split with the bit-exact
+    python xxhash64 twin, the driver commits one snapshot per epoch
+    with the sink_hwm exactly-once guard. The final resolved state
+    must equal the DuckDB LWW replay; in-query asserts pin zero
+    shuffle-side machinery (only delta files added) and point-lookup
+    bucket parity."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_sink_q_")
+    try:
+        from .streaming.source import LakeTableBatchSource
+
+        try:
+            spark.dataSource.register(LakeTableBatchSource)
+        except Exception:
+            pass
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(
+            spark, f"{work}/t", schema, ["user_id"], n_buckets=16
+        )
+        base = e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        ddl = (
+            "user_id long, event_id long, event_type string, value double, "
+            "lsn long, op string"
+        )
+        base.write.parquet(f"{work}/in/seg0")
+        # tombstone the users whose LATEST event is an error (lsn
+        # strictly above every event_id so the delete always wins)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+        (
+            e.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1 AND event_type = 'error'")
+            .select(
+                "user_id",
+                F.lit(None).cast("long").alias("event_id"),
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                (F.lit(1) + F.max("event_id").over(
+                    Window.partitionBy(F.lit(1))
+                )).alias("lsn"),
+                F.lit("D").alias("op"),
+            )
+        ).write.parquet(f"{work}/in/seg1")
+        q_ = (
+            spark.readStream.schema(ddl)
+            .parquet(f"{work}/in/*")
+            .writeStream.format("laketable")
+            .option("path", f"{work}/t")
+            .option("checkpointLocation", f"{work}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination(180)
+        snap = table.snapshot()
+        if snap.get("sink_hwm", -1) < 0 or snap["operation"] != "stream-sink":
+            raise AssertionError("sink never committed an epoch")
+        if any(
+            f.get("kind", "base") not in ("delta",)
+            for f in snap["files"]
+        ):
+            raise AssertionError("sink must append only delta files")
+        out = table.read().select("user_id", "event_id", "event_type", "value")
+        rows = out.collect()
+        probe = sorted({r["user_id"] for r in rows})[:5]
+        if table.read_keys([(k,) for k in probe]).count() != len(probe):
+            raise AssertionError("bucket parity broken: point lookup missed")
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_batch_read",
     """
     WITH cur AS (

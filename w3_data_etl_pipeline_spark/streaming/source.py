@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from typing import Iterator, Sequence
 
 from pyspark.sql import types as T
@@ -52,7 +53,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from ..plans.laketable import LSN_COL, OP_COL, LakeTable
@@ -453,6 +456,17 @@ class LakeTableBatchSource(DataSource):
     def reader(self, schema: T.StructType) -> "LakeTableBatchReader":
         return LakeTableBatchReader(self._table(), self._version(self._table()))
 
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "the laketable streaming sink is append-only (MOR deltas); "
+                "complete-mode output is not supported"
+            )
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("option 'path' (the LakeTable root) is required")
+        return LakeTableStreamWriter(path, schema)
+
 
 class LakeTableBatchReader(DataSourceReader):
     _OPS = {
@@ -552,3 +566,215 @@ class LakeTableBatchReader(DataSourceReader):
         )
         tbl = tbl.select(target.names).cast(target)
         return iter(tbl.to_batches(max_chunksize=65536))
+
+
+class _SinkFiles(WriterCommitMessage):
+    def __init__(self, files: list):
+        self.files = files  # [(bucket, staged_abs_path, rows, bytes)]
+
+
+class LakeTableStreamWriter(DataSourceStreamWriter):
+    """``df.writeStream.format("laketable")`` — the table as a
+    Structured Streaming SINK through the vanilla Spark write API
+    (complementing the batch reader and the CDF stream source; the
+    richer ``run_stream`` path with batch dedup, patch hydration and
+    skew pre-reduce remains the CDC fast path).
+
+    Semantics: MOR append. Each executor task splits its rows by key
+    bucket — Spark's chained seed-42 xxhash64 recomputed bit-exactly
+    in Python (functions/xxh64.py), since a row in the wrong bucket
+    would silently duplicate its key — and writes one delta parquet
+    file per touched bucket into a staged attempt directory; the
+    driver's ``commit`` then links them under the next commit version
+    and writes ONE snapshot. Dedup needs no shuffle at all: the
+    engine's max-(_lsn, sequence) resolution absorbs in-batch and
+    cross-batch duplicates at read/compaction time, which is what
+    makes a shuffle-free streaming sink sound.
+
+    Exactly-once: Spark's epoch id is recorded as ``sink_hwm`` in the
+    snapshot itself, so a replayed microbatch after kill/resume
+    commits nothing (its staged files become grace-gated orphans) —
+    a namespace deliberately separate from the WAL-apply ledger so a
+    sink and a ``run_stream`` tail can share a table without masking
+    each other's ids. CHECK constraints are evaluated per task on the
+    staged Arrow batch (DuckDB, threads=1) before anything reaches
+    the table; a violation fails the task and Spark aborts the epoch.
+
+    v1 limits (explicit errors): row-lineage tables unsupported
+    (lineage id assignment lives in the merge paths); input schema is
+    validated against the table at stream start — additive evolution
+    mid-stream requires a restart (files are stamped with the START
+    epoch, so renames that happen mid-stream still resolve by field
+    id)."""
+
+    def __init__(self, root: str, schema: T.StructType):
+        t = LakeTable(None, root)
+        snap = t.snapshot()
+        if snap.get("row_lineage"):
+            raise ValueError(
+                "the laketable streaming sink does not support row-lineage "
+                "tables yet — use streaming/cdc.run_stream (merge path)"
+            )
+        self._root = root
+        self._keys = snap["key_cols"]
+        self._n_buckets = snap["n_buckets"]
+        self._epoch = snap.get("schema_epoch", 0)
+        self._constraints = dict(snap.get("constraints") or {})
+        tbl_schema = t.schema(snap)
+        self._table_cols = [
+            (f.name, f.dataType) for f in tbl_schema.fields if f.name != LSN_COL
+        ]
+        self._defaults = {
+            name: t._default_value(snap, name, "write")
+            for name, _ in self._table_cols
+        }
+        in_cols = set(schema.fieldNames())
+        for k in self._keys:
+            if k not in in_cols:
+                raise ValueError(f"sink input is missing key column {k!r}")
+        if "lsn" not in in_cols:
+            raise ValueError(
+                "sink input is missing the 'lsn' column (the change "
+                "sequence the engine's last-writer-wins rule orders by)"
+            )
+        known = {n for n, _ in self._table_cols} | {"lsn", "op", LSN_COL, OP_COL}
+        unknown = in_cols - known
+        if unknown:
+            raise ValueError(
+                f"sink input carries columns the table lacks: {sorted(unknown)}"
+                " — ALTER TABLE ADD COLUMN first (additive evolution is a "
+                "table operation, not a sink side effect)"
+            )
+        self._in_cols = list(schema.fieldNames())
+
+    # -- executor ----------------------------------------------------
+
+    def write(self, iterator) -> _SinkFiles:
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..functions.xxh64 import bucket_of
+
+        rows = list(iterator)
+        if not rows:
+            return _SinkFiles([])
+        idx = {c: i for i, c in enumerate(self._in_cols)}
+        ki = [idx[k] for k in self._keys]
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            b = bucket_of([r[i] for i in ki], self._n_buckets)
+            by_bucket.setdefault(b, []).append(r)
+
+        attempt = os.path.join(
+            self._root, "data", f"_sink_stage-{uuid.uuid4().hex[:12]}"
+        )
+        out = []
+        for b, rws in sorted(by_bucket.items()):
+            cols: dict[str, list] = {}
+            for name, _dt in self._table_cols:
+                if name in idx:
+                    cols[name] = [r[idx[name]] for r in rws]
+                else:
+                    cols[name] = [self._defaults.get(name)] * len(rws)
+            cols[LSN_COL] = [
+                r[idx["lsn"]] if "lsn" in idx else r[idx[LSN_COL]] for r in rws
+            ]
+            oi = idx.get("op", idx.get(OP_COL))
+            cols[OP_COL] = (
+                [r[oi] for r in rws] if oi is not None else ["U"] * len(rws)
+            )
+            target = pa.schema(
+                [pa.field(n, _arrow_type(dt)) for n, dt in self._table_cols]
+                + [pa.field(LSN_COL, pa.int64()), pa.field(OP_COL, pa.string())]
+            )
+            tbl = pa.table(
+                {n: cols[n] for n in target.names}
+            ).cast(target)
+            if self._constraints:
+                con = duckdb.connect(config={"threads": 1})
+                try:
+                    con.register("staged", tbl)
+                    for cname, expr in sorted(self._constraints.items()):
+                        bad = con.sql(
+                            f"SELECT count(*) FROM staged WHERE NOT COALESCE(({expr}), TRUE)"
+                            f" AND COALESCE({_q(OP_COL)} <> 'D', TRUE)"
+                        ).fetchone()[0]
+                        if bad:
+                            raise ValueError(
+                                f"CHECK constraint {cname!r} violated by "
+                                f"{bad} staged row(s): {expr}"
+                            )
+                finally:
+                    con.close()
+            d = os.path.join(attempt, f"_bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"part-{uuid.uuid4().hex[:12]}.zstd.parquet")
+            pq.write_table(tbl, path, compression="zstd")
+            out.append((b, path, len(rws), os.path.getsize(path)))
+        return _SinkFiles(out)
+
+    # -- driver ------------------------------------------------------
+
+    def _staged(self, messages) -> list:
+        files = []
+        for m in messages:
+            if m is not None:
+                files.extend(m.files)
+        return files
+
+    def _cleanup(self, files) -> None:
+        import shutil
+
+        for _b, p, _r, _s in files:
+            shutil.rmtree(os.path.dirname(os.path.dirname(p)), ignore_errors=True)
+
+    def commit(self, messages, batchId: int) -> None:
+        t = LakeTable(None, self._root)
+        files = self._staged(messages)
+        for _ in range(10):
+            snap = t.snapshot()
+            if batchId <= snap.get("sink_hwm", -1):
+                _trace(f"sink commit {batchId}: replay no-op")
+                self._cleanup(files)
+                return
+            if not files:
+                entries: list = []
+            version = snap["version"] + 1
+            rel = os.path.join("data", f"c{version:012d}-{uuid.uuid4().hex[:8]}")
+            entries = []
+            for b, p, _rows, _size in files:
+                d = os.path.join(t.root, rel, f"_bucket={b}")
+                os.makedirs(d, exist_ok=True)
+                dst = os.path.join(d, os.path.basename(p))
+                os.link(p, dst)
+                e = {
+                    "path": os.path.relpath(dst, t.root),
+                    "bucket": b,
+                    "kind": "delta",
+                    "epoch": self._epoch,
+                }
+                e.update(t._file_stats(dst, ()))
+                entries.append(e)
+            new = dict(snap)
+            new.update(
+                version=version,
+                files=snap["files"] + entries,
+                parent=snap["version"],
+                operation="stream-sink",
+                sink_hwm=batchId,
+            )
+            try:
+                t._write_snapshot(new)
+            except FileExistsError:
+                # lost the optimistic race: this attempt's linked files
+                # are orphans for the grace-gated scan; re-link against
+                # the winner's successor version
+                continue
+            _trace(f"sink commit {batchId}: v{version}, {len(entries)} files")
+            self._cleanup(files)
+            return
+        raise RuntimeError(f"sink commit lost the version race 10 times (batch {batchId})")
+
+    def abort(self, messages, batchId: int) -> None:
+        self._cleanup(self._staged(messages))
