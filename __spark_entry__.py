@@ -196,6 +196,12 @@ _DEMOTED_TAIL = [
     # so corruption flips the value hash; every corruption class is
     # injected + localised in tests/test_verify.py
     "cdc_fsck",
+    # storage-partitioned join (Iceberg SPJ analogue): zero-shuffle
+    # co-bucketed equi-join with manifest pruning; full DuckDB join
+    # oracle + in-query no-Exchange/no-join-node plan asserts; all
+    # six join types, divisible counts, MOR/DV/rename interplay
+    # pytest-pinned in tests/test_spj.py
+    "cdc_bucket_join",
 ]
 
 

@@ -1658,6 +1658,54 @@ class LakeTable:
             return df.filter(F.col(col).isin(vals))
         return self.read(version).join(vals_df, col, "left_semi")
 
+    def join_bucketed(
+        self,
+        other: "LakeTable",
+        on: "list[tuple[str, str] | str] | None" = None,
+        how: str = "inner",
+        where: str | None = None,
+        other_where: str | None = None,
+        version: int | None = None,
+        other_version: int | None = None,
+    ) -> DataFrame:
+        """Storage-partitioned join with ``other`` (the Iceberg SPJ /
+        Spark bucketed-join analogue): a zero-shuffle equi-join
+        executed one co-located bucket group at a time on executors —
+        see ``streaming.source.LakeTableJoinSource`` for the full
+        contract (key coverage, compatible bucket counts, output
+        naming). ``on`` is a list of left column names or
+        ``(left, right)`` pairs, defaulting to the positional pairing
+        of the two tables' bucket keys; ``where``/``other_where``
+        take ``read_where``-style SQL predicate strings that prune
+        each side's manifests before the join. At 100 TB the
+        alternative — Exchange-ing both tables on the join key — is
+        the single largest cost in a typical star rebuild; this scan
+        never plans an Exchange at all (plan-pinned in
+        tests/test_spj.py)."""
+        from ..streaming.source import LakeTableJoinSource  # lazy: no cycle
+
+        self.spark.dataSource.register(LakeTableJoinSource)
+        if on is None:
+            pairs = list(zip(self.snapshot()["key_cols"], other.snapshot()["key_cols"]))
+        else:
+            pairs = [(p, p) if isinstance(p, str) else tuple(p) for p in on]
+        r = (
+            self.spark.read.format("laketable_join")
+            .option("left", self.root)
+            .option("right", other.root)
+            .option("how", how)
+            .option("on", ",".join(f"{a}:{b}" for a, b in pairs))
+        )
+        if where is not None:
+            r = r.option("leftWhere", where)
+        if other_where is not None:
+            r = r.option("rightWhere", other_where)
+        if version is not None:
+            r = r.option("leftVersionAsOf", version)
+        if other_version is not None:
+            r = r.option("rightVersionAsOf", other_version)
+        return r.load()
+
     def explain_semi_skipping(
         self, keys_df: DataFrame, version: int | None = None, probe_limit: int = 1024
     ) -> dict:

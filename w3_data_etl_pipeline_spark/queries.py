@@ -2480,6 +2480,107 @@ def cdc_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_bucket_join",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT s.user_id, s.event_type, s.value, c.c_mktsegment, c.c_acctbal
+    FROM s JOIN customer c ON s.user_id = c.c_custkey
+    WHERE s.value >= 25.0
+    """,
+)
+def cdc_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-partitioned join on the oracle gate (the Iceberg SPJ
+    analogue; SURVEY §14): the events stream is merged into a
+    16-bucket LakeTable keyed on user_id, the customer dimension into
+    an 8-bucket table keyed on c_custkey, and the two are equi-joined
+    WITHOUT A SHUFFLE — one partition per co-located bucket group
+    (divisible counts exercise rebucket interop), each executor
+    resolving both sides' LWW state and joining locally, with the
+    ``where`` predicate pruning left-side files at the manifest layer
+    before the join. In-query asserts pin that the physical plan
+    contains no Exchange and no join node (the scan IS the join); the
+    DuckDB oracle recomputes the same join relationally. At 100 TB
+    this replaces the single largest cost of a star rebuild — the
+    full-table join Exchange — with zero network movement."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    work = tempfile.mkdtemp(prefix="cdc_spj_q_")
+    try:
+        ls = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        rs = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_mktsegment", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        left = LakeTable.create(spark, f"{work}/l", ls, ["user_id"], n_buckets=16)
+        right = LakeTable.create(spark, f"{work}/r", rs, ["c_custkey"], n_buckets=8)
+        left.merge(
+            e.select(
+                "user_id",
+                "event_type",
+                "value",
+                F.col("event_id").alias("lsn"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+            ),
+            0,
+        )
+        right.merge(
+            c.select(
+                "c_custkey",
+                "c_mktsegment",
+                "c_acctbal",
+                F.col("c_custkey").alias("lsn"),
+                F.lit("U").alias("op"),
+            ),
+            0,
+        )
+        df = left.join_bucketed(
+            right, on=[("user_id", "c_custkey")], how="inner", where="value >= 25.0"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError("SPJ planned an Exchange — not storage-partitioned")
+        if any(n in plan for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")):
+            raise AssertionError("SPJ planned a join node — the scan must BE the join")
+        out = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("c_mktsegment", T.StringType()),
+                T.StructField("c_acctbal", T.DoubleType()),
+            ]
+        )
+        rows = df.collect()
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_stream_cdf",
     """
     WITH s1 AS (

@@ -778,3 +778,258 @@ class LakeTableStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages, batchId: int) -> None:
         self._cleanup(self._staged(messages))
+
+
+# --------------------------------------------------------------------
+# Storage-partitioned join (the Iceberg SPJ / Spark bucketed-join
+# analogue for LakeTables)
+# --------------------------------------------------------------------
+
+
+class LakeTableJoinSource(DataSource):
+    """Zero-shuffle equi-join of two LakeTables co-bucketed on their
+    join keys — the Iceberg storage-partitioned-join (SPJ) analogue::
+
+        spark.dataSource.register(LakeTableJoinSource)
+        df = (spark.read.format("laketable_join")
+              .option("left", left_root).option("right", right_root)
+              .option("on", "user_id:c_custkey")   # lcol[:rcol], comma-sep
+              .option("how", "inner")              # left|right|full|semi|anti
+              .load())
+
+    Both tables hash-bucket their keys with the same function
+    (``pmod(xxhash64(keys), n_buckets)``), so equal join keys live in
+    aligned buckets by CONSTRUCTION: the join executes as one
+    InputPartition per bucket group, each executor resolving both
+    sides' bucket state (max-LSN winner, tombstones, DV masks,
+    epoch-aware rename/default mapping — the same shared DuckDB
+    resolve as the batch/CDF sources) and joining LOCALLY. The Spark
+    plan is a pure scan: no Exchange, no SortMergeJoin, no broadcast
+    — at 100 TB the usual join shuffle (rewriting both tables over
+    the network) simply does not exist, which is the whole point of
+    Iceberg SPJ / Spark bucketed tables.
+
+    Compatible bucket counts: equal, or one divides the other
+    (rebucket interop) — partitions form at the COARSER count and the
+    finer side contributes its congruent buckets, so every row lands
+    in exactly one partition and outer joins need no dedup. The join
+    columns must cover both sides' bucket keys pairwise and
+    type-identically (checked at plan time; anything else would break
+    co-location and is rejected, never silently wrong).
+
+    ``leftWhere`` / ``rightWhere`` accept the same SQL predicate
+    subset as ``read_where`` and compose with manifest file skipping:
+    each side prunes files by manifest bounds/equality indexes BEFORE
+    the join, and the surviving rows are filtered post-resolution —
+    SPJ + data skipping in one scan. ``leftVersionAsOf`` /
+    ``rightVersionAsOf`` pin either side for time-travel joins.
+
+    Output columns: all left columns (join keys coalesced across
+    sides under full/right joins, the SQL USING convention), then
+    right non-join columns (renamed ``r_<name>`` on collision);
+    ``semi``/``anti`` return left columns only.
+    """
+
+    _HOWS = ("inner", "left", "right", "full", "semi", "anti")
+
+    @classmethod
+    def name(cls) -> str:
+        return "laketable_join"
+
+    def _opt(self, *names, default=None):
+        for n in names:
+            v = self.options.get(n.lower(), self.options.get(n))
+            if v is not None:
+                return v
+        return default
+
+    def _cfg(self) -> dict:
+        from ..plans.predicate import parse_predicate
+
+        left, right = self._opt("left"), self._opt("right")
+        if not left or not right:
+            raise ValueError("options 'left' and 'right' (LakeTable roots) are required")
+        how = str(self._opt("how", default="inner")).lower()
+        if how not in self._HOWS:
+            raise ValueError(f"how must be one of {self._HOWS}, got {how!r}")
+        lt, rt = LakeTable(None, left), LakeTable(None, right)
+        lv = self._opt("leftVersionAsOf")
+        rv = self._opt("rightVersionAsOf")
+        lsnap = lt.snapshot(int(lv) if lv is not None else None)
+        rsnap = rt.snapshot(int(rv) if rv is not None else None)
+        lk, rk = lsnap["key_cols"], rsnap["key_cols"]
+        raw_on = self._opt("on")
+        if raw_on:
+            pairs = []
+            for item in str(raw_on).split(","):
+                a, _, b = item.strip().partition(":")
+                pairs.append((a.strip(), (b or a).strip()))
+        else:
+            if len(lk) != len(rk):
+                raise ValueError("option 'on' required when key arities differ")
+            pairs = list(zip(lk, rk))
+        # SPJ soundness: the equality pairs must map the i-th left
+        # bucket key to the i-th right bucket key — co-location holds
+        # only when both sides hash the SAME joined values
+        if len(lk) != len(rk):
+            raise ValueError(f"bucket key arity mismatch: {lk} vs {rk}")
+        for a, b in zip(lk, rk):
+            if (a, b) not in pairs:
+                raise ValueError(
+                    f"join must pair bucket keys positionally: missing {a}:{b} "
+                    f"(left keys {lk}, right keys {rk}, on={pairs})"
+                )
+        ls, rs = lt.schema(lsnap), rt.schema(rsnap)
+        for a, b in pairs:
+            if a not in ls.fieldNames() or b not in rs.fieldNames():
+                raise ValueError(f"unknown join column in pair {a}:{b}")
+            if ls[a].dataType != rs[b].dataType:
+                raise ValueError(
+                    f"join pair {a}:{b} type mismatch: "
+                    f"{ls[a].dataType.simpleString()} vs {rs[b].dataType.simpleString()}"
+                )
+        bl, br = lsnap["n_buckets"], rsnap["n_buckets"]
+        if max(bl, br) % min(bl, br) != 0:
+            raise ValueError(
+                f"incompatible bucket counts {bl} vs {br}: one must divide "
+                "the other (rebucket either side to align)"
+            )
+        for w in ("leftWhere", "rightWhere"):
+            s = self._opt(w)
+            if s is not None:
+                parse_predicate(str(s))  # reject anything but the safe subset
+        # output column plan
+        l_order = lk + [
+            f.name for f in ls.fields if f.name not in lk and f.name != LSN_COL
+        ]
+        paired_r = {b for _a, b in pairs}
+        out_fields, sel = [], []
+        for c in l_order:
+            if how in ("full", "right") and c in dict(pairs):
+                sel.append(f"COALESCE(lf.{_q(c)}, rf.{_q(dict(pairs)[c])}) AS {_q(c)}")
+            else:
+                sel.append(f"lf.{_q(c)} AS {_q(c)}")
+            out_fields.append(T.StructField(c, ls[c].dataType))
+        if how not in ("semi", "anti"):
+            taken = set(l_order)
+            for f in rs.fields:
+                c = f.name
+                if c in paired_r or c == LSN_COL or c in rk:
+                    continue
+                out = c if c not in taken else f"r_{c}"
+                if out in taken:
+                    raise ValueError(f"output column collision on {out!r}")
+                taken.add(out)
+                sel.append(f"rf.{_q(c)} AS {_q(out)}")
+                out_fields.append(T.StructField(out, f.dataType))
+        return {
+            "lt": lt, "rt": rt, "lsnap": lsnap, "rsnap": rsnap,
+            "how": how, "pairs": pairs, "select": sel,
+            "schema": T.StructType(out_fields),
+            "lwhere": self._opt("leftWhere"), "rwhere": self._opt("rightWhere"),
+        }
+
+    def schema(self) -> T.StructType:
+        return self._cfg()["schema"]
+
+    def reader(self, schema: T.StructType) -> "LakeTableJoinReader":
+        return LakeTableJoinReader(self._cfg())
+
+
+class LakeTableJoinReader(DataSourceReader):
+    def __init__(self, cfg: dict):
+        self._c = cfg
+
+    @staticmethod
+    def _admitted(table: LakeTable, snap: dict, where) -> "set[str] | None":
+        if where is None:
+            return None
+        return {f["path"] for f in table.prune_files(snap, str(where))}
+
+    @staticmethod
+    def _group_files(table, snap, buckets, admitted) -> dict:
+        sides = [_side_files(table, snap, b, admitted) for b in buckets]
+        return {
+            "files": [f for s in sides for f in s["files"]],
+            "dv": [p for s in sides for p in s["dv"]],
+        }
+
+    def partitions(self):
+        c = self._c
+        lt, rt, lsnap, rsnap = c["lt"], c["rt"], c["lsnap"], c["rsnap"]
+        how = c["how"]
+        bl, br = lsnap["n_buckets"], rsnap["n_buckets"]
+        bc = min(bl, br)
+        ladmit = self._admitted(lt, lsnap, c["lwhere"])
+        radmit = self._admitted(rt, rsnap, c["rwhere"])
+        lspec = _bucket_spec(lt, lsnap)
+        rspec = _bucket_spec(rt, rsnap)
+        parts, skipped = [], 0
+        for g in range(bc):
+            lb = self._group_files(lt, lsnap, range(g, bl, bc), ladmit)
+            rb = self._group_files(rt, rsnap, range(g, br, bc), radmit)
+            need_l = how in ("inner", "left", "semi", "anti")
+            need_r = how in ("inner", "right", "semi")
+            if (need_l and not lb["files"]) or (need_r and not rb["files"]):
+                skipped += 1
+                continue
+            if how == "full" and not lb["files"] and not rb["files"]:
+                skipped += 1
+                continue
+            parts.append(InputPartition({
+                "l": dict(lspec, b=lb), "r": dict(rspec, b=rb),
+                "how": how, "pairs": c["pairs"], "select": c["select"],
+                "lwhere": c["lwhere"], "rwhere": c["rwhere"],
+                "fields": json.dumps(c["schema"].jsonValue()),
+            }))
+        _trace(
+            f"spj partitions: {len(parts)} bucket groups "
+            f"({skipped} skipped empty), counts {bl}x{br}"
+        )
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        spec = partition.value
+        if spec is None:
+            return iter(())
+        import duckdb
+        import pyarrow as pa
+
+        def side(tag: str) -> str:
+            s = spec[tag]
+            cols = ", ".join(_q(x) for x in s["keys"] + s["value_cols"])
+            w = spec[f"{tag}where"]
+            flt = f" WHERE {w}" if w else ""
+            return f"{tag}f AS (SELECT {cols} FROM {tag}{flt})"
+
+        on = " AND ".join(
+            f"lf.{_q(a)} = rf.{_q(b)}" for a, b in spec["pairs"]
+        )
+        sel = ", ".join(spec["select"])
+        how = spec["how"]
+        with_sql = (
+            f"WITH {_resolved_side_sql(spec['l']['b'], spec['l'], 'l')}, "
+            f"{_resolved_side_sql(spec['r']['b'], spec['r'], 'r')}, "
+            f"{side('l')}, {side('r')}"
+        )
+        if how in ("semi", "anti"):
+            neg = "NOT " if how == "anti" else ""
+            q = (
+                f"{with_sql} SELECT {sel} FROM lf WHERE {neg}EXISTS "
+                f"(SELECT 1 FROM rf WHERE {on})"
+            )
+        else:
+            kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                  "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+            q = f"{with_sql} SELECT {sel} FROM lf {kw} rf ON {on}"
+        con = duckdb.connect(config={"threads": 1})  # see batch reader note
+        try:
+            tbl = con.sql(q).arrow()
+        finally:
+            con.close()
+        fields = T.StructType.fromJson(json.loads(spec["fields"]))
+        target = pa.schema(
+            [pa.field(f.name, _arrow_type(f.dataType)) for f in fields.fields]
+        )
+        tbl = tbl.select(target.names).cast(target)
+        return iter(tbl.to_batches(max_chunksize=65536))
