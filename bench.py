@@ -85,6 +85,8 @@ EXTENDED = [
     "cdc_sql_surface",
     "cdc_stream_cdf",
     "cdc_batch_read",
+    # round 4 third resume: storage-partitioned join
+    "cdc_bucket_join",
 ]
 
 

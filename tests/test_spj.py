@@ -196,3 +196,53 @@ def test_default_on_pairs_bucket_keys(spark, tmp_path):
     lt, rt = _pair(spark, tmp_path)
     got = lt.join_bucketed(rt)  # defaults to positional key pairing
     assert _rows(got) == _rows(_spark_twin(lt, rt, "inner"))
+
+
+def test_select_projection_pushdown(spark, tmp_path):
+    lt, rt = _pair(spark, tmp_path)
+    got = lt.join_bucketed(
+        rt, on=[("user_id", "c_custkey")], select=["user_id", "c_acctbal"]
+    )
+    assert got.columns == ["user_id", "c_acctbal"]
+    want = (
+        lt.read()
+        .join(rt.read(), F.col("user_id") == F.col("c_custkey"))
+        .select("user_id", "c_acctbal")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_select_with_full_join_coalesced_key(spark, tmp_path):
+    lt, rt = _pair(spark, tmp_path)
+    got = lt.join_bucketed(
+        rt, on=[("user_id", "c_custkey")], how="full",
+        select=["user_id", "c_mktsegment"],
+    )
+    lr, rr = lt.read(), rt.read()
+    want = lr.join(rr, lr.user_id == rr.c_custkey, "full").select(
+        F.coalesce(lr.user_id, rr.c_custkey).alias("user_id"), "c_mktsegment"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_select_rejects_unknown_column(spark, tmp_path):
+    lt, rt = _pair(spark, tmp_path)
+    with pytest.raises(Exception, match="unknown columns"):
+        lt.join_bucketed(rt, select=["nope"]).collect()
+
+
+def test_select_composes_with_where(spark, tmp_path):
+    # the where column (value) is NOT in the projection: the pruned
+    # parquet read must still decode it for the filter
+    lt, rt = _pair(spark, tmp_path)
+    got = lt.join_bucketed(
+        rt, on=[("user_id", "c_custkey")], where="value >= 50.0",
+        select=["user_id", "c_acctbal"],
+    )
+    want = (
+        lt.read()
+        .filter("value >= 50.0")
+        .join(rt.read(), F.col("user_id") == F.col("c_custkey"))
+        .select("user_id", "c_acctbal")
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0

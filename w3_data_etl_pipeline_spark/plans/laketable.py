@@ -1667,6 +1667,7 @@ class LakeTable:
         other_where: str | None = None,
         version: int | None = None,
         other_version: int | None = None,
+        select: "list[str] | None" = None,
     ) -> DataFrame:
         """Storage-partitioned join with ``other`` (the Iceberg SPJ /
         Spark bucketed-join analogue): a zero-shuffle equi-join
@@ -1704,6 +1705,8 @@ class LakeTable:
             r = r.option("leftVersionAsOf", version)
         if other_version is not None:
             r = r.option("rightVersionAsOf", other_version)
+        if select is not None:
+            r = r.option("columns", ",".join(select))
         return r.load()
 
     def explain_semi_skipping(

@@ -186,6 +186,16 @@ def _resolved_side_sql(side: dict, spec: dict, alias: str) -> str:
             "WHERE 1 = 0"
         ]
     raw = " UNION ALL ".join(f"({s})" for s in selects)
+    # fast path: a side holding ONLY base files and no DV masks IS the
+    # resolved state — COW rewrites whole buckets, so each live key has
+    # exactly one row and no tombstones survive (the same invariant
+    # LakeTable.read() uses to skip _resolve when has_delta is false).
+    # Skipping the per-key window matters: it is the dominant CPU term
+    # of an executor-side read over a compacted table.
+    if not side["dv"] and all(
+        f.get("kind", "base") == "base" for f in side["files"]
+    ):
+        return f"{alias} AS (SELECT *, 1 AS _rn FROM ({raw}))"
     if side["dv"]:
         dvp = ", ".join("'" + p.replace("'", "''") + "'" for p in side["dv"])
         raw = (
@@ -922,11 +932,47 @@ class LakeTableJoinSource(DataSource):
                 taken.add(out)
                 sel.append(f"rf.{_q(c)} AS {_q(out)}")
                 out_fields.append(T.StructField(out, f.dataType))
+        origin = [("l", c) for c in l_order] + [
+            ("r", s.split("rf.")[1].split(" AS ")[0].strip('"'))
+            for s in sel[len(l_order):]
+        ]
+        cols_opt = self._opt("columns")
+        if cols_opt:
+            # explicit projection pushdown: the Python DataSource API
+            # has no pruneColumns hook, so wide rows (e.g. `content`)
+            # would otherwise cross the Arrow boundary only to be
+            # dropped by Spark — at 100 TB the projection is the
+            # difference between shipping bytes and shipping metadata
+            want = [c.strip() for c in str(cols_opt).split(",") if c.strip()]
+            have = {f.name: i for i, f in enumerate(out_fields)}
+            missing = [c for c in want if c not in have]
+            if missing:
+                raise ValueError(f"unknown columns {missing}; output has {list(have)}")
+            sel = [sel[have[c]] for c in want]
+            origin = [origin[have[c]] for c in want]
+            out_fields = [out_fields[have[c]] for c in want]
+
+        def _need(tag: str, where) -> "list[str]":
+            cols = {c for t, c in origin if t == tag}
+            cols.update(a if tag == "l" else b for a, b in pairs)
+            if where is not None:
+                stack = [parse_predicate(str(where))]
+                while stack:
+                    n = stack.pop()
+                    kids = getattr(n, "children", None)
+                    if kids is not None:
+                        stack.extend(kids)
+                    else:
+                        cols.add(n.col)
+            return sorted(cols)
+
+        lwhere, rwhere = self._opt("leftWhere"), self._opt("rightWhere")
         return {
             "lt": lt, "rt": rt, "lsnap": lsnap, "rsnap": rsnap,
             "how": how, "pairs": pairs, "select": sel,
             "schema": T.StructType(out_fields),
-            "lwhere": self._opt("leftWhere"), "rwhere": self._opt("rightWhere"),
+            "lwhere": lwhere, "rwhere": rwhere,
+            "lneed": _need("l", lwhere), "rneed": _need("r", rwhere),
         }
 
     def schema(self) -> T.StructType:
@@ -964,6 +1010,15 @@ class LakeTableJoinReader(DataSourceReader):
         radmit = self._admitted(rt, rsnap, c["rwhere"])
         lspec = _bucket_spec(lt, lsnap)
         rspec = _bucket_spec(rt, rsnap)
+        # projection pushdown into the parquet read: only columns the
+        # join output, the equality pairs, or a where predicate touch
+        # are decoded and resolved on the executor
+        lspec["value_cols"] = [
+            x for x in lspec["value_cols"] if x in c["lneed"]
+        ]
+        rspec["value_cols"] = [
+            x for x in rspec["value_cols"] if x in c["rneed"]
+        ]
         parts, skipped = [], 0
         for g in range(bc):
             lb = self._group_files(lt, lsnap, range(g, bl, bc), ladmit)
