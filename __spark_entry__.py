@@ -202,6 +202,12 @@ _DEMOTED_TAIL = [
     # six join types, divisible counts, MOR/DV/rename interplay
     # pytest-pinned in tests/test_spj.py
     "cdc_bucket_join",
+    # shallow clone (Delta CLONE analogue): metadata-only branch of a
+    # live table with two-way isolation over shared files; full DuckDB
+    # oracle (pinned half + patch overlay) + in-query zero-copy
+    # assert; GC ownership, deep clones, identity carry-over
+    # pytest-pinned in tests/test_clone.py
+    "cdc_clone",
 ]
 
 

@@ -85,8 +85,9 @@ EXTENDED = [
     "cdc_sql_surface",
     "cdc_stream_cdf",
     "cdc_batch_read",
-    # round 4 third resume: storage-partitioned join
+    # round 4 third resume: storage-partitioned join, shallow clone
     "cdc_bucket_join",
+    "cdc_clone",
 ]
 
 

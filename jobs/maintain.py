@@ -214,6 +214,13 @@ def main(argv: list[str] | None = None) -> int:
     b = sub.add_parser("rebucket", help="evolve the hash-bucket count")
     b.add_argument("--n-buckets", type=int, required=True)
 
+    cn = sub.add_parser("clone", help="branch the table into a new root "
+                        "(shallow: metadata-only, shares files; deep: hard-links)")
+    cn.add_argument("--dest", required=True, help="destination table root")
+    cn.add_argument("--at-version", type=int, default=None)
+    cn.add_argument("--deep", action="store_true",
+                    help="own the files (survives source vacuum/deletion)")
+
     tg = sub.add_parser("tag", help="pin a snapshot under a name (retention ref)")
     tg.add_argument("name")
     tg.add_argument("--version", type=int, default=None,
@@ -443,6 +450,14 @@ def main(argv: list[str] | None = None) -> int:
             tv = args.to_version if args.to_version is not None else t.tag_version(args.to_tag)
             after = t.rollback(tv)
             out = {"verb": "rollback", "rollback_of": tv, "version": after}
+        elif args.verb == "clone":
+            c = t.clone(args.dest, version=args.at_version, deep=args.deep)
+            out = {
+                "verb": "clone",
+                "dest": args.dest,
+                "deep": bool(args.deep),
+                "source_version": c.snapshot(0).get("clone_source_version"),
+            }
         elif args.verb == "tag":
             v = t.create_tag(args.name, version=args.version)
             out = {"verb": "tag", "name": args.name, "pinned_version": v}

@@ -205,6 +205,105 @@ class LakeTable:
             f"enable_row_lineage lost the commit race {max_retries + 1} times"
         )
 
+    def clone(
+        self, dest_root: str, version: int | None = None, deep: bool = False
+    ) -> "LakeTable":
+        """Clone this table (the Delta ``CLONE`` / Iceberg
+        snapshot-ref-copy analogue) at ``version`` (default current).
+
+        ``deep=False`` (shallow, the default) is a METADATA-ONLY
+        commit: the clone's v0 references the source's live data/DV
+        files and index sidecars by absolute path — zero bytes copied,
+        O(metadata) regardless of table size, which is what makes
+        "branch a 100 TB table for an experiment" a sub-second
+        operation. Everything else is a fresh table: its own history,
+        its own exactly-once ledger (hwm reset — replaying a stream
+        into the clone re-applies from scratch, by design), its own
+        refs. Schema identity (field ids, rename epochs, defaults),
+        constraints, declared write order, row-lineage state, and
+        column stats carry over, so reads/CDC over the clone resolve
+        pre-clone files exactly as the source would. Writes to the
+        clone land under the clone's root; maintenance naturally
+        un-shares (compaction folds referenced files into local ones),
+        and the clone's ``expire_snapshots`` NEVER deletes shared
+        files it doesn't own (guarded by path ownership — the same
+        contract as Delta shallow-clone VACUUM). The one documented
+        hazard is inherited from Delta/Iceberg: expiring the SOURCE's
+        snapshots can drop files a shallow clone still references.
+
+        ``deep=True`` hard-links every referenced file into the
+        clone's own tree instead (falling back to a byte copy across
+        filesystems): still no data duplication on one filesystem,
+        but the clone owns its inodes — the source can be vacuumed or
+        deleted outright and the clone keeps reading."""
+        import shutil as _sh
+
+        snap = self.snapshot(version)
+        t = LakeTable(self.spark, dest_root)
+        if os.path.exists(t._meta):
+            raise ValueError(f"clone destination already exists: {dest_root}")
+        os.makedirs(t._meta)
+        os.makedirs(t._data)
+
+        def _abs(rel: str) -> str:
+            return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
+
+        entries = []
+        for f in snap["files"]:
+            e = dict(f)
+            if deep:
+                src, rel = _abs(f["path"]), f["path"]
+                if os.path.isabs(rel):  # cloning a clone: re-home it
+                    rel = os.path.join("data", "cloned", self._file_key(rel))
+                dst = os.path.join(dest_root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    _sh.copy2(src, dst)
+                e["path"] = rel
+            else:
+                e["path"] = _abs(f["path"])
+            for key in ("cset", "cbloom"):
+                d = f.get(key)
+                if not d:
+                    continue
+                e[key] = dict(d)
+                for c, ref in d.items():
+                    if isinstance(ref, str) and ref.startswith("idx:"):
+                        sidecar = _abs(ref[4:])
+                        if deep:
+                            rel = (
+                                ref[4:]
+                                if not os.path.isabs(ref[4:])
+                                else os.path.join("_meta", "index", os.path.basename(ref[4:]))
+                            )
+                            dst = os.path.join(dest_root, rel)
+                            os.makedirs(os.path.dirname(dst), exist_ok=True)
+                            if not os.path.exists(dst):
+                                try:
+                                    os.link(sidecar, dst)
+                                except OSError:
+                                    _sh.copy2(sidecar, dst)
+                            e[key][c] = "idx:" + rel
+                        else:
+                            e[key][c] = "idx:" + sidecar
+            entries.append(e)
+        new = dict(snap)
+        new.pop("manifests", None)  # pointers are recomputed under dest
+        new.pop("sink_hwm", None)
+        new.update(
+            version=0,
+            files=entries,
+            parent=None,
+            operation="clone-deep" if deep else "clone",
+            clone_source=self.root,
+            clone_source_version=snap["version"],
+            ledger={"hwm": -1, "extra": {}},
+        )
+        t._write_snapshot(new)
+        return t
+
     # ---------------- exactly-once ledger ----------------
     #
     # The applied-batch set is stored COMPACTED: a contiguous-prefix
@@ -5699,6 +5798,12 @@ class LakeTable:
         removed_files = 0
         touched_dirs: set[str] = set()
         for rel in candidates - referenced:
+            if os.path.isabs(rel):
+                # shared file outside this table's root (shallow clone
+                # reference): the SOURCE table owns its lifecycle —
+                # expiring the snapshot drops the reference, never the
+                # file (same contract as Delta shallow-clone VACUUM)
+                continue
             p = os.path.join(self.root, rel)
             if os.path.exists(p):
                 if not dry_run:
@@ -5782,6 +5887,8 @@ class LakeTable:
                     continue
         removed_idx = 0
         for rel in idx_candidates - referenced_idx:
+            if os.path.isabs(rel):
+                continue  # shared sidecar owned by a clone's source
             if dry_run:
                 removed_idx += int(os.path.exists(os.path.join(self.root, rel)))
                 continue

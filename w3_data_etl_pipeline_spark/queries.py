@@ -2581,6 +2581,96 @@ def cdc_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_clone",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events
+            WHERE event_id <= (SELECT CAST(FLOOR(AVG(event_id)) AS BIGINT)
+                               FROM events))
+      WHERE rn = 1 AND event_type <> 'error'
+    ), p AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 10 = 0
+    )
+    SELECT COALESCE(p.user_id, s.user_id) AS user_id,
+           CASE WHEN p.user_id IS NOT NULL THEN 'cloned'
+                ELSE s.event_type END AS event_type,
+           CASE WHEN p.user_id IS NOT NULL THEN -1.0
+                ELSE s.value END AS value
+    FROM s FULL JOIN p ON s.user_id = p.user_id
+    """,
+)
+def cdc_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone on the oracle gate (the Delta CLONE analogue):
+    the first half of the stream is merged into the source, the table
+    is cloned METADATA-ONLY (zero data files under the clone's root —
+    asserted in-query), the source advances with the second half, and
+    an experiment patch is merged into the CLONE. The clone must show
+    exactly (pinned first half) + (patch overlay) — proving isolation
+    in both directions over shared physical files — while the source
+    still shows its own unpatched LWW state. At 100 TB this is what
+    makes "branch the production table for an experiment" an O(metadata)
+    commit instead of a copy job."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(F.floor(F.avg("event_id")).cast("long").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="cdc_clone_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        src = LakeTable.create(spark, f"{work}/s", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        src.merge(ev.filter(F.col("lsn") <= mid), 0)
+        clone = src.clone(f"{work}/c")
+        if any(
+            n.endswith(".parquet")
+            for _, _, ns in _os.walk(f"{work}/c/data")
+            for n in ns
+        ):
+            raise AssertionError("shallow clone copied data files")
+        src.merge(ev.filter(F.col("lsn") > mid), 1)  # must NOT reach the clone
+        patch = (
+            e.filter(F.col("user_id") % 10 == 0)
+            .select("user_id")
+            .distinct()
+            .select(
+                "user_id",
+                F.lit("cloned").alias("event_type"),
+                F.lit(-1.0).alias("value"),
+                F.lit(10**15).alias("lsn"),
+                F.lit("U").alias("op"),
+            )
+        )
+        clone.merge(patch, 0)  # clone ledger is fresh: batch 0 re-applies
+        rows = clone.read().select("user_id", "event_type", "value").collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_stream_cdf",
     """
     WITH s1 AS (
