@@ -319,3 +319,37 @@ def test_branch_tag_sql(cat, spark):
     assert not t.tags() and not t.branches()
     with pytest.raises(ValueError, match="no such tag"):
         cat.sql("ALTER TABLE events_lake DROP TAG nope")
+
+
+def test_create_table_clone_sql(spark, tmp_path):
+    cat = LakeCatalog(spark)
+    loc = str(tmp_path / "src")
+    cat.sql(
+        f"""
+        CREATE TABLE src (user_id BIGINT, event_type STRING, value DOUBLE)
+        USING laketable LOCATION '{loc}' KEY (user_id) BUCKETS 4
+        """
+    )
+    cat.sql("INSERT INTO src VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    v_pin = cat.tables["src"].current_version()
+    cat.sql("INSERT INTO src VALUES (3, 'c', 3.0)")
+
+    res = cat.sql(
+        f"CREATE TABLE c1 SHALLOW CLONE src VERSION AS OF {v_pin} "
+        f"LOCATION '{tmp_path / 'c1'}'"
+    ).collect()[0]
+    assert res["operation"] == "clone" and res["source_version"] == v_pin
+    assert _rows(cat.tables["c1"].read()) == [(1, "a", 1.0), (2, "b", 2.0)]
+    # clone is writable and isolated
+    cat.sql("INSERT INTO c1 VALUES (9, 'z', 9.0)")
+    assert cat.tables["src"].read().count() == 3
+    assert cat.tables["c1"].read().count() == 3
+
+    res2 = cat.sql(
+        f"CREATE TABLE c2 DEEP CLONE src LOCATION '{tmp_path / 'c2'}'"
+    ).collect()[0]
+    assert res2["operation"] == "clone-deep"
+    assert cat.tables["c2"].read().count() == 3
+
+    with pytest.raises(ValueError, match="already registered"):
+        cat.sql(f"CREATE TABLE c1 CLONE src LOCATION '{tmp_path / 'c3'}'")

@@ -171,7 +171,39 @@ class LakeCatalog:
 
     def _create(self, stmt: str) -> DataFrame:
         """CREATE TABLE name (col TYPE, ...) USING laketable
-        LOCATION '<root>' KEY (k1[, k2]) [BUCKETS n] [ROW LINEAGE]"""
+        LOCATION '<root>' KEY (k1[, k2]) [BUCKETS n] [ROW LINEAGE]
+
+        or the Delta CLONE form:
+
+        CREATE TABLE name [SHALLOW|DEEP] CLONE src
+        [VERSION AS OF n] LOCATION '<root>'"""
+        cm = re.match(
+            rf"CREATE\s+TABLE\s+({_WORD})\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+"
+            rf"({_WORD})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
+            r"LOCATION\s+'((?:[^']|'')*)'$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if cm:
+            name = cm.group(1)
+            if name in self.tables:
+                raise ValueError(f"table {name!r} already registered")
+            deep = bool(cm.group(2)) and cm.group(2).strip().upper() == "DEEP"
+            src = self._table(cm.group(3))
+            t = src.clone(
+                cm.group(5).replace("''", "'"),
+                version=int(cm.group(4)) if cm.group(4) else None,
+                deep=deep,
+            )
+            self.register(name, t)
+            return self._metrics_df(
+                {
+                    "operation": "clone-deep" if deep else "clone",
+                    "table": name,
+                    "source": cm.group(3),
+                    "source_version": t.snapshot(0).get("clone_source_version"),
+                }
+            )
         m = re.match(
             rf"CREATE\s+TABLE\s+({_WORD})\s*\((.*?)\)\s*USING\s+laketable\s+"
             r"LOCATION\s+'((?:[^']|'')*)'\s+KEY\s*\(([^)]+)\)"
