@@ -208,6 +208,11 @@ _DEMOTED_TAIL = [
     # assert; GC ownership, deep clones, identity carry-over
     # pytest-pinned in tests/test_clone.py
     "cdc_clone",
+    # incrementally-maintained JOIN view (two-source follower over
+    # the SPJ): full DuckDB join oracle after both sources advance;
+    # cursor atomicity via merge snapshot props; strict changed-group
+    # incrementality pytest-pinned in tests/test_join_view.py
+    "cdc_join_view",
 ]
 
 

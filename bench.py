@@ -85,9 +85,11 @@ EXTENDED = [
     "cdc_sql_surface",
     "cdc_stream_cdf",
     "cdc_batch_read",
-    # round 4 third resume: storage-partitioned join, shallow clone
+    # round 4 third resume: storage-partitioned join, shallow clone,
+    # incrementally-maintained join view
     "cdc_bucket_join",
     "cdc_clone",
+    "cdc_join_view",
 ]
 
 

@@ -1,0 +1,168 @@
+"""Incrementally-maintained join views (streaming/joinview.py):
+initial full sync equals the batch join, later syncs recompute ONLY
+changed bucket groups, deletes/updates on either side propagate,
+cursors commit atomically with data (crash/replay idempotent, no side
+checkpoint), left-join views keep unmatched rows, and maintenance on
+the view doesn't disturb the resume point. Also pins merge snapshot
+props (the Iceberg snapshot-summary analogue) the cursors ride on.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from w3_data_etl_pipeline_spark.plans.laketable import LakeTable  # noqa: E402
+from w3_data_etl_pipeline_spark.streaming.joinview import (  # noqa: E402
+    create_join_view,
+    sync_join_view,
+    view_state,
+)
+
+LS = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+RS = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+def _lev(spark, ids, et="a", lsn=1, op="U"):
+    return spark.createDataFrame(
+        [(i, et, float(i % 97), i + lsn * 10**6, op) for i in ids],
+        ["user_id", "event_type", "value", "lsn", "op"],
+    )
+
+
+def _rev(spark, ids, seg="s1", lsn=1, op="U"):
+    return spark.createDataFrame(
+        [(i, seg, i + lsn * 10**6, op) for i in ids],
+        ["c_custkey", "c_mktsegment", "lsn", "op"],
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _setup(spark, tmp_path, how="inner"):
+    lt = LakeTable.create(spark, str(tmp_path / "l"), LS, ["user_id"], n_buckets=16)
+    rt = LakeTable.create(spark, str(tmp_path / "r"), RS, ["c_custkey"], n_buckets=8)
+    lt.merge(_lev(spark, range(0, 200)), 0)
+    rt.merge(_rev(spark, range(100, 300)), 0)
+    view = create_join_view(
+        lt, rt, str(tmp_path / "v"), how=how, on=[("user_id", "c_custkey")]
+    )
+    return lt, rt, view
+
+
+def _twin(lt, rt, how="inner"):
+    lr, rr = lt.read(), rt.read()
+    j = lr.join(rr, lr.user_id == rr.c_custkey, how)
+    return j.select("user_id", "event_type", "value", "c_mktsegment")
+
+
+def test_initial_sync_equals_batch_join(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    res = sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert res["applied"] and res["groups"] == 8
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_incremental_sync_recomputes_changed_groups_only(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    # touch ONE left key: at most a couple of bucket groups change
+    lt.merge(_lev(spark, [150], et="upd", lsn=9), 1)
+    res = sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert res["applied"] and 0 < res["groups"] < 8, res
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_left_delete_removes_view_row(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    lt.merge(_lev(spark, [150, 151], lsn=9, op="D"), 1)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    got = {r["user_id"] for r in view.read().collect()}
+    assert 150 not in got and 151 not in got
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_right_side_changes_propagate(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    rt.merge(_rev(spark, [120], seg="s2", lsn=9), 1)   # value update
+    rt.merge(_rev(spark, [130], lsn=10, op="D"), 2)     # inner: row leaves
+    res = sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert res["applied"]
+    got = {r["user_id"]: r["c_mktsegment"] for r in view.read().collect()}
+    assert got[120] == "s2" and 130 not in got
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_left_join_view_keeps_unmatched(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path, how="left")
+    sync_join_view(lt, rt, view, how="left", on=[("user_id", "c_custkey")])
+    assert _rows(view.read()) == _rows(_twin(lt, rt, "left"))
+    rt.merge(_rev(spark, [120], lsn=9, op="D"), 1)  # left join: NULLs, not gone
+    sync_join_view(lt, rt, view, how="left", on=[("user_id", "c_custkey")])
+    got = {r["user_id"]: r["c_mktsegment"] for r in view.read().collect()}
+    assert 120 in got and got[120] is None
+    assert _rows(view.read()) == _rows(_twin(lt, rt, "left"))
+
+
+def test_sync_is_idempotent_and_noops_when_current(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    v = view.current_version()
+    res = sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert not res["applied"] and view.current_version() == v
+
+
+def test_cursors_survive_view_maintenance(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    st = view_state(view)
+    view.compact()
+    assert view_state(view) == st  # props ride the parent dict copy
+    lt.merge(_lev(spark, [10], et="post", lsn=9), 1)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_metadata_only_source_commit_advances_cursor(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    rt.create_tag("pin")  # version-less metadata op: no bucket changes
+    lt.add_column("note", "string")  # metadata-only commit
+    res = sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    # cursor advanced without recomputing any group
+    assert res["groups"] == 0
+    assert view_state(view)["left"] == lt.current_version()
+
+
+def test_merge_props_atomic_and_guarded(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "p"), LS, ["user_id"], n_buckets=4)
+    t.merge(_lev(spark, range(10)), 0, props={"my_prop": {"a": 1}})
+    assert t.snapshot()["my_prop"] == {"a": 1}
+    t.merge(_lev(spark, range(10, 20), lsn=2), 1)  # carries forward
+    assert t.snapshot()["my_prop"] == {"a": 1}
+    # replayed batch: ledger no-op must NOT move props
+    t.merge(_lev(spark, range(5), lsn=3), 1, props={"my_prop": {"a": 2}})
+    assert t.snapshot()["my_prop"] == {"a": 1}
+    with pytest.raises(ValueError, match="collide with engine"):
+        t.merge(_lev(spark, [99], lsn=4), 2, props={"ledger": {}})

@@ -1767,6 +1767,7 @@ class LakeTable:
         version: int | None = None,
         other_version: int | None = None,
         select: "list[str] | None" = None,
+        buckets: "list[int] | None" = None,
     ) -> DataFrame:
         """Storage-partitioned join with ``other`` (the Iceberg SPJ /
         Spark bucketed-join analogue): a zero-shuffle equi-join
@@ -1806,6 +1807,11 @@ class LakeTable:
             r = r.option("rightVersionAsOf", other_version)
         if select is not None:
             r = r.option("columns", ",".join(select))
+        if buckets is not None:
+            # restrict to co-located bucket GROUPS (ids at the coarser
+            # count) — the incremental join-view path recomputes only
+            # groups either side's change feed touched
+            r = r.option("buckets", ",".join(str(b) for b in buckets))
         return r.load()
 
     def explain_semi_skipping(
@@ -1840,6 +1846,19 @@ class LakeTable:
     # ----- predicate-driven file skipping (Iceberg lower/upper_bounds) -----
 
     _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null")
+
+    # snapshot fields the engine owns — user props (merge(props=...))
+    # may not shadow them
+    _ENGINE_SNAP_KEYS = frozenset(
+        {
+            "version", "schema", "key_cols", "n_buckets", "files",
+            "ledger", "parent", "committed_at", "operation", "manifests",
+            "row_lineage", "next_row_id", "field_ids", "name_log",
+            "next_field_id", "schema_epoch", "defaults", "constraints",
+            "col_stats", "skip_fids", "write_order", "dml", "sink_hwm",
+            "clone_source", "clone_source_version", "n_files", "_bucket_src",
+        }
+    )
     _NULL_OPS = ("is_null", "is_not_null")
 
     # equality-skipping index parameters (Iceberg Puffin bloom-blob
@@ -3476,8 +3495,18 @@ class LakeTable:
         assume_deduped: bool = False,
         stage_id: str | None = None,
         covered_batch_ids: "tuple[int, ...]" = (),
+        props: "dict | None" = None,
     ) -> MergeStats:
         """Apply one microbatch of change events (raw or pre-deduped).
+
+        ``props``: user snapshot properties (the Iceberg snapshot
+        summary analogue) committed ATOMICALLY with the merge — e.g. a
+        derived view's source cursors, which must move iff the data
+        moved. Keys must not collide with engine snapshot fields;
+        values must be JSON-serializable. Properties carry forward on
+        subsequent commits (each commit copies its parent dict) until
+        overwritten. Not supported with ``stage_id`` (a staged
+        commit's snapshot is written at publish).
 
         ``covered_batch_ids``: additional ledger ids this commit
         atomically marks applied alongside ``batch_id`` — for callers
@@ -3532,6 +3561,12 @@ class LakeTable:
         snap = self.snapshot()
         if covered_batch_ids and stage_id is not None:
             raise ValueError("covered_batch_ids is not supported with stage_id")
+        if props:
+            if stage_id is not None:
+                raise ValueError("props is not supported with stage_id")
+            bad = set(props) & self._ENGINE_SNAP_KEYS
+            if bad:
+                raise ValueError(f"props collide with engine snapshot fields: {sorted(bad)}")
         if self._ledger_contains(snap["ledger"], batch_id):
             return MergeStats(batch_id=batch_id, applied=False, version=snap["version"])
 
@@ -3665,7 +3700,7 @@ class LakeTable:
             else:
                 st = self._commit_merge(
                     snap, schema, batch_id, version, new_files, lin_rows, touched,
-                    kind="delta", covered=covered_batch_ids,
+                    kind="delta", covered=covered_batch_ids, props=props,
                 )
             st.skew_prereduced = skew_prereduced
             return st
@@ -3759,7 +3794,7 @@ class LakeTable:
         else:
             st = self._commit_merge(
                 snap, schema, batch_id, version, new_files, lin_rows, touched,
-                kind="base", covered=covered_batch_ids,
+                kind="base", covered=covered_batch_ids, props=props,
             )
         st.skew_prereduced = skew_prereduced
         return st
@@ -3839,6 +3874,7 @@ class LakeTable:
         touched: list[int],
         kind: str = "base",
         covered: "tuple[int, ...]" = (),
+        props: "dict | None" = None,
     ) -> MergeStats:
         """Ledgered snapshot commit with Iceberg-style OPTIMISTIC
         retry: the data files are already durable; if another writer
@@ -3885,6 +3921,8 @@ class LakeTable:
                 ),
                 operation="merge-mor" if kind == "delta" else "merge-cow",
             )
+            if props:
+                new.update(props)  # atomic with the data commit
             try:
                 self._write_snapshot(new)
             except FileExistsError:

@@ -2590,6 +2590,124 @@ def cdc_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_join_view",
+    """
+    WITH s AS (
+      SELECT user_id, event_type, value
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    ), c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 20 = 0 THEN 'VIP'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    )
+    SELECT s.user_id, s.event_type, s.value, c.c_mktsegment
+    FROM s JOIN c ON s.user_id = c.c_custkey
+    """,
+)
+def cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view on the oracle gate
+    (streaming/joinview.py — the two-source extension of the change
+    -feed follower): a materialized storage-partitioned join of the
+    events table (16 buckets) and the customer dimension (8 buckets)
+    is created, fully synced once, then BOTH sources advance — the
+    second half of the event stream (updates + error-deletes) on the
+    left, a VIP segment patch on the right — and one incremental sync
+    brings the view to the final state the DuckDB oracle recomputes
+    from scratch. Cursors ride merge snapshot props (atomic with the
+    data; crash anywhere replays a deterministic recompute), and each
+    sync recomputes only the bucket groups either change feed touched
+    — at 100 TB the alternative is re-joining the whole table per
+    refresh. Incrementality is pinned hard in tests/test_join_view.py
+    (single-key touch → strict subset of groups)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+    from .streaming.joinview import create_join_view, sync_join_view, view_state
+
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    mid = e.agg(F.floor(F.avg("event_id")).cast("long").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="cdc_jv_q_")
+    try:
+        ls = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        rs = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_mktsegment", T.StringType()),
+            ]
+        )
+        left = LakeTable.create(spark, f"{work}/l", ls, ["user_id"], n_buckets=16)
+        right = LakeTable.create(spark, f"{work}/r", rs, ["c_custkey"], n_buckets=8)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        cu = c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.lit(0).alias("lsn"),
+            F.lit("U").alias("op"),
+        )
+        left.merge(ev.filter(F.col("lsn") <= mid), 0)
+        right.merge(cu, 0)
+        pairs = [("user_id", "c_custkey")]
+        view = create_join_view(left, right, f"{work}/v", on=pairs)
+        r1 = sync_join_view(left, right, view, on=pairs)
+        if not r1["applied"]:
+            raise AssertionError("initial sync applied nothing")
+        # both sources advance; ONE incremental sync must land the view
+        # on the recomputed truth
+        left.merge(ev.filter(F.col("lsn") > mid), 1)
+        right.merge(
+            cu.filter(F.col("c_custkey") % 20 == 0).select(
+                "c_custkey",
+                F.lit("VIP").alias("c_mktsegment"),
+                F.lit(10**15).alias("lsn"),
+                F.lit("U").alias("op"),
+            ),
+            1,
+        )
+        r2 = sync_join_view(left, right, view, on=pairs)
+        st = view_state(view)
+        if not (
+            r2["applied"]
+            and st["left"] == left.current_version()
+            and st["right"] == right.current_version()
+        ):
+            raise AssertionError(f"incremental sync did not land: {r2} {st}")
+        out = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("c_mktsegment", T.StringType()),
+            ]
+        )
+        rows = view.read().collect()
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_clone",
     """
     WITH s AS (

@@ -967,12 +967,19 @@ class LakeTableJoinSource(DataSource):
             return sorted(cols)
 
         lwhere, rwhere = self._opt("leftWhere"), self._opt("rightWhere")
+        groups = self._opt("buckets")
+        if groups is not None:
+            bc = min(bl, br)
+            groups = sorted({int(x) for x in str(groups).split(",") if x.strip()})
+            if any(g < 0 or g >= bc for g in groups):
+                raise ValueError(f"buckets must be in [0, {bc}) (coarse groups)")
         return {
             "lt": lt, "rt": rt, "lsnap": lsnap, "rsnap": rsnap,
             "how": how, "pairs": pairs, "select": sel,
             "schema": T.StructType(out_fields),
             "lwhere": lwhere, "rwhere": rwhere,
             "lneed": _need("l", lwhere), "rneed": _need("r", rwhere),
+            "groups": groups,
         }
 
     def schema(self) -> T.StructType:
@@ -1020,7 +1027,7 @@ class LakeTableJoinReader(DataSourceReader):
             x for x in rspec["value_cols"] if x in c["rneed"]
         ]
         parts, skipped = [], 0
-        for g in range(bc):
+        for g in (c["groups"] if c["groups"] is not None else range(bc)):
             lb = self._group_files(lt, lsnap, range(g, bl, bc), ladmit)
             rb = self._group_files(rt, rsnap, range(g, br, bc), radmit)
             need_l = how in ("inner", "left", "semi", "anti")
