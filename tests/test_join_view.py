@@ -166,3 +166,36 @@ def test_merge_props_atomic_and_guarded(spark, tmp_path):
     assert t.snapshot()["my_prop"] == {"a": 1}
     with pytest.raises(ValueError, match="collide with engine"):
         t.merge(_lev(spark, [99], lsn=4), 2, props={"ledger": {}})
+
+
+def test_follow_join_view_drain(spark, tmp_path):
+    from w3_data_etl_pipeline_spark.streaming.joinview import follow_join_view
+
+    lt, rt, view = _setup(spark, tmp_path)
+    out = follow_join_view(
+        lt, rt, view, on=[("user_id", "c_custkey")], stop_when_caught_up=True
+    )
+    assert out["syncs"] == 1 and out["left"] == lt.current_version()
+    lt.merge(_lev(spark, [42], et="late", lsn=9), 1)
+    out = follow_join_view(
+        lt, rt, view, on=[("user_id", "c_custkey")], stop_when_caught_up=True
+    )
+    assert out["syncs"] == 1
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_follow_join_cli_drain(spark, tmp_path):
+    import jobs.follow_join as fj
+
+    lt, rt, _ = _setup(spark, tmp_path)
+    # CLI path: creates the view itself, drains, prints state
+    rc = fj.main([
+        "--left", str(tmp_path / "l"),
+        "--right", str(tmp_path / "r"),
+        "--view", str(tmp_path / "vcli"),
+        "--on", "user_id:c_custkey",
+        "--drain",
+    ])
+    assert rc == 0
+    v = LakeTable(spark, str(tmp_path / "vcli"))
+    assert _rows(v.read()) == _rows(_twin(lt, rt))

@@ -176,3 +176,42 @@ def _read_bucket_keys(view: LakeTable, snap: dict, groups: list[int]):
     if has_delta:
         df = view._resolve(df, snap)
     return df.select(*keys)
+
+
+def follow_join_view(
+    left: LakeTable,
+    right: LakeTable,
+    view: LakeTable,
+    how: str = "inner",
+    on: "list[tuple[str, str] | str] | None" = None,
+    select: "list[str] | None" = None,
+    poll_interval: float = 0.5,
+    max_polls: int | None = None,
+    stop_when_caught_up: bool = False,
+) -> dict:
+    """Long-running view maintainer: repeatedly ``sync_join_view`` as
+    either source commits. Mirrors ``follow.follow_changes`` —
+    restart-safe by construction (the resume point lives in the
+    view's own snapshot props), ``stop_when_caught_up`` makes it a
+    drain for tests/backfills."""
+    import time
+
+    polls = 0
+    totals = {"syncs": 0, "rows": 0, "groups": 0}
+    while True:
+        out = sync_join_view(left, right, view, how=how, on=on, select=select)
+        if out["applied"]:
+            totals["syncs"] += 1
+            totals["rows"] += out["rows"]
+            totals["groups"] += out["groups"]
+        st = view_state(view)
+        caught_up = (
+            st["left"] >= left.current_version()
+            and st["right"] >= right.current_version()
+        )
+        if caught_up and stop_when_caught_up:
+            return {**totals, **st}
+        polls += 1
+        if max_polls is not None and polls >= max_polls:
+            return {**totals, **st}
+        time.sleep(poll_interval)
