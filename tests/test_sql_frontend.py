@@ -353,3 +353,28 @@ def test_create_table_clone_sql(spark, tmp_path):
 
     with pytest.raises(ValueError, match="already registered"):
         cat.sql(f"CREATE TABLE c1 CLONE src LOCATION '{tmp_path / 'c3'}'")
+
+
+def test_catalog_store_persistence_and_show(spark, tmp_path):
+    store = str(tmp_path / "meta")
+    cat = LakeCatalog(spark, store=store)
+    loc = str(tmp_path / "t1")
+    cat.sql(
+        f"CREATE TABLE t1 (user_id BIGINT, value DOUBLE) USING laketable "
+        f"LOCATION '{loc}' KEY (user_id) BUCKETS 4"
+    )
+    cat.sql("INSERT INTO t1 VALUES (1, 1.0), (2, 2.0)")
+    # a NEW session object pointed at the same store reattaches by path
+    cat2 = LakeCatalog(spark, store=store)
+    assert cat2.sql("SELECT count(*) AS n FROM t1").collect()[0]["n"] == 2
+    rows = {r["table"]: r for r in cat2.sql("SHOW TABLES").collect()}
+    assert rows["t1"]["location"] == loc and rows["t1"]["key_cols"] == "user_id"
+    # DROP unregisters (and persists) but leaves data on disk
+    cat2.sql("DROP TABLE t1")
+    assert "t1" not in cat2.tables
+    cat3 = LakeCatalog(spark, store=store)
+    assert "t1" not in cat3.tables
+    import os as _os
+    assert _os.path.isdir(loc)
+    with pytest.raises(ValueError, match="unknown table"):
+        cat2.sql("DROP TABLE t1")

@@ -43,6 +43,8 @@ query text.
 
 from __future__ import annotations
 
+import json
+import os
 import re
 import uuid
 
@@ -112,16 +114,47 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 class LakeCatalog:
-    """Name -> LakeTable registry with a one-statement SQL executor."""
+    """Name -> LakeTable registry with a one-statement SQL executor.
 
-    def __init__(self, spark: SparkSession):
+    ``store`` makes the catalog DURABLE (the Hive-metastore-shaped
+    seam, file-backed like everything else here): registrations
+    append name -> root to ``<store>/catalog.json`` atomically, and a
+    new session pointed at the same store reattaches every table by
+    path — so `spark-submit` jobs and interactive sessions share one
+    namespace with zero extra services. Only the MAPPING is stored;
+    all table state lives in each table's own snapshot log."""
+
+    def __init__(self, spark: SparkSession, store: str | None = None):
         self.spark = spark
         self.tables: dict[str, LakeTable] = {}
+        self._store = store
+        if store:
+            os.makedirs(store, exist_ok=True)
+            path = os.path.join(store, "catalog.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    for name, root in json.load(f).items():
+                        self.tables[name] = LakeTable(spark, root)
+
+    def _persist(self) -> None:
+        if not self._store:
+            return
+        path = os.path.join(self._store, "catalog.json")
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({n: t.root for n, t in sorted(self.tables.items())}, f)
+        os.replace(tmp, path)
 
     def register(self, name: str, table: LakeTable) -> "LakeCatalog":
         if not re.fullmatch(_WORD, name):
             raise ValueError(f"invalid table name {name!r}")
         self.tables[name] = table
+        self._persist()
+        return self
+
+    def unregister(self, name: str) -> "LakeCatalog":
+        self.tables.pop(name, None)
+        self._persist()
         return self
 
     def sql(self, statement: str, mode: str = "cow") -> DataFrame:
@@ -141,6 +174,8 @@ class LakeCatalog:
             "CREATE": self._create,
             "INSERT": self._insert,
             "DESCRIBE": self._describe,
+            "SHOW": self._show,
+            "DROP": self._drop,
         }
         if head not in dispatch:
             raise ValueError(f"unsupported statement kind {head!r}")
@@ -244,6 +279,34 @@ class LakeCatalog:
         )
         self.register(name, t)
         return self._metrics_df({"operation": "create", "table": name, "version": 0})
+
+    def _show(self, stmt: str) -> DataFrame:
+        """SHOW TABLES — one row per registered table with its root,
+        current version, and key columns (O(metadata))."""
+        if not re.fullmatch(r"SHOW\s+TABLES", stmt, re.IGNORECASE):
+            raise ValueError("expected SHOW TABLES")
+        rows = []
+        for name in sorted(self.tables):
+            t = self.tables[name]
+            snap = t.snapshot()
+            rows.append(
+                (name, t.root, snap["version"], ",".join(snap["key_cols"]))
+            )
+        return self.spark.createDataFrame(
+            rows, ["table", "location", "version", "key_cols"]
+        )
+
+    def _drop(self, stmt: str) -> DataFrame:
+        """DROP TABLE name — unregisters from the catalog ONLY (the
+        Iceberg external-table convention: data and snapshot history
+        stay on disk; delete the root yourself if you mean purge)."""
+        m = re.fullmatch(rf"DROP\s+TABLE\s+({_WORD})", stmt, re.IGNORECASE)
+        if not m:
+            raise ValueError("expected DROP TABLE <name>")
+        name = m.group(1)
+        self._table(name)  # unknown-name error, same as every verb
+        self.unregister(name)
+        return self._metrics_df({"operation": "drop", "table": name})
 
     def _insert(self, stmt: str) -> DataFrame:
         """INSERT INTO t SELECT ... | VALUES (...), (...) — an UPSERT
