@@ -199,3 +199,54 @@ def test_follow_join_cli_drain(spark, tmp_path):
     assert rc == 0
     v = LakeTable(spark, str(tmp_path / "vcli"))
     assert _rows(v.read()) == _rows(_twin(lt, rt))
+
+
+def test_view_composes_as_change_feed_source(spark, tmp_path):
+    # the view is a full LakeTable: a one-table follower can derive
+    # from it, stacking incremental pipelines (ingest -> join view ->
+    # filtered mirror) with exactly-once at every hop
+    from w3_data_etl_pipeline_spark.streaming.follow import sync_changes
+
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    mirror = LakeTable.create(
+        spark, str(tmp_path / "m"), view.schema(view.snapshot()),
+        ["user_id"], n_buckets=8,
+    )
+    sync_changes(view, mirror)
+    assert _rows(mirror.read()) == _rows(view.read())
+    # propagate a source change through BOTH hops
+    lt.merge(_lev(spark, [150], et="hop", lsn=9), 1)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    sync_changes(view, mirror)
+    assert _rows(mirror.read()) == _rows(_twin(lt, rt))
+
+
+def test_view_joins_a_third_table_via_spj(spark, tmp_path):
+    # three-way join by composition: materialize A⋈B, then SPJ the
+    # view against C — the view shares the bucket contract, so the
+    # second join is also exchange-free
+    lt, rt, view = _setup(spark, tmp_path)
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    third = LakeTable.create(
+        spark, str(tmp_path / "t3"),
+        T.StructType([
+            T.StructField("uid", T.LongType()),
+            T.StructField("flag", T.StringType()),
+        ]),
+        ["uid"], n_buckets=8,
+    )
+    third.merge(
+        spark.createDataFrame(
+            [(i, "odd" if i % 2 else "even", i, "U") for i in range(0, 300, 3)],
+            ["uid", "flag", "lsn", "op"],
+        ),
+        0,
+    )
+    got = view.join_bucketed(third, on=[("user_id", "uid")], how="inner")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    want = view.read().join(
+        third.read(), F.col("user_id") == F.col("uid")
+    ).select("user_id", "event_type", "value", "c_mktsegment", "flag")
+    assert _rows(got) == _rows(want) and got.count() > 0
