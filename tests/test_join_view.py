@@ -250,3 +250,37 @@ def test_view_joins_a_third_table_via_spj(spark, tmp_path):
         third.read(), F.col("user_id") == F.col("uid")
     ).select("user_id", "event_type", "value", "c_mktsegment", "flag")
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_join_view_random_lifecycle(spark, tmp_path):
+    """Property net: random upserts/deletes on BOTH sources, random
+    COW/MOR storage, random sync points, and maintenance (compaction
+    on sources and view) interleaved — after a final sync the view
+    must equal the from-scratch join, every time."""
+    import random
+
+    rng = random.Random(20260821)
+    lt = LakeTable.create(spark, str(tmp_path / "l"), LS, ["user_id"], n_buckets=8)
+    rt = LakeTable.create(spark, str(tmp_path / "r"), RS, ["c_custkey"], n_buckets=4)
+    lt.merge(_lev(spark, range(0, 80)), 0)
+    rt.merge(_rev(spark, range(40, 160)), 0)
+    view = create_join_view(lt, rt, str(tmp_path / "v"), on=[("user_id", "c_custkey")])
+    lb, rb = 1, 1
+    for step in range(12):
+        side = rng.choice(["l", "r"])
+        keys = rng.sample(range(0, 200), rng.randint(1, 25))
+        op = "D" if rng.random() < 0.3 else "U"
+        mode = rng.choice(["cow", "mor"])
+        if side == "l":
+            lt.merge(_lev(spark, keys, et=f"s{step}", lsn=100 + step, op=op), lb, mode=mode)
+            lb += 1
+        else:
+            rt.merge(_rev(spark, keys, seg=f"g{step}", lsn=100 + step, op=op), rb, mode=mode)
+            rb += 1
+        r = rng.random()
+        if r < 0.2:
+            rng.choice([lt, rt, view]).compact()
+        if r < 0.5:
+            sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert _rows(view.read()) == _rows(_twin(lt, rt))

@@ -34,6 +34,14 @@ The view table must be EXCLUSIVELY view-fed (same contract as
 ``join_view`` snapshot prop is the resume point; maintenance
 (compact/expire) is fine — properties and ledger ride the parent
 snapshot dict through every commit.
+
+Documented limitation: the view pins its column NAMES at creation.
+Renaming a source column afterwards changes the SPJ output name, so
+the next sync would evolve the view additively (new column appears,
+old stops filling) instead of renaming in place — rename the view's
+own column first (`view.rename_column`) or recreate the view. Source
+bucket-count changes (rebucket) that break divisibility are rejected
+by the SPJ's own plan-time check, never silently wrong.
 """
 
 from __future__ import annotations
