@@ -284,3 +284,18 @@ def test_join_view_random_lifecycle(spark, tmp_path):
             sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
     sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
     assert _rows(view.read()) == _rows(_twin(lt, rt))
+
+
+def test_rebucket_interplay(spark, tmp_path):
+    lt, rt, view = _setup(spark, tmp_path)  # 16 x 8 -> view 8 groups
+    sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    # compatible rebucket (multiple of the view's 8): the rebucket
+    # commit touches every bucket -> conservative full resync, correct
+    lt.rebucket(32)
+    res = sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])
+    assert res["applied"] and res["groups"] == 8
+    assert _rows(view.read()) == _rows(_twin(lt, rt))
+    # incompatible rebucket is refused, never silently wrong
+    rt.rebucket(12)
+    with pytest.raises(ValueError, match="not a multiple"):
+        sync_join_view(lt, rt, view, on=[("user_id", "c_custkey")])

@@ -110,6 +110,21 @@ def sync_join_view(
     snap = view.snapshot()
     bc = snap["n_buckets"]
     keys = snap["key_cols"]
+    for name, src in (("left", left), ("right", right)):
+        nb = src.snapshot()["n_buckets"]
+        if nb % bc != 0:
+            # a rebucket to a non-multiple of the view's group count
+            # would silently mis-map changed buckets to groups —
+            # refuse instead (rebucket to a multiple, or recreate the
+            # view). A rebucket to a compatible multiple is safe:
+            # bucket-id mod bc is preserved for every key, and the
+            # rebucket commit itself touches every bucket, forcing
+            # the conservative full resync.
+            raise ValueError(
+                f"{name} table was rebucketed to {nb}, not a multiple of "
+                f"the view's {bc} groups — recreate the view or rebucket "
+                "to a compatible count"
+            )
     groups = sorted(
         {b % bc for b in left.changed_buckets(st["left"], lv)}
         | {b % bc for b in right.changed_buckets(st["right"], rv)}
