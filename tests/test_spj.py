@@ -246,3 +246,18 @@ def test_select_composes_with_where(spark, tmp_path):
         .select("user_id", "c_acctbal")
     )
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_explain_join_dry_run(spark, tmp_path):
+    lt, rt = _pair(spark, tmp_path)
+    rep = lt.explain_join(rt)
+    assert rep["groups_run"] == 8 and rep["groups_skipped"] == 0
+    assert rep["left"]["files_admitted"] == rep["left"]["files_total"] > 0
+    # a predicate excluding every left file skips every inner group
+    rep2 = lt.explain_join(rt, where="user_id < 0")
+    assert rep2["groups_run"] == 0 and rep2["left"]["files_admitted"] == 0
+    # ...but a right join still runs wherever the right side has files
+    rep3 = lt.explain_join(rt, how="right", where="user_id < 0")
+    assert rep3["groups_run"] == 8
+    # and the report matches what execution actually does
+    assert lt.join_bucketed(rt, on=[("user_id", "c_custkey")], where="user_id < 0").count() == 0

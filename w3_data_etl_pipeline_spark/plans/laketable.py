@@ -1814,6 +1814,72 @@ class LakeTable:
             r = r.option("buckets", ",".join(str(b) for b in buckets))
         return r.load()
 
+    def explain_join(
+        self,
+        other: "LakeTable",
+        how: str = "inner",
+        where: str | None = None,
+        other_where: str | None = None,
+        version: int | None = None,
+        other_version: int | None = None,
+    ) -> dict:
+        """Dry-run ``join_bucketed``'s planning decision — O(metadata),
+        no data file opened (the ``explain_skipping`` analogue for the
+        storage-partitioned join). Reports how many co-located bucket
+        groups the join would execute vs skip (empty required side),
+        and per side how many files/bytes the ``where`` predicates
+        admit vs prune — the numbers that decide whether a selective
+        view refresh reads gigabytes or kilobytes."""
+        lsnap = self.snapshot(version)
+        rsnap = other.snapshot(other_version)
+        bl, br = lsnap["n_buckets"], rsnap["n_buckets"]
+        if max(bl, br) % min(bl, br) != 0:
+            raise ValueError(f"incompatible bucket counts {bl} vs {br}")
+        bc = min(bl, br)
+
+        def side(t: "LakeTable", snap: dict, w) -> tuple[dict, dict]:
+            live = [f for f in snap["files"] if f.get("kind", "base") != "dv"]
+            adm = (
+                {f["path"] for f in t.prune_files(snap, str(w))}
+                if w is not None
+                else None
+            )
+            kept = [f for f in live if adm is None or f["path"] in adm]
+            by_group: dict[int, int] = {}
+            for f in kept:
+                g = f["bucket"] % bc
+                by_group[g] = by_group.get(g, 0) + 1
+            stats = {
+                "files_total": len(live),
+                "files_admitted": len(kept),
+                "bytes_admitted": sum(f.get("bytes") or 0 for f in kept),
+                "bytes_total": sum(f.get("bytes") or 0 for f in live),
+            }
+            return stats, by_group
+
+        lstat, lg = side(self, lsnap, where)
+        rstat, rg = side(other, rsnap, other_where)
+        need_l = how in ("inner", "left", "semi", "anti")
+        need_r = how in ("inner", "right", "semi")
+        run = []
+        for g in range(bc):
+            if need_l and not lg.get(g):
+                continue
+            if need_r and not rg.get(g):
+                continue
+            if how == "full" and not lg.get(g) and not rg.get(g):
+                continue
+            run.append(g)
+        return {
+            "how": how,
+            "bucket_counts": (bl, br),
+            "groups_total": bc,
+            "groups_run": len(run),
+            "groups_skipped": bc - len(run),
+            "left": lstat,
+            "right": rstat,
+        }
+
     def explain_semi_skipping(
         self, keys_df: DataFrame, version: int | None = None, probe_limit: int = 1024
     ) -> dict:
