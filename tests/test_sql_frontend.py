@@ -378,3 +378,15 @@ def test_catalog_store_persistence_and_show(spark, tmp_path):
     assert _os.path.isdir(loc)
     with pytest.raises(ValueError, match="unknown table"):
         cat2.sql("DROP TABLE t1")
+
+
+def test_describe_table(spark, tmp_path):
+    cat = LakeCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE dt (user_id BIGINT, value DOUBLE) USING laketable "
+        f"LOCATION '{tmp_path / 'dt'}' KEY (user_id) BUCKETS 4"
+    )
+    rows = {r["col_name"]: r for r in cat.sql("DESCRIBE dt").collect()}
+    assert rows["user_id"]["is_key"] and rows["user_id"]["partitioning"] == "bucket(4)"
+    assert rows["value"]["data_type"] == "double" and not rows["value"]["is_key"]
+    assert "_lsn" not in rows

@@ -50,7 +50,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .laketable import LakeTable
+from .laketable import LSN_COL, LakeTable
 
 _WORD = r"[A-Za-z_][A-Za-z0-9_]*"
 
@@ -346,9 +346,29 @@ class LakeCatalog:
         )
 
     def _describe(self, stmt: str) -> DataFrame:
+        dm = re.match(rf"DESCRIBE\s+(?:TABLE\s+)?({_WORD})$", stmt, re.IGNORECASE)
+        if dm and dm.group(1).upper() != "HISTORY":
+            # plain DESCRIBE <table>: one row per column, with the key/
+            # bucket layout surfaced the way Spark shows partitioning
+            t = self._table(dm.group(1))
+            snap = t.snapshot()
+            keys = snap["key_cols"]
+            rows = [
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    f.name in keys,
+                    f"bucket({snap['n_buckets']})" if f.name in keys else None,
+                )
+                for f in t.schema(snap).fields
+                if f.name != LSN_COL
+            ]
+            return self.spark.createDataFrame(
+                rows, "col_name string, data_type string, is_key boolean, partitioning string"
+            )
         m = re.match(rf"DESCRIBE\s+HISTORY\s+({_WORD})$", stmt, re.IGNORECASE)
         if not m:
-            raise ValueError("expected DESCRIBE HISTORY <table>")
+            raise ValueError("expected DESCRIBE [TABLE] <name> or DESCRIBE HISTORY <name>")
         hist = self._table(m.group(1)).history()
         rows = [
             (
