@@ -390,3 +390,43 @@ def test_describe_table(spark, tmp_path):
     assert rows["user_id"]["is_key"] and rows["user_id"]["partitioning"] == "bucket(4)"
     assert rows["value"]["data_type"] == "double" and not rows["value"]["is_key"]
     assert "_lsn" not in rows
+
+
+def test_bucket_join_tvf(spark, tmp_path):
+    from pyspark.sql import types as T
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    cat = LakeCatalog(spark)
+    lt = LakeTable.create(
+        spark, str(tmp_path / "bl"),
+        T.StructType([T.StructField("user_id", T.LongType()),
+                      T.StructField("value", T.DoubleType())]),
+        ["user_id"], n_buckets=8,
+    )
+    rt = LakeTable.create(
+        spark, str(tmp_path / "br"),
+        T.StructType([T.StructField("user_id", T.LongType()),
+                      T.StructField("seg", T.StringType())]),
+        ["user_id"], n_buckets=4,
+    )
+    lt.merge(spark.createDataFrame(
+        [(i, float(i), i, "U") for i in range(50)],
+        ["user_id", "value", "lsn", "op"]), 0)
+    rt.merge(spark.createDataFrame(
+        [(i, f"s{i % 3}", i, "U") for i in range(20, 70)],
+        ["user_id", "seg", "lsn", "op"]), 0)
+    cat.register("bl", lt).register("br", rt)
+    got = cat.sql(
+        "SELECT seg, count(*) AS n FROM bucket_join('bl', 'br') "
+        "GROUP BY seg ORDER BY seg"
+    ).collect()
+    want = (
+        lt.read().join(rt.read(), "user_id")
+        .groupBy("seg").count().orderBy("seg").collect()
+    )
+    assert [(r["seg"], r["n"]) for r in got] == [(r["seg"], r["count"]) for r in want]
+    # left form keeps unmatched rows
+    n_left = cat.sql(
+        "SELECT count(*) AS n FROM bucket_join('bl', 'br', 'left')"
+    ).collect()[0]["n"]
+    assert n_left == 50

@@ -395,6 +395,11 @@ class LakeCatalog:
         rf"\btable_changes\s*\(\s*'({_WORD})'\s*,\s*(\d+)(?:\s*,\s*(\d+))?\s*\)",
         re.IGNORECASE,
     )
+    _TVF_BJ = re.compile(
+        rf"\bbucket_join\s*\(\s*'({_WORD})'\s*,\s*'({_WORD})'"
+        rf"(?:\s*,\s*'(inner|left|right|full|semi|anti)')?\s*\)",
+        re.IGNORECASE,
+    )
 
     def _tt_df(self, t: LakeTable, kind: str, lit: str) -> DataFrame:
         """One time-travel reference resolved: VERSION AS OF n,
@@ -426,6 +431,23 @@ class LakeCatalog:
             return vname
 
         stmt = self._TVF.sub(tvf_view, stmt)
+
+        # bucket_join('l', 'r' [, 'how']) — the storage-partitioned
+        # join as a TVF: a zero-shuffle scan whose rows ARE the join
+        # (keys paired positionally; use join_bucketed directly for
+        # custom pairings/wheres)
+        def bj_view(m: re.Match) -> str:
+            ln, rn = m.group(1), m.group(2)
+            if ln not in self.tables or rn not in self.tables:
+                return m.group(0)
+            df = self.tables[ln].join_bucketed(
+                self.tables[rn], how=(m.group(3) or "inner").lower()
+            )
+            vname = f"{ln}__bj_{uuid.uuid4().hex[:8]}"
+            df.createOrReplaceTempView(vname)
+            return vname
+
+        stmt = self._TVF_BJ.sub(bj_view, stmt)
 
         # time-travel refs: each becomes its own view
         def tt_view(m: re.Match) -> str:
