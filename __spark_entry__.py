@@ -208,6 +208,10 @@ _DEMOTED_TAIL = [
     # assert; GC ownership, deep clones, identity carry-over
     # pytest-pinned in tests/test_clone.py
     "cdc_clone",
+    # generated columns (Delta GENERATED ALWAYS AS): full DuckDB
+    # oracle (event_id>mid CASE twin) + in-query enforcement probe;
+    # fill/validation/guards pytest-pinned in tests/test_generated_cols.py
+    "cdc_generated_col",
     # incrementally-maintained JOIN view (two-source follower over
     # the SPJ): full DuckDB join oracle after both sources advance;
     # cursor atomicity via merge snapshot props; strict changed-group

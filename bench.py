@@ -90,6 +90,7 @@ EXTENDED = [
     "cdc_bucket_join",
     "cdc_clone",
     "cdc_join_view",
+    "cdc_generated_col",
 ]
 
 

@@ -602,6 +602,7 @@ class LakeTable:
                 raise ValueError(f"no such column {old!r}")
             if new in schema.fieldNames() or new == LSN_COL:
                 raise ValueError(f"column {new!r} already exists")
+            self._guard_generated_refs(snap, old, "rename")
             fid = snap["field_ids"][old]
             epoch = snap["schema_epoch"] + 1
             fids = dict(snap["field_ids"])
@@ -650,6 +651,7 @@ class LakeTable:
                 raise ValueError(f"cannot drop key/meta column {name!r}")
             if name not in schema.fieldNames():
                 raise ValueError(f"no such column {name!r}")
+            self._guard_generated_refs(snap, name, "drop")
             fid = snap["field_ids"][name]
             epoch = snap["schema_epoch"] + 1
             fids = dict(snap["field_ids"])
@@ -686,6 +688,7 @@ class LakeTable:
         dtype: str,
         initial_default=None,
         write_default=None,
+        generated_as: str | None = None,
         max_retries: int = 3,
     ) -> int:
         """Explicit ADD COLUMN with optional defaults (Iceberg spec-v3
@@ -710,13 +713,32 @@ class LakeTable:
         type at plan time) and are keyed by FIELD ID, so they survive
         renames. Additive-by-merge evolution (a batch carrying a new
         column) still works and still means NULL-filled history — use
-        this API when history should read a value instead."""
+        this API when history should read a value instead.
+
+        ``generated_as`` (Delta ``GENERATED ALWAYS AS`` analogue): a
+        Spark SQL expression over the table's OTHER columns, computed
+        at WRITE time whenever a batch omits the column (full-image
+        CDC semantics — the touched row's generated value always
+        reflects its current other columns). A batch that SUPPLIES
+        the column is validated against the expression inside the
+        merge's existing pre-pass (null-safe equality, 'D' tombstones
+        exempt) and rejected on mismatch before anything commits —
+        Delta's convention. History written before the add reads
+        ``initial_default``/NULL (generation is write-time, not a
+        read-time backfill). Renaming or dropping a REFERENCED column
+        is blocked while the generation stands; the generated column
+        itself renames freely (field-id keyed). Mutually exclusive
+        with ``write_default``."""
         dt = T.DataType.fromDDL(dtype)  # needs the live session's parser
         for v, which in ((initial_default, "initial"), (write_default, "write")):
             if v is not None and not isinstance(v, (str, int, float, bool)):
                 raise ValueError(
                     f"{which}_default must be a JSON scalar, got {type(v).__name__}"
                 )
+        if generated_as is not None:
+            if write_default is not None:
+                raise ValueError("generated_as and write_default are mutually exclusive")
+            F.expr(generated_as)  # syntax check now, not at first merge
         for _ in range(max_retries + 1):
             snap = self.snapshot()
             schema = self.schema(snap)
@@ -730,11 +752,17 @@ class LakeTable:
             log = {k: dict(v) for k, v in snap["name_log"].items()}
             log[str(epoch)] = {str(i): n for n, i in fids.items()}
             defaults = {k: dict(v) for k, v in (snap.get("defaults") or {}).items()}
-            if initial_default is not None or write_default is not None:
+            if (
+                initial_default is not None
+                or write_default is not None
+                or generated_as is not None
+            ):
                 defaults[str(fid)] = {
                     "initial": initial_default,
                     "write": write_default,
                 }
+                if generated_as is not None:
+                    defaults[str(fid)]["generated"] = generated_as
             ns = dict(snap)
             ns.update(
                 version=snap["version"] + 1,
@@ -852,11 +880,64 @@ class LakeTable:
         d = (snap.get("defaults") or {}).get(str(fid)) if fid is not None else None
         return d.get(which) if d else None
 
+    @staticmethod
+    def _generated_expr(snap: dict, col: str) -> "str | None":
+        """``col``'s generation expression, or None. Field-id keyed
+        like scalar defaults (renaming the generated column itself is
+        safe; renaming a column the expression REFERENCES is blocked
+        at rename time)."""
+        fid = (snap.get("field_ids") or {}).get(col)
+        d = (snap.get("defaults") or {}).get(str(fid)) if fid is not None else None
+        return d.get("generated") if d else None
+
     @classmethod
-    def _missing_col(cls, snap: dict, dt: T.DataType, col: str) -> F.Column:
+    def _guard_generated_refs(cls, snap: dict, col: str, verb: str) -> None:
+        """Renaming/dropping a column a generation expression REFERENCES
+        would silently break every later write's computed value —
+        blocked, Delta's convention. The generated column itself is
+        free to rename (field-id keyed) or drop (takes its expression
+        with it)."""
+        refs = [
+            g_col
+            for g_col, g in cls._generated_cols(snap).items()
+            if g_col != col and re.search(rf"\b{re.escape(col)}\b", g)
+        ]
+        if refs:
+            raise ValueError(
+                f"cannot {verb} column {col!r}: referenced by generated "
+                f"column(s) {sorted(refs)} — drop the generated column first"
+            )
+
+    @classmethod
+    def _generated_cols(cls, snap: dict) -> dict[str, str]:
+        """All generated columns under their CURRENT names."""
+        out = {}
+        for c in (snap.get("field_ids") or {}):
+            g = cls._generated_expr(snap, c)
+            if g is not None:
+                out[c] = g
+        return out
+
+    @classmethod
+    def _missing_col(
+        cls, snap: dict, dt: T.DataType, col: str, scalar_only: bool = False
+    ) -> F.Column:
         """The value a writer that did not supply ``col`` writes: its
-        write-default when declared (cast to the declared type at plan
-        time — ISO date/timestamp strings included), else NULL."""
+        generation expression when declared (computed from the row's
+        OTHER supplied columns — Delta GENERATED ALWAYS AS), else its
+        write-default scalar, else NULL. ``scalar_only`` callers
+        (merge_into — clause expressions live in a t./s. alias space
+        where a bare-name generation expression would not resolve)
+        get a clear error instead of a silently wrong fill."""
+        g = cls._generated_expr(snap, col)
+        if g is not None:
+            if scalar_only:
+                raise ValueError(
+                    f"generated column {col!r} must be set explicitly in "
+                    "merge_into clauses (its expression is defined over "
+                    "bare column names)"
+                )
+            return F.expr(g).cast(dt)
         v = cls._default_value(snap, col, "write")
         return F.lit(v).cast(dt)
 
@@ -3664,6 +3745,22 @@ class LakeTable:
                 # Callers must hydrate first (LakeTable.hydrate_patches /
                 # apply_batch(patches=...)).
                 F.max((F.col("op") == "P").cast("int")).alias("_has_p"),
+                # generated-column enforcement rides the same pre-pass:
+                # a batch that SUPPLIES a generated column must agree
+                # with its expression (null-safe, tombstones exempt) —
+                # Delta's GENERATED ALWAYS AS write contract. Checked
+                # only over the incoming batch: carried/old rows are
+                # never re-validated (pre-add history legally differs).
+                *[
+                    F.max(
+                        (
+                            ~F.col(c).eqNullSafe(F.expr(g))
+                            & (F.col("op") != "D")
+                        ).cast("int")
+                    ).alias(f"_genbad_{c}")
+                    for c, g in self._generated_cols(snap).items()
+                    if c in events.columns
+                ],
             )
             .collect()
         )
@@ -3673,6 +3770,20 @@ class LakeTable:
                 "merge() applies full images only — hydrate them first "
                 "(LakeTable.hydrate_patches) or enable patch probing in "
                 "apply_batch (patches='auto')"
+            )
+        bad_gen = sorted(
+            {
+                k[len("_genbad_"):]
+                for r in lin_rows
+                for k in r.asDict()
+                if k.startswith("_genbad_") and r[k]
+            }
+        )
+        if bad_gen:
+            raise ValueError(
+                f"batch {batch_id} supplies generated column(s) {bad_gen} "
+                "with values that contradict their generation expressions — "
+                "omit the column (the engine computes it) or fix the writer"
             )
         touched = [r["_bucket"] for r in lin_rows]
         touched_set = set(touched)
@@ -5395,11 +5506,11 @@ class LakeTable:
                         # explicit-values insert: unspecified non-key
                         # columns take the write-default, else NULL
                         # (Delta whenNotMatchedInsert + DEFAULT)
-                        iv = self._missing_col(snap, types[c], c)
+                        iv = self._missing_col(snap, types[c], c, scalar_only=True)
                     elif c in s_cols:
                         iv = F.col(f"s.{c}").cast(types[c])
                     else:
-                        iv = self._missing_col(snap, types[c], c)
+                        iv = self._missing_col(snap, types[c], c, scalar_only=True)
                     e = F.when(hit, iv).otherwise(e)
             out_cols.append(e.alias(c))
         if lineage_on:

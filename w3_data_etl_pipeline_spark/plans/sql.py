@@ -313,13 +313,26 @@ class LakeCatalog:
         on the table's keys (these are PK'd CDC tables: a re-inserted
         key resolves by max-LSN exactly like an arriving change event;
         rows get lsn 0 unless the source carries an lsn column)."""
-        m = re.match(rf"INSERT\s+INTO\s+({_WORD})\s+(.+)$", stmt, re.IGNORECASE | re.DOTALL)
+        m = re.match(
+            rf"INSERT\s+INTO\s+({_WORD})\s*(?:\(([^)]*)\))?\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
         if not m:
-            raise ValueError("expected INSERT INTO <table> SELECT ...|VALUES ...")
+            raise ValueError("expected INSERT INTO <table> [(cols)] SELECT ...|VALUES ...")
         t = self._table(m.group(1))
-        body = m.group(2).strip()
+        body = m.group(3).strip()
         if re.match(r"VALUES\b", body, re.IGNORECASE):
-            cols = [f.name for f in t.schema().fields if f.name != "_lsn"]
+            if m.group(2):
+                # explicit column list: omitted columns take their
+                # write-default / generation at merge time
+                cols = [c.strip() for c in m.group(2).split(",")]
+                known = set(t.schema().fieldNames())
+                bad = [c for c in cols if c not in known]
+                if bad:
+                    raise ValueError(f"unknown INSERT columns {bad}")
+            else:
+                cols = [f.name for f in t.schema().fields if f.name != "_lsn"]
             src = self.spark.sql(
                 f"SELECT {', '.join(f'col{i + 1} AS {c}' for i, c in enumerate(cols))} "
                 f"FROM {body}"
@@ -698,6 +711,17 @@ class LakeCatalog:
             return self._metrics_df({"version": version, "operation": op})
 
         if au.startswith("ADD COLUMN"):
+            gm = re.match(
+                rf"ADD\s+COLUMN\s+({_WORD})\s+([A-Za-z0-9_()<>, ]+?)"
+                r"\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if gm:
+                v = t.add_column(
+                    gm.group(1), gm.group(2).strip(), generated_as=gm.group(3).strip()
+                )
+                return out(v, "add-column")
             cm = re.match(
                 rf"ADD\s+COLUMN\s+({_WORD})\s+([A-Za-z0-9_()<>, ]+?)"
                 r"(?:\s+DEFAULT\s+(.+))?$",

@@ -2590,6 +2590,96 @@ def cdc_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_generated_col",
+    """
+    WITH mid AS (
+      SELECT CAST(FLOOR(AVG(event_id)) AS BIGINT) AS m FROM events
+    ), s AS (
+      SELECT user_id, event_type, value, event_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1 AND event_type <> 'error'
+    )
+    SELECT user_id, event_type, value,
+           CASE WHEN event_id > (SELECT m FROM mid)
+                THEN upper(event_type) || '-' ||
+                     CAST(CAST(FLOOR(value / 50) AS INT) AS STRING)
+           END AS band
+    FROM s
+    """,
+)
+def cdc_generated_col(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns on the oracle gate (the Delta GENERATED
+    ALWAYS AS analogue): the first half of the stream is merged, a
+    `band` column generated from (event_type, value) is added
+    METADATA-ONLY, and the second half arrives WITHOUT the column —
+    every row it touches gets the computed value, while pre-add
+    history stays NULL (write-time generation, not a backfill), which
+    is exactly what the oracle's event_id>mid CASE reproduces. An
+    in-query probe also proves enforcement: a batch SUPPLYING a
+    contradicting value is rejected before anything commits. At
+    100 TB this moves derived-column logic from N writers into one
+    table-level declaration the engine computes and polices."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    mid = e.agg(F.floor(F.avg("event_id")).cast("long").alias("m")).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="cdc_gen_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=16)
+        ev = e.select(
+            "user_id",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev.filter(F.col("lsn") <= mid), 0)
+        table.add_column(
+            "band",
+            "string",
+            generated_as=(
+                "upper(event_type) || '-' || "
+                "CAST(CAST(FLOOR(value / 50) AS INT) AS STRING)"
+            ),
+        )
+        v_before = table.current_version()
+        try:
+            table.merge(
+                ev.filter(F.col("lsn") > mid).withColumn("band", F.lit("WRONG")),
+                1,
+            )
+            raise AssertionError("contradicting generated value was accepted")
+        except ValueError:
+            pass
+        if table.current_version() != v_before:
+            raise AssertionError("rejected batch moved the table")
+        table.merge(ev.filter(F.col("lsn") > mid), 1)  # engine computes band
+        out = T.StructType(
+            schema.fields + [T.StructField("band", T.StringType())]
+        )
+        rows = table.read().select("user_id", "event_type", "value", "band").collect()
+        return spark.createDataFrame(rows, out)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_join_view",
     """
     WITH s AS (
