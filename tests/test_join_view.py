@@ -252,14 +252,15 @@ def test_view_joins_a_third_table_via_spj(spark, tmp_path):
     assert _rows(got) == _rows(want) and got.count() > 0
 
 
-def test_join_view_random_lifecycle(spark, tmp_path):
+@pytest.mark.parametrize("seed", [20260821, 7, 99991])
+def test_join_view_random_lifecycle(spark, tmp_path, seed):
     """Property net: random upserts/deletes on BOTH sources, random
     COW/MOR storage, random sync points, and maintenance (compaction
     on sources and view) interleaved — after a final sync the view
     must equal the from-scratch join, every time."""
     import random
 
-    rng = random.Random(20260821)
+    rng = random.Random(seed)
     lt = LakeTable.create(spark, str(tmp_path / "l"), LS, ["user_id"], n_buckets=8)
     rt = LakeTable.create(spark, str(tmp_path / "r"), RS, ["c_custkey"], n_buckets=4)
     lt.merge(_lev(spark, range(0, 80)), 0)
