@@ -430,3 +430,27 @@ def test_bucket_join_tvf(spark, tmp_path):
         "SELECT count(*) AS n FROM bucket_join('bl', 'br', 'left')"
     ).collect()[0]["n"]
     assert n_left == 50
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    cat = LakeCatalog(spark)
+    cat.sql(
+        f"CREATE TABLE rtrip (user_id BIGINT, event_type STRING, value DOUBLE) "
+        f"USING laketable LOCATION '{tmp_path / 'rt'}' KEY (user_id) BUCKETS 4"
+    )
+    cat.sql("ALTER TABLE rtrip ADD COLUMN loud STRING GENERATED ALWAYS AS (upper(event_type))")
+    cat.sql("ALTER TABLE rtrip ADD CONSTRAINT pos CHECK (value >= 0)")
+    script = cat.sql("SHOW CREATE TABLE rtrip").collect()[0]["stmt"]
+    # replay the emitted script on a fresh location/name
+    replay = script.replace("rtrip", "rtrip2").replace(
+        str(tmp_path / "rt"), str(tmp_path / "rt2")
+    )
+    for s in replay.split(";\n"):
+        cat.sql(s)
+    t2 = cat.tables["rtrip2"]
+    snap = t2.snapshot()
+    assert snap["n_buckets"] == 4 and snap["key_cols"] == ["user_id"]
+    assert "loud" in t2.schema(snap).fieldNames()
+    assert "pos" in (snap.get("constraints") or {})
+    cat.sql("INSERT INTO rtrip2 (user_id, event_type, value) VALUES (1, 'hi', 2.0)")
+    assert t2.read().collect()[0]["loud"] == "HI"

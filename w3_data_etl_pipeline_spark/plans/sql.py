@@ -282,9 +282,54 @@ class LakeCatalog:
 
     def _show(self, stmt: str) -> DataFrame:
         """SHOW TABLES — one row per registered table with its root,
-        current version, and key columns (O(metadata))."""
+        current version, and key columns (O(metadata)); or
+        SHOW CREATE TABLE <name> — a round-trippable statement script
+        (CREATE plus the ALTERs that re-declare generated columns,
+        defaults, constraints, and write order on a new location)."""
+        sc = re.fullmatch(
+            rf"SHOW\s+CREATE\s+TABLE\s+({_WORD})", stmt, re.IGNORECASE
+        )
+        if sc:
+            t = self._table(sc.group(1))
+            snap = t.snapshot()
+            keys = snap["key_cols"]
+            gen = LakeTable._generated_cols(snap)
+            cols, alters = [], []
+            for f in t.schema(snap).fields:
+                if f.name == LSN_COL:
+                    continue
+                ty = f.dataType.simpleString().upper()
+                if f.name in gen:
+                    alters.append(
+                        f"ALTER TABLE {sc.group(1)} ADD COLUMN {f.name} {ty} "
+                        f"GENERATED ALWAYS AS ({gen[f.name]})"
+                    )
+                    continue
+                d = LakeTable._default_value(snap, f.name, "write")
+                cols.append(
+                    f"{f.name} {ty}"
+                    + (f" DEFAULT {d!r}" if isinstance(d, str) else f" DEFAULT {d}" if d is not None else "")
+                )
+            create = (
+                f"CREATE TABLE {sc.group(1)} ({', '.join(cols)}) USING laketable "
+                f"LOCATION '{t.root}' KEY ({', '.join(keys)}) "
+                f"BUCKETS {snap['n_buckets']}"
+                + (" ROW LINEAGE" if snap.get("row_lineage") else "")
+            )
+            for cname, expr in sorted((snap.get("constraints") or {}).items()):
+                alters.append(
+                    f"ALTER TABLE {sc.group(1)} ADD CONSTRAINT {cname} CHECK ({expr})"
+                )
+            wo = snap.get("write_order")
+            if wo:
+                alters.append(
+                    f"ALTER TABLE {sc.group(1)} WRITE ORDERED BY {', '.join(wo['cols'])}"
+                )
+            return self.spark.createDataFrame(
+                [(";\n".join([create] + alters),)], ["stmt"]
+            )
         if not re.fullmatch(r"SHOW\s+TABLES", stmt, re.IGNORECASE):
-            raise ValueError("expected SHOW TABLES")
+            raise ValueError("expected SHOW TABLES or SHOW CREATE TABLE <name>")
         rows = []
         for name in sorted(self.tables):
             t = self.tables[name]
