@@ -119,3 +119,69 @@ def test_sql_alter_generated(spark, tmp_path):
     cat.sql("INSERT INTO st (user_id, event_type, value) VALUES (9, 'hi', 1.5)")
     rows = {r["user_id"]: r["loud"] for r in t.read().collect()}
     assert rows[9] == "HI" and rows[1] is None
+
+
+GEN = "upper(event_type) || '-' || CAST(CAST(FLOOR(value / 50) AS INT) AS STRING)"
+
+
+def _expected_band(et, value):
+    return f"{et.upper()}-{int((value) // 50)}"
+
+
+@pytest.mark.parametrize("seed", [5, 77])
+def test_generated_random_lifecycle(spark, tmp_path, seed):
+    """Property net: random omit/supply-correct/delete batches under
+    random COW/MOR storage with compaction and a mid-run rename of the
+    generated column — the final state's generated values must equal
+    the expression for every key touched post-add, NULL for untouched
+    pre-add keys, against a pure-Python model."""
+    import random
+
+    rng = random.Random(seed)
+    t = LakeTable.create(
+        spark, str(tmp_path / f"g{seed}"), SCHEMA, ["user_id"], n_buckets=4
+    )
+    model: dict[int, tuple] = {}  # user_id -> (lsn, et, value, post_add)
+    lsn = 0
+
+    def batch(ids, et, op, post_add):
+        nonlocal lsn
+        lsn += 1
+        rows = [(i, et, float(i % 97), i + lsn * 10**6, op) for i in ids]
+        for i in ids:
+            cur = model.get(i)
+            if cur is None or i + lsn * 10**6 > cur[0]:
+                if op == "D":
+                    model.pop(i, None)
+                else:
+                    model[i] = (i + lsn * 10**6, et, float(i % 97), post_add)
+        return spark.createDataFrame(
+            rows, ["user_id", "event_type", "value", "lsn", "op"]
+        )
+
+    t.merge(batch(rng.sample(range(100), 60), "pre", "U", False), 0)
+    t.add_column("band", "string", generated_as=GEN)
+    name = "band"
+    for step in range(10):
+        ids = rng.sample(range(120), rng.randint(1, 30))
+        kind = rng.random()
+        mode = rng.choice(["cow", "mor"])
+        if kind < 0.2:
+            t.merge(batch(ids, f"d{step}", "D", True), step + 1, mode=mode)
+        elif kind < 0.6:
+            t.merge(batch(ids, f"o{step}", "U", True), step + 1, mode=mode)
+        else:
+            b = batch(ids, f"s{step}", "U", True).withColumn(
+                name, F.expr(GEN.replace("band", name))
+            )
+            t.merge(b, step + 1, mode=mode)
+        if rng.random() < 0.25:
+            t.compact()
+        if step == 5:
+            t.rename_column(name, "band2")
+            name = "band2"
+    got = {r["user_id"]: (r["event_type"], r["value"], r[name]) for r in t.read().collect()}
+    assert set(got) == set(model)
+    for uid, (lsn_, et, value, post_add) in model.items():
+        want = _expected_band(et, value) if post_add else None
+        assert got[uid] == (et, value, want), (uid, got[uid], want)
