@@ -96,11 +96,67 @@ def test_rename_drop_guards(spark, tmp_path):
     t.rename_column("event_type", "etype")
 
 
-def test_merge_into_requires_explicit_value(spark, tmp_path):
+def test_merge_into_generated_semantics(spark, tmp_path):
+    """merge_into treats generated columns the Delta way: never
+    directly assignable, always recomputed from the post-image on
+    every claimed update/insert row (COW and MOR)."""
     t = _mk(spark, tmp_path)
     src = spark.createDataFrame([(100, "m", 1.0)], ["user_id", "event_type", "value"])
-    with pytest.raises(ValueError, match="set explicitly"):
-        t.merge_into(src, [("insert", None, None)])
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        t.merge_into(src, [("update", None, {"band": "'X'"}), ("insert", None, None)])
+    t.merge_into(src, [("insert", None, None)])
+    assert {
+        r["band"] for r in t.read().filter("user_id = 100").collect()
+    } == {"M-0"}
+    # assigning a REFERENCED column recomputes the generated value
+    t.merge_into(src, [("update", None, {"event_type": "'zz'"})])
+    assert {
+        r["band"] for r in t.read().filter("user_id = 100").collect()
+    } == {"ZZ-0"}
+    # MOR images recompute too (tombstones stay NULL-valued)
+    t.merge_into(src, [("update", None, {"event_type": "'mm'"})], mode="mor")
+    assert {
+        r["band"] for r in t.read().filter("user_id = 100").collect()
+    } == {"MM-0"}
+
+
+def test_update_where_generated_semantics(spark, tmp_path):
+    """update_where: direct SET of a generated column is rejected; a
+    SET over a referenced column recomputes from the post-update row —
+    COW and MOR — and untouched rows keep their stored values."""
+    t = _mk(spark, tmp_path)
+    t.merge(_ev(spark, range(10, 20), et="x", lsn=2), 1)  # band = X-0
+    with pytest.raises(ValueError, match="GENERATED ALWAYS AS"):
+        t.update_where("user_id = 12", {"band": "'WRONG'"})
+    t.update_where("user_id = 12", {"event_type": "'cw'"})
+    t.update_where("user_id = 13", {"event_type": "'mr'"}, mode="mor")
+    got = {r["user_id"]: r["band"] for r in t.read().collect()}
+    assert got[12] == "CW-0"
+    assert got[13] == "MR-0"
+    assert got[14] == "X-0"  # untouched row unchanged
+    # pre-add rows (band NULL) that the predicate does not touch stay NULL
+    assert got[5] is None
+
+
+def test_add_column_generated_unresolvable_rejected(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "u"), SCHEMA, ["user_id"], n_buckets=4)
+    with pytest.raises(ValueError, match="does not resolve"):
+        t.add_column("bad", "string", generated_as="upper(event_typo)")
+    # self-reference cannot resolve either (column not in schema yet)
+    with pytest.raises(ValueError, match="does not resolve"):
+        t.add_column("selfy", "string", generated_as="upper(selfy)")
+
+
+def test_string_literal_is_not_a_reference(spark, tmp_path):
+    """A column name inside a STRING LITERAL of an unrelated generation
+    expression must not block that column's rename/drop (references
+    come from resolution, not regex)."""
+    t = LakeTable.create(spark, str(tmp_path / "lit"), SCHEMA, ["user_id"], n_buckets=4)
+    t.merge(_ev(spark, range(5)), 0)
+    t.add_column("tagged", "string", generated_as="'value' || upper(event_type)")
+    t.rename_column("value", "val2")  # literal 'value' is not a ref
+    with pytest.raises(ValueError, match="referenced by generated"):
+        t.rename_column("event_type", "etype")  # real ref still guards
 
 
 def test_generated_excludes_write_default(spark, tmp_path):

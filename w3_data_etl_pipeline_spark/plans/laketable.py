@@ -132,7 +132,14 @@ class MergeStats:
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
+        # ABSOLUTE root, unconditionally: the JVM's working directory
+        # is pinned at session start, so a relative root would write
+        # data files against the JVM's CWD while Python-side listing/
+        # manifest code resolves against the (movable) process CWD —
+        # silently committing empty snapshots. Normalizing here also
+        # keeps shallow-clone shared paths and the expire_snapshots
+        # ownership guard CWD-independent.
+        self.root = os.path.abspath(root)
         self._meta = os.path.join(root, "_meta")
         self._data = os.path.join(root, "data")
         self._manifest_dir = os.path.join(root, "manifests")
@@ -245,8 +252,15 @@ class LakeTable:
         os.makedirs(t._meta)
         os.makedirs(t._data)
 
+        # normalize against an ABSOLUTE root: a table opened with a
+        # relative root must not hand the clone CWD-relative shared
+        # paths — they would dodge expire_snapshots' isabs ownership
+        # guard (the clone's GC could collect the SOURCE's files) and
+        # re-resolve against whatever CWD the reader happens to have
+        src_root = os.path.abspath(self.root)
+
         def _abs(rel: str) -> str:
-            return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
+            return os.path.abspath(rel) if os.path.isabs(rel) else os.path.join(src_root, rel)
 
         entries = []
         for f in snap["files"]:
@@ -297,7 +311,7 @@ class LakeTable:
             files=entries,
             parent=None,
             operation="clone-deep" if deep else "clone",
-            clone_source=self.root,
+            clone_source=src_root,
             clone_source_version=snap["version"],
             ledger={"hwm": -1, "extra": {}},
         )
@@ -652,6 +666,7 @@ class LakeTable:
             if name not in schema.fieldNames():
                 raise ValueError(f"no such column {name!r}")
             self._guard_generated_refs(snap, name, "drop")
+            self._guard_spec_refs(snap, name, "drop")
             fid = snap["field_ids"][name]
             epoch = snap["schema_epoch"] + 1
             fids = dict(snap["field_ids"])
@@ -738,7 +753,12 @@ class LakeTable:
         if generated_as is not None:
             if write_default is not None:
                 raise ValueError("generated_as and write_default are mutually exclusive")
-            F.expr(generated_as)  # syntax check now, not at first merge
+            # resolve (not just parse) NOW, against the current schema:
+            # an expression over a typo'd/nonexistent column is rejected
+            # at add time instead of failing every later merge at
+            # analysis time (self-reference also lands here — the new
+            # column is not in the schema yet)
+            self._expr_refs(generated_as, self.schema(self.snapshot()))
         for _ in range(max_retries + 1):
             snap = self.snapshot()
             schema = self.schema(snap)
@@ -890,17 +910,63 @@ class LakeTable:
         d = (snap.get("defaults") or {}).get(str(fid)) if fid is not None else None
         return d.get("generated") if d else None
 
-    @classmethod
-    def _guard_generated_refs(cls, snap: dict, col: str, verb: str) -> None:
+    def _expr_refs(self, expr: str, schema: T.StructType) -> "set[str]":
+        """The schema columns ``expr`` actually RESOLVES against,
+        derived by analysis, not regex: drop one column at a time and
+        see whether the expression stops analyzing. A column name
+        inside a string literal of an unrelated expression is never a
+        false reference, and an expression over a typo'd/nonexistent
+        name fails HERE (against the full schema) with a clear error
+        instead of at the first later merge. Metadata-path cost: one
+        no-data analysis per schema column."""
+        ck = (expr, tuple(f_.name for f_ in schema.fields))
+        cache = getattr(self, "_refs_cache", None)
+        if cache is None:
+            cache = self._refs_cache = {}
+        hit = cache.get(ck)
+        if hit is not None:
+            return set(hit)
+        spark = self.spark or SparkSession.getActiveSession()
+        empty = spark.createDataFrame([], schema)
+        try:
+            empty.select(F.expr(expr)).schema
+        except Exception as e:
+            raise ValueError(
+                f"expression {expr!r} does not resolve against the table "
+                f"schema {schema.fieldNames()}: {e}"
+            ) from None
+        refs = set()
+        # the negative probes RAISE analysis errors by design — mute
+        # Spark's ERROR-level SQLQueryContextLogger JSON spew for the
+        # duration (single-driver; restored immediately)
+        sc = spark.sparkContext
+        sc.setLogLevel("FATAL")
+        try:
+            for f_ in schema.fields:
+                try:
+                    empty.drop(f_.name).select(F.expr(expr)).schema
+                except Exception:
+                    refs.add(f_.name)
+        finally:
+            sc.setLogLevel("WARN")
+        if len(cache) >= 256:
+            cache.pop(next(iter(cache)))
+        cache[ck] = frozenset(refs)
+        return refs
+
+    def _guard_generated_refs(self, snap: dict, col: str, verb: str) -> None:
         """Renaming/dropping a column a generation expression REFERENCES
         would silently break every later write's computed value —
         blocked, Delta's convention. The generated column itself is
         free to rename (field-id keyed) or drop (takes its expression
-        with it)."""
+        with it). References come from expression RESOLUTION
+        (``_expr_refs``), so a name that merely appears inside a
+        string literal never blocks its rename/drop."""
+        schema = self.schema(snap)
         refs = [
             g_col
-            for g_col, g in cls._generated_cols(snap).items()
-            if g_col != col and re.search(rf"\b{re.escape(col)}\b", g)
+            for g_col, g in self._generated_cols(snap).items()
+            if g_col != col and col in self._expr_refs(g, schema)
         ]
         if refs:
             raise ValueError(
@@ -932,10 +998,13 @@ class LakeTable:
         g = cls._generated_expr(snap, col)
         if g is not None:
             if scalar_only:
+                # merge_into recomputes generated columns in its own
+                # post-image projection (bare-name space); reaching
+                # here means a caller skipped that pre-check
                 raise ValueError(
-                    f"generated column {col!r} must be set explicitly in "
-                    "merge_into clauses (its expression is defined over "
-                    "bare column names)"
+                    f"generated column {col!r} cannot be filled in a "
+                    "t./s. alias space — recompute it from the "
+                    "post-image projection"
                 )
             return F.expr(g).cast(dt)
         v = cls._default_value(snap, col, "write")
@@ -1990,6 +2059,225 @@ class LakeTable:
             "keys_sampled": len(sample),
         }
 
+    # ----- declared partition spec (Iceberg partition transforms) -----
+    #
+    # The Iceberg table-spec partition pillar: a DECLARED list of
+    # (transform, source-column) fields beside the native key-bucket
+    # layout. Every data file a later commit writes holds rows of
+    # exactly ONE partition tuple (the write splits on transform
+    # values), the manifest entry records that tuple (spec id + value
+    # list, field-id keyed), and prune_files evaluates predicates
+    # against the tuple BEFORE the min/max bounds — partition pruning
+    # is exact by construction (a day-partitioned file cannot straddle
+    # days), where bounds pruning is only as tight as the clustering.
+    # Spec evolution is a metadata-only commit like rebucket: old
+    # files keep their original spec id + tuple and keep pruning under
+    # it; new writes use the new spec; compaction migrates.
+    #
+    # Transforms (Iceberg names and integer encodings): identity,
+    # years/months/days (date|timestamp, offsets since 1970-01-01),
+    # hours (timestamp), truncate[W] (string prefix / integer floor-
+    # to-width with positive remainder). hash-bucketing is NOT a spec
+    # transform here — it is the table's native key layout already.
+
+    _SPEC_TYPES = {
+        "identity": ("string", "bigint", "int", "smallint", "tinyint", "date"),
+        "years": ("date", "timestamp"),
+        "months": ("date", "timestamp"),
+        "days": ("date", "timestamp"),
+        "hours": ("timestamp",),
+        "truncate": ("string", "bigint", "int", "smallint", "tinyint"),
+    }
+    _SPEC_INT_TYPES = ("bigint", "int", "smallint", "tinyint")
+
+    @staticmethod
+    def _parse_spec_field(item) -> tuple:
+        """``'days(ts)'`` | ``'truncate(repo, 8)'`` | ``('days','ts')``
+        | ``('truncate','repo',8)`` -> (transform, col, param|None)."""
+        if isinstance(item, str):
+            m = re.fullmatch(
+                r"\s*(\w+)\s*\(\s*([A-Za-z_]\w*)\s*(?:,\s*(\d+)\s*)?\)\s*", item
+            )
+            if not m:
+                raise ValueError(
+                    f"bad partition field {item!r} — use e.g. 'days(ts)', "
+                    "'identity(lang)' or 'truncate(repo, 8)'"
+                )
+            return m.group(1).lower(), m.group(2), (
+                int(m.group(3)) if m.group(3) else None
+            )
+        t = str(item[0]).lower()
+        param = int(item[2]) if len(item) > 2 and item[2] is not None else None
+        return t, str(item[1]), param
+
+    def alter_partition_spec(self, fields, max_retries: int = 3) -> int:
+        """Declare (or change) the table's partition spec — a
+        metadata-only commit; no data file is touched. ``fields`` is a
+        list of transform strings/tuples (``_parse_spec_field``);
+        ``None``/``[]`` reverts to unpartitioned (spec 0). Identical
+        field lists reuse their existing spec id (Iceberg's spec-id
+        reuse); otherwise a fresh id is appended — specs are NEVER
+        mutated in place, because existing files prune under the spec
+        id they were written with. Source columns are recorded by
+        FIELD ID (+ their type), so the spec survives renames; DROPPING
+        a column the CURRENT spec references is blocked."""
+        parsed = [self._parse_spec_field(x) for x in (fields or [])]
+        for _ in range(max_retries + 1):
+            snap = self.snapshot()
+            schema = self.schema(snap)
+            self._ensure_field_meta(snap)
+            fids = snap["field_ids"]
+            new_fields = []
+            for t, col, param in parsed:
+                if t not in self._SPEC_TYPES:
+                    raise ValueError(
+                        f"unknown transform {t!r} — one of {sorted(self._SPEC_TYPES)}"
+                    )
+                if col == LSN_COL or col not in schema.fieldNames():
+                    raise ValueError(f"no such partitionable column {col!r}")
+                simple = schema[col].dataType.simpleString()
+                if simple not in self._SPEC_TYPES[t]:
+                    raise ValueError(
+                        f"{t}({col}): type {simple} unsupported — needs one of "
+                        f"{self._SPEC_TYPES[t]}"
+                        + (" (use days()/hours() for timestamps)" if t == "identity" else "")
+                    )
+                if t == "truncate":
+                    if not param or param < 1:
+                        raise ValueError("truncate needs a width >= 1: truncate(col, W)")
+                elif param is not None:
+                    raise ValueError(f"{t} takes no parameter")
+                new_fields.append(
+                    {"transform": t, "fid": fids[col], "param": param, "src": simple}
+                )
+            specs = {
+                k: list(v)
+                for k, v in (snap.get("partition_specs") or {"0": []}).items()
+            }
+            target = None
+            for sid, flds in specs.items():
+                if flds == new_fields:
+                    target = int(sid)
+                    break
+            if target is None:
+                target = max(int(k) for k in specs) + 1
+                specs[str(target)] = new_fields
+            if target == int(snap.get("default_spec", 0) or 0):
+                return snap["version"]  # no-op: already the default
+            ns = dict(snap)
+            ns.update(
+                version=snap["version"] + 1,
+                parent=snap["version"],
+                operation="set-partition-spec",
+                partition_specs=specs,
+                default_spec=target,
+            )
+            try:
+                self._write_snapshot(ns)
+                return ns["version"]
+            except FileExistsError:
+                continue  # lost the version race: re-read and retry
+        raise CommitConflictError(
+            f"alter_partition_spec lost the commit race {max_retries + 1} times"
+        )
+
+    def _guard_spec_refs(self, snap: dict, col: str, verb: str) -> None:
+        """Dropping a column the CURRENT partition spec references
+        would silently stop partitioning every later write — blocked
+        (Iceberg's REPLACE PARTITION FIELD discipline). Renames are
+        free: spec fields are field-id keyed."""
+        fid = (snap.get("field_ids") or {}).get(col)
+        cur = (snap.get("partition_specs") or {}).get(
+            str(snap.get("default_spec", 0) or 0)
+        ) or []
+        if fid is not None and any(f["fid"] == fid for f in cur):
+            raise ValueError(
+                f"cannot {verb} column {col!r}: referenced by the current "
+                "partition spec — alter_partition_spec([...]) it away first"
+            )
+
+    @staticmethod
+    def _pt_expr(fld: dict, src: str) -> F.Column:
+        """The transform as a pure-codegen Column over current column
+        name ``src`` (session TZ is UTC — epoch math is exact)."""
+        t, p = fld["transform"], fld.get("param")
+        c = F.col(src)
+        if t == "identity":
+            return c
+        if t == "days":
+            if fld["src"] == "date":
+                return F.datediff(c, F.lit("1970-01-01"))
+            return F.floor(c.cast("double") / 86400).cast("int")
+        if t == "hours":
+            return F.floor(c.cast("double") / 3600).cast("int")
+        if t == "months":
+            return (F.year(c) - 1970) * 12 + F.month(c) - 1
+        if t == "years":
+            return F.year(c) - 1970
+        if t == "truncate":
+            if fld["src"] == "string":
+                return F.substring(c, 1, p)
+            # Iceberg integer truncate: v - (((v % W) + W) % W)
+            return c - F.pmod(c, F.lit(p))
+        raise ValueError(f"unknown transform {t!r}")
+
+    @classmethod
+    def _pt_decode(cls, fld: dict, raw: "str | None"):
+        """Hive-escaped partition dirname value -> typed tuple value
+        (None = the transform source was NULL for every row)."""
+        from urllib.parse import unquote
+
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        v = unquote(raw)
+        t = fld["transform"]
+        if t in ("years", "months", "days", "hours"):
+            return int(v)
+        if fld["src"] in cls._SPEC_INT_TYPES:
+            return int(v)
+        return v  # string / ISO date — lexicographic == value order
+
+    @staticmethod
+    def _pt_range(fld: dict, v) -> "tuple | None":
+        """The CLOSED range of SOURCE-column values (in ``_json_bound``
+        encoding) a partition-tuple value covers — the 'degenerate
+        exact bounds' view of a transform tuple."""
+        import datetime as _dt
+
+        t, p, src = fld["transform"], fld.get("param"), fld["src"]
+        if t == "identity":
+            return v, v
+        if t == "truncate":
+            if isinstance(v, int):
+                return v, v + p - 1
+            return v, v + "\U0010ffff"  # every string with this prefix
+        iso = lambda d: d.isoformat(sep=" ", timespec="microseconds")  # noqa: E731
+        if t == "days":
+            if src == "date":
+                s = (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+                return s, s
+            lo = _dt.datetime(1970, 1, 1) + _dt.timedelta(days=v)
+            return iso(lo), iso(lo + _dt.timedelta(days=1, microseconds=-1))
+        if t == "hours":
+            lo = _dt.datetime(1970, 1, 1) + _dt.timedelta(hours=v)
+            return iso(lo), iso(lo + _dt.timedelta(hours=1, microseconds=-1))
+        if t in ("months", "years"):
+            if t == "months":
+                y, m = 1970 + v // 12, v % 12 + 1
+                y2, m2 = (y, m + 1) if m < 12 else (y + 1, 1)
+            else:
+                y, m, y2, m2 = 1970 + v, 1, 1971 + v, 1
+            if src == "date":
+                return (
+                    _dt.date(y, m, 1).isoformat(),
+                    (_dt.date(y2, m2, 1) - _dt.timedelta(days=1)).isoformat(),
+                )
+            return (
+                iso(_dt.datetime(y, m, 1)),
+                iso(_dt.datetime(y2, m2, 1) - _dt.timedelta(microseconds=1)),
+            )
+        return None
+
     # ----- predicate-driven file skipping (Iceberg lower/upper_bounds) -----
 
     _PRUNE_OPS = ("=", "==", "<", "<=", ">", ">=", "is_null", "is_not_null")
@@ -2004,6 +2292,7 @@ class LakeTable:
             "next_field_id", "schema_epoch", "defaults", "constraints",
             "col_stats", "skip_fids", "write_order", "dml", "sink_hwm",
             "clone_source", "clone_source_version", "n_files", "_bucket_src",
+            "partition_specs", "default_spec",
         }
     )
     _NULL_OPS = ("is_null", "is_not_null")
@@ -2183,6 +2472,13 @@ class LakeTable:
         hi = (entry.get("cmax") or {}).get(col)
         if lo is None or hi is None:
             return False
+        return cls._range_excludes(lo, hi, op, val)
+
+    @staticmethod
+    def _range_excludes(lo, hi, op, val) -> bool:
+        """True iff a CLOSED [lo, hi] value range PROVES no element
+        satisfies ``<op> val`` — shared by manifest bounds and
+        partition-tuple pruning."""
         try:
             if op in ("=", "=="):
                 return val < lo or val > hi
@@ -2273,7 +2569,45 @@ class LakeTable:
                 return col  # unknown epoch: trust the current name
             return emap.get(str(fid))
 
+        specs = snap.get("partition_specs") or {}
+
+        def _pt_excludes(f: dict, p: "Pred") -> bool:
+            """Partition-tuple pruning, evaluated BEFORE bounds: the
+            file's declared tuple (under the spec it was WRITTEN with)
+            is an exact single-partition guarantee, so exclusion here
+            never depends on clustering. Files from pre-spec commits
+            have no tuple and fall through to bounds."""
+            pt = f.get("pt")
+            if not specs or pt is None:
+                return False
+            fields = specs.get(str(f.get("spec", 0))) or []
+            fid = fids.get(p.col)
+            if fid is None:
+                return False
+            for i, fld in enumerate(fields):
+                if i >= len(pt) or fld["fid"] != fid:
+                    continue
+                v = pt[i]
+                if v is None:
+                    # the whole file's source column is NULL
+                    return p.op != "is_null"
+                if p.op == "is_null":
+                    return True  # transforms are null-preserving
+                if p.op == "is_not_null":
+                    return False
+                val = self._json_bound(p.val)
+                if val is None:
+                    return False
+                rng = self._pt_range(fld, v)
+                if rng is not None and self._range_excludes(
+                    rng[0], rng[1], p.op, val
+                ):
+                    return True
+            return False
+
         def _leaf_excludes(f: dict, p: "Pred") -> bool:
+            if _pt_excludes(f, p):
+                return True
             pcol = _phys(p.col, int(f.get("epoch", 0)))
             if pcol is None:
                 # column born after this file: every row is NULL, so
@@ -3372,6 +3706,22 @@ class LakeTable:
                 zorder = bool(wo.get("zorder"))
                 if max_records_per_file is None:
                     max_records_per_file = wo.get("target_rows")
+        # declared partition spec: compute the transform columns and
+        # split the write on them — every emitted file then holds rows
+        # of exactly ONE partition tuple (recorded in its manifest
+        # entry below), the invariant partition-granular pruning needs.
+        # DV masks carry no source columns; writes that lack a source
+        # column (partial maintenance shapes) fall back to untupled.
+        spec_id = int(snap.get("default_spec", 0) or 0)
+        spec_fields = (snap.get("partition_specs") or {}).get(str(spec_id)) or []
+        ptcols: list[str] = []
+        if spec_fields and kind != "dv":
+            cur_names = {i: n for n, i in (snap.get("field_ids") or {}).items()}
+            srcs = [cur_names.get(fld["fid"]) for fld in spec_fields]
+            if all(s is not None and s in df.columns for s in srcs):
+                for i, (fld, s) in enumerate(zip(spec_fields, srcs)):
+                    df = df.withColumn(f"_pt{i}", self._pt_expr(fld, s))
+                ptcols = [f"_pt{i}" for i in range(len(spec_fields))]
         if cluster_by and zorder and len(cluster_by) > 1:
             # Z-ORDER clustering (Iceberg rewrite_data_files zorder /
             # Delta OPTIMIZE ZORDER BY analogue): lexicographic sort
@@ -3393,7 +3743,7 @@ class LakeTable:
             # max_records_per_file splits a bucket into several such
             # ranges — the skipping granularity knob.
             df = df.sortWithinPartitions("_bucket", *cluster_by)
-        writer = df.write.partitionBy("_bucket").mode("overwrite")
+        writer = df.write.partitionBy("_bucket", *ptcols).mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.parquet(out)
@@ -3406,21 +3756,31 @@ class LakeTable:
                 raise ConstraintViolation(bad)
         files = []
         for dirpath, _dirs, names in os.walk(out):
+            comps = dict(
+                c.split("=", 1)
+                for c in os.path.relpath(dirpath, out).split(os.sep)
+                if "=" in c
+            )
             for n in names:
                 if n.endswith(".parquet"):
-                    b = int(os.path.basename(dirpath).split("=", 1)[1])
+                    b = int(comps["_bucket"])
                     full = os.path.join(dirpath, n)
-                    files.append(
-                        {
-                            "path": os.path.relpath(full, self.root),
-                            "bucket": b,
-                            "kind": kind,
-                            # schema epoch the physical column names were
-                            # written under — _read_entries resolves them
-                            # back to current names by field id
-                            "epoch": snap.get("schema_epoch", 0),
-                        }
-                    )
+                    entry = {
+                        "path": os.path.relpath(full, self.root),
+                        "bucket": b,
+                        "kind": kind,
+                        # schema epoch the physical column names were
+                        # written under — _read_entries resolves them
+                        # back to current names by field id
+                        "epoch": snap.get("schema_epoch", 0),
+                    }
+                    if ptcols:
+                        entry["spec"] = spec_id
+                        entry["pt"] = [
+                            self._pt_decode(fld, comps.get(f"_pt{i}"))
+                            for i, fld in enumerate(spec_fields)
+                        ]
+                    files.append(entry)
         # footer-only reads: measured 42 ms for 256 files on this
         # host — noise against a multi-second commit (a thread pool
         # was tried and its dispatch overhead exceeded the I/O).
@@ -4993,6 +5353,7 @@ class LakeTable:
             snap = self.snapshot()
             protected = set(snap["key_cols"]) | {LSN_COL, OP_COL}
             table_cols = {f.name for f in self.schema(snap).fields}
+            gen = self._generated_cols(snap)
             for c in assignments:
                 if c in protected:
                     raise ValueError(
@@ -5001,6 +5362,12 @@ class LakeTable:
                     )
                 if c not in table_cols:
                     raise ValueError(f"unknown column {c!r} in SET clause")
+                if c in gen:
+                    raise ValueError(
+                        f"column {c!r} is GENERATED ALWAYS AS ({gen[c]}) and "
+                        "cannot be assigned directly — assign its referenced "
+                        "columns and it recomputes"
+                    )
         for _ in range(max_retries + 1):
             try:
                 return self._dml_once(what, predicates, assignments, mode)
@@ -5052,6 +5419,17 @@ class LakeTable:
         if n_hit == 0:
             return dict(no_op, files_skipped=len(snap["files"]) - len(fold_files))
         types = {f.name: f.dataType for f in self.schema(snap).fields}
+        # GENERATED ALWAYS AS under UPDATE (Delta's rule): an assigned
+        # referenced column recomputes the generated value from the
+        # POST-update row, so the stored value never goes stale against
+        # its expression. Direct assignment of a generated column was
+        # rejected in _dml.
+        regen: dict[str, str] = {}
+        if assignments is not None:
+            schema_now = self.schema(snap)
+            for g_col, g in self._generated_cols(snap).items():
+                if self._expr_refs(g, schema_now) & set(assignments):
+                    regen[g_col] = g
         version = snap["version"] + 1
         dml_audit = {
             "predicate": predicates
@@ -5148,6 +5526,18 @@ class LakeTable:
                     *[sets.get(c, F.col(c)).alias(c) for c in df.columns],
                     F.lit("U").alias(OP_COL),
                 )
+                if regen:
+                    # second projection over the POST-update image
+                    img = img.select(
+                        *[
+                            (
+                                F.expr(regen[c]).cast(types[c])
+                                if c in regen
+                                else F.col(c)
+                            ).alias(c)
+                            for c in img.columns
+                        ]
+                    )
             files = self._write_data(img, snap, version, kind="delta")
             new = dict(snap)
             new.update(
@@ -5181,9 +5571,32 @@ class LakeTable:
                     hit, F.lit(None).cast("long")
                 ).otherwise(F.col(LASTSEQ_COL))
             # ONE select: every RHS sees the pre-update row
-            out = df.select(
-                *[new_cols.get(c, F.col(c)).alias(c) for c in df.columns]
-            )
+            if regen:
+                # materialize the hit marker BEFORE the update so the
+                # recompute projection (which sees post-update values)
+                # still knows which rows matched the pre-update predicate
+                marked = df.withColumn("_dml_hit", hit)
+                out = marked.select(
+                    *[new_cols.get(c, F.col(c)).alias(c) for c in df.columns],
+                    F.col("_dml_hit"),
+                )
+                out = out.select(
+                    *[
+                        (
+                            F.when(
+                                F.col("_dml_hit"),
+                                F.expr(regen[c]).cast(types[c]),
+                            ).otherwise(F.col(c))
+                            if c in regen
+                            else F.col(c)
+                        ).alias(c)
+                        for c in df.columns
+                    ]
+                )
+            else:
+                out = df.select(
+                    *[new_cols.get(c, F.col(c)).alias(c) for c in df.columns]
+                )
         files = self._write_data(out, snap, version, kind="base")
         new = dict(snap)
         new.update(
@@ -5296,6 +5709,7 @@ class LakeTable:
         for k in keys:
             if k not in source.columns:
                 raise ValueError(f"source is missing key column {k!r}")
+        gen = self._generated_cols(snap)
         for kind, _, sets in clauses:
             for c in sets or {}:
                 if c in keys or c == LSN_COL:
@@ -5305,6 +5719,12 @@ class LakeTable:
                     )
                 if c not in table_cols:
                     raise ValueError(f"unknown column {c!r} in {kind} clause")
+                if c in gen:
+                    raise ValueError(
+                        f"column {c!r} is GENERATED ALWAYS AS ({gen[c]}) and "
+                        "cannot be assigned in a merge clause — assign its "
+                        "referenced columns and it recomputes"
+                    )
 
         src = self._align_keys(source, snap)
         if "op" in src.columns:
@@ -5500,7 +5920,12 @@ class LakeTable:
                     if sets and c in sets:
                         e = F.when(hit, F.expr(sets[c]).cast(types[c])).otherwise(e)
                 elif kind == "insert":
-                    if sets is not None and c in sets:
+                    if c in gen:
+                        # placeholder: every update/insert-claimed
+                        # row's generated columns are recomputed from
+                        # the post-image in the projection below
+                        iv = F.lit(None).cast(types[c])
+                    elif sets is not None and c in sets:
                         iv = F.expr(sets[c]).cast(types[c])
                     elif sets is not None and c not in keys:
                         # explicit-values insert: unspecified non-key
@@ -5563,6 +5988,23 @@ class LakeTable:
                     for f in img.schema.fields
                 ]
             )
+            if gen:
+                # GENERATED ALWAYS AS: recompute from the post-image on
+                # every non-tombstone image — an assigned referenced
+                # column or a source-supplied value can never leave a
+                # generated column stale against its expression
+                img = img.select(
+                    *[
+                        (
+                            F.when(F.col(OP_COL) == "D", F.col(c)).otherwise(
+                                F.expr(gen[c]).cast(types[c])
+                            )
+                            if c in gen
+                            else F.col(c)
+                        ).alias(c)
+                        for c in img.columns
+                    ]
+                )
             files = self._write_data(img, snap, version, kind="delta")
             new = dict(snap)
             new.update(
@@ -5585,7 +6027,32 @@ class LakeTable:
                 "buckets_rewritten": 0,
                 "delta_files": len(files),
             }
-        out = j.select(*out_cols)
+        upd_ins = [
+            i
+            for i, (k2, _, _) in enumerate(clauses)
+            if k2 in ("update", "nmbs_update", "insert")
+        ]
+        if gen and upd_ins:
+            # GENERATED ALWAYS AS: recompute every claimed update/
+            # insert row's generated columns from the POST-image
+            # projection (kept/copied rows carry their stored values)
+            claimed = F.col("_action").isin(upd_ins)
+            out = j.select(*out_cols, F.col("_action"))
+            out = out.select(
+                *[
+                    (
+                        F.when(claimed, F.expr(gen[c]).cast(types[c])).otherwise(
+                            F.col(c)
+                        )
+                        if c in gen
+                        else F.col(c)
+                    ).alias(c)
+                    for c in out.columns
+                    if c != "_action"
+                ]
+            )
+        else:
+            out = j.select(*out_cols)
 
         files = self._write_data(out, snap, version, kind="base")
         new = dict(snap)

@@ -156,6 +156,14 @@ class _Parser:
             return v
         if k == "kw" and v in ("TRUE", "FALSE"):
             return v == "TRUE"
+        if k == "ident" and isinstance(v, str) and v.upper() in ("TIMESTAMP", "DATE"):
+            # ANSI typed literals: TIMESTAMP '...' / DATE '...' — the
+            # manifest bounds are ISO-8601 strings with the same
+            # ordering, so the quoted body IS the comparable value
+            k2, v2 = self._next()
+            if k2 != "lit" or not isinstance(v2, str):
+                raise ParseError(f"expected string after {v}")
+            return v2
         raise ParseError(f"expected literal, got {v!r}")
 
     def _predicate(self):

@@ -23,6 +23,7 @@ statement per ``sql()`` call:
   ALTER TABLE t ALTER COLUMN a TYPE ty / SET DEFAULT v / DROP DEFAULT
   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   ALTER TABLE t WRITE ORDERED BY a, b [TARGET n ROWS] / WRITE UNORDERED
+  ALTER TABLE t SET PARTITION SPEC (days(ts), identity(lang)) / SPEC NONE
   OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]   -> compact
   VACUUM t [RETAIN n VERSIONS] [DRY RUN]    -> expire_snapshots
   ANALYZE TABLE t [FOR COLUMNS a, b]        -> analyze
@@ -325,6 +326,22 @@ class LakeCatalog:
                 alters.append(
                     f"ALTER TABLE {sc.group(1)} WRITE ORDERED BY {', '.join(wo['cols'])}"
                 )
+            cur_spec = (snap.get("partition_specs") or {}).get(
+                str(snap.get("default_spec", 0) or 0)
+            ) or []
+            if cur_spec:
+                names = {i: n for n, i in (snap.get("field_ids") or {}).items()}
+                parts = [
+                    f["transform"]
+                    + "("
+                    + names.get(f["fid"], "?")
+                    + (f", {f['param']}" if f.get("param") else "")
+                    + ")"
+                    for f in cur_spec
+                ]
+                alters.append(
+                    f"ALTER TABLE {sc.group(1)} SET PARTITION SPEC ({', '.join(parts)})"
+                )
             return self.spark.createDataFrame(
                 [(";\n".join([create] + alters),)], ["stmt"]
             )
@@ -367,16 +384,17 @@ class LakeCatalog:
             raise ValueError("expected INSERT INTO <table> [(cols)] SELECT ...|VALUES ...")
         t = self._table(m.group(1))
         body = m.group(3).strip()
+        cols = None
+        if m.group(2):
+            # explicit column list: omitted columns take their
+            # write-default / generation at merge time
+            cols = [c.strip() for c in m.group(2).split(",")]
+            known = set(t.schema().fieldNames())
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(f"unknown INSERT columns {bad}")
         if re.match(r"VALUES\b", body, re.IGNORECASE):
-            if m.group(2):
-                # explicit column list: omitted columns take their
-                # write-default / generation at merge time
-                cols = [c.strip() for c in m.group(2).split(",")]
-                known = set(t.schema().fieldNames())
-                bad = [c for c in cols if c not in known]
-                if bad:
-                    raise ValueError(f"unknown INSERT columns {bad}")
-            else:
+            if cols is None:
                 cols = [f.name for f in t.schema().fields if f.name != "_lsn"]
             src = self.spark.sql(
                 f"SELECT {', '.join(f'col{i + 1} AS {c}' for i, c in enumerate(cols))} "
@@ -384,6 +402,17 @@ class LakeCatalog:
             )
         else:
             src = self._select(body)
+            if cols is not None:
+                # SQL semantics: a SELECT body maps into the listed
+                # columns POSITIONALLY (never silently by name — a
+                # mismatched output name must not ride merge()'s
+                # additive evolution into a brand-new table column)
+                if len(src.columns) != len(cols):
+                    raise ValueError(
+                        f"INSERT column list names {len(cols)} columns but "
+                        f"the SELECT produces {len(src.columns)}"
+                    )
+                src = src.toDF(*cols)
         from pyspark.sql import functions as F
 
         if "op" not in src.columns:
@@ -854,6 +883,21 @@ class LakeCatalog:
                 raise ValueError(f"bad FAST FORWARD: {act!r}")
             stats = t.fast_forward(cm.group(1))
             return out(stats.version, "fast-forward")
+        if au.startswith("SET PARTITION SPEC"):
+            # Iceberg's ALTER TABLE ... partition-field DDL, one-shot:
+            # SET PARTITION SPEC (days(ts), identity(lang)) | NONE
+            cm = re.match(
+                r"SET\s+PARTITION\s+SPEC\s+(?:NONE|\(\s*(.*?)\s*\))$",
+                act,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not cm:
+                raise ValueError(f"bad SET PARTITION SPEC: {act!r}")
+            body = cm.group(1)
+            fields = re.findall(r"\w+\s*\([^)]*\)", body) if body else []
+            if body and not fields:
+                raise ValueError(f"bad SET PARTITION SPEC: {act!r}")
+            return out(t.alter_partition_spec(fields), "set-partition-spec")
         if au.startswith("WRITE UNORDERED"):
             return out(t.alter_write_order(None), "write-unordered")
         if au.startswith("WRITE ORDERED BY"):

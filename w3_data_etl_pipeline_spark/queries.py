@@ -844,6 +844,97 @@ def cdc_clustered_file_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_partition_prune",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, ts, event_type, value
+    FROM s
+    WHERE rn = 1 AND event_type <> 'error'
+      AND ts >= TIMESTAMP '2024-01-30 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-31 00:00:00'
+    """,
+)
+def cdc_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared partition-spec pruning on the oracle gate (the Iceberg
+    partition-transform pillar, plans/laketable.py
+    alter_partition_spec): the table declares ``days(ts)``, the merged
+    stream splits on day boundaries at write time (one partition tuple
+    per file, recorded in its manifest entry), and the one-day window
+    query prunes at PARTITION granularity — exact by construction,
+    independent of clustering. Two in-query hard asserts: (1) every
+    admitted file's day tuple lies inside the window; (2) every
+    out-of-window data file is DELETED FROM DISK before the read —
+    the query can only answer correctly if those files are never
+    opened. At 100 TB a day-partitioned time-series scan opening
+    10/3650 days instead of every live file is the first knob an
+    operator reaches for; reference analogue: the reference's
+    monthly-table layout (ref: src/sql/* per-period tables)."""
+    import datetime as dt
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_ptspec_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        table.alter_partition_spec(["days(ts)"])
+        ev = e.select(
+            "user_id",
+            "ts",
+            "event_type",
+            "value",
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        table.merge(ev, 0)
+        pred = (
+            "ts >= TIMESTAMP '2024-01-30 00:00:00' "
+            "AND ts < TIMESTAMP '2024-01-31 00:00:00'"
+        )
+        snap = table.snapshot()
+        kept = table.prune_files(snap, pred)
+        lo_d = (dt.date(2024, 1, 30) - dt.date(1970, 1, 1)).days
+        hi_d = (dt.date(2024, 1, 31) - dt.date(1970, 1, 1)).days
+        bad = [
+            f["path"]
+            for f in kept
+            if not (f.get("pt") and lo_d <= f["pt"][0] < hi_d)
+        ]
+        assert not bad, f"partition pruning admitted out-of-window files: {bad[:3]}"
+        assert len(kept) < len(snap["files"]), "window query pruned nothing"
+        # the hard proof that pruned files are NEVER OPENED
+        kept_paths = {f["path"] for f in kept}
+        for f in snap["files"]:
+            if f["path"] not in kept_paths:
+                os.remove(os.path.join(table.root, f["path"]))
+        rows = table.read_where(pred).select(
+            "user_id", "ts", "event_type", "value"
+        ).collect()
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@q(
     "cdc_rename_evolution",
     """
     WITH s AS (

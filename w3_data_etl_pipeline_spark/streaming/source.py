@@ -854,6 +854,20 @@ class LakeTableJoinSource(DataSource):
         return default
 
     def _cfg(self) -> dict:
+        # computed ONCE per DataSource instance: schema() and reader()
+        # must share one pinned pair of snapshots — without version
+        # pins, a commit landing between Spark's plan (schema()) and
+        # the read would otherwise let the reader build its select/
+        # cast plan against a NEWER snapshot than the planned schema,
+        # surfacing as Arrow schema mismatches mid-query
+        cached = getattr(self, "_cfg_cache", None)
+        if cached is not None:
+            return cached
+        cfg = self._cfg_build()
+        self._cfg_cache = cfg
+        return cfg
+
+    def _cfg_build(self) -> dict:
         from ..plans.predicate import parse_predicate
 
         left, right = self._opt("left"), self._opt("right")
