@@ -217,6 +217,22 @@ _DEMOTED_TAIL = [
     # cursor atomicity via merge snapshot props; strict changed-group
     # incrementality pytest-pinned in tests/test_join_view.py
     "cdc_join_view",
+    # round-5 rotations (keeps ngram_jaccard_pairs, paragraph_dedup
+    # and path_normalize_synthetic in-window — the dedup ladder and
+    # the P3-P9 chain stay driver-gated):
+    # real-JPEG codec twin of in-window media_features (same
+    # decode_media boundary, compressed bitstream instead of PPM);
+    # full DuckDB value-hash oracle in the tail gate, bitstream +
+    # corrupt-payload semantics pinned in tests/test_jpeg.py
+    "jpeg_media_features",
+    # gaps-and-islands batch sessionization; its semantics are
+    # in-window via session_windows_user (the F.session_window plan
+    # with the same oracle family PLUS a streaming parity pytest in
+    # tests/test_streaming_aggs.py); full oracle in the tail gate
+    "sessionize_events",
+    # 1-row scalar percentile output (funnel_counts precedent);
+    # full DuckDB oracle in the tail gate
+    "median_order_value",
 ]
 
 

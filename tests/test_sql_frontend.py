@@ -454,3 +454,101 @@ def test_show_create_table_roundtrip(spark, tmp_path):
     assert "pos" in (snap.get("constraints") or {})
     cat.sql("INSERT INTO rtrip2 (user_id, event_type, value) VALUES (1, 'hi', 2.0)")
     assert t2.read().collect()[0]["loud"] == "HI"
+
+
+def test_create_view_reflects_current_state(cat, spark, tmp_path):
+    cat.sql(
+        "CREATE VIEW big_events AS "
+        "SELECT user_id, value FROM events_lake WHERE value >= 90"
+    )
+    n0 = cat.sql("SELECT count(*) AS n FROM big_events").collect()[0]["n"]
+    # a later write is visible through the view with no re-create
+    cat.sql("INSERT INTO events_lake (user_id, event_type, value) VALUES (9001, 'x', 95.0)")
+    n1 = cat.sql("SELECT count(*) AS n FROM big_events").collect()[0]["n"]
+    assert n1 == n0 + 1
+    # view-over-view composes
+    cat.sql("CREATE VIEW big_twice AS SELECT user_id, value * 2 AS v2 FROM big_events")
+    assert (
+        cat.sql("SELECT count(*) AS n FROM big_twice").collect()[0]["n"] == n1
+    )
+    # name collisions both ways
+    with pytest.raises(ValueError, match="registered table"):
+        cat.sql("CREATE VIEW events_lake AS SELECT 1")
+    with pytest.raises(ValueError, match="exists"):
+        cat.sql("CREATE VIEW big_events AS SELECT 1 AS one")
+    cat.sql("CREATE OR REPLACE VIEW big_events AS SELECT user_id FROM events_lake")
+    cat.sql("DROP VIEW big_twice")
+    with pytest.raises(ValueError, match="unknown view"):
+        cat.sql("DROP VIEW big_twice")
+
+
+def test_view_over_join_sql_only(spark, tmp_path):
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    l = LakeTable.create(spark, str(tmp_path / "vl"), SCHEMA, ["user_id"], n_buckets=4)
+    l.merge(_base(spark, 100), 0)
+    dim_schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    d = LakeTable.create(spark, str(tmp_path / "vd"), dim_schema, ["event_type"], n_buckets=2)
+    d.merge(
+        spark.createDataFrame(
+            [(f"t{i}", f"Type {i}", i, "U") for i in range(5)],
+            ["event_type", "label", "lsn", "op"],
+        ),
+        0,
+    )
+    cat = LakeCatalog(spark).register("ve", l).register("vd", d)
+    cat.sql(
+        "CREATE VIEW labeled AS SELECT e.user_id, d.label, e.value "
+        "FROM ve e JOIN vd d ON e.event_type = d.event_type"
+    )
+    got = cat.sql(
+        "SELECT label, count(*) AS n FROM labeled GROUP BY label ORDER BY label"
+    ).collect()
+    assert len(got) == 5 and sum(r["n"] for r in got) == 100
+
+
+def test_view_cycle_raises(cat):
+    cat.sql("CREATE VIEW v_a AS SELECT 1 AS one")
+    cat.sql("CREATE OR REPLACE VIEW v_a AS SELECT * FROM v_a")  # self-cycle def
+    with pytest.raises(ValueError, match="cycle"):
+        cat.sql("SELECT * FROM v_a")
+
+
+def test_view_persistence_and_temp(spark, tmp_path):
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    t = LakeTable.create(spark, str(tmp_path / "pv"), SCHEMA, ["user_id"], n_buckets=2)
+    t.merge(_base(spark, 10), 0)
+    store = str(tmp_path / "store")
+    cat = LakeCatalog(spark, store=store).register("pt", t)
+    cat.sql("CREATE VIEW keep_me AS SELECT user_id FROM pt")
+    cat.sql("CREATE TEMP VIEW lose_me AS SELECT value FROM pt")
+    cat2 = LakeCatalog(spark, store=store)
+    assert "keep_me" in cat2.views and "lose_me" not in cat2.views
+    assert cat2.sql("SELECT count(*) AS n FROM keep_me").collect()[0]["n"] == 10
+
+
+def test_insert_overwrite(cat, spark):
+    v0 = cat.tables["events_lake"].current_version()
+    n_before = cat.sql("SELECT count(*) AS n FROM events_lake").collect()[0]["n"]
+    cat.sql(
+        "INSERT OVERWRITE events_lake "
+        "SELECT user_id, event_type, value FROM events_lake WHERE value >= 50"
+    )
+    t = cat.tables["events_lake"]
+    n_after = t.read().count()
+    assert 0 < n_after < n_before
+    assert t.read().filter("value < 50").count() == 0
+    # time travel to the pre-overwrite snapshot still full
+    assert t.read(version=v0).count() == n_before
+    # overwrite rows outrank a stale stream write (lsn stamped at next id)
+    stale = spark.createDataFrame(
+        [(0, "stale", -1.0, 0, "U")], ["user_id", "event_type", "value", "lsn", "op"]
+    )
+    t.merge(stale, batch_id=0)  # ledger already covers 0 -> no-op or loses
+    assert t.read().filter("event_type = 'stale'").count() == 0

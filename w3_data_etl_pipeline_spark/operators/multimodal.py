@@ -271,10 +271,18 @@ def decode_media(raw: bytes, fmt: str) -> np.ndarray:
     if fmt == "video/ppmseq":
         parts = [decode_ppm(f).reshape(-1) for f in split_ppmseq(raw)]
         return np.concatenate(parts) if parts else np.zeros(0, dtype=np.uint8)
+    if fmt == "image/jpeg":
+        # REAL compressed codec: the pure-numpy baseline-JPEG decoder
+        # (operators/jpeg.py — markers, Huffman, dequant, IDCT).
+        # Progressive/subsampled streams raise NotImplementedError
+        # there; that remains the PIL/libjpeg swap-in seam.
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(raw).reshape(-1)
     raise NotImplementedError(
         f"no codec for {fmt!r} in this environment (PIL/soundfile/pyav not "
-        "installed); use image/ppm, audio/wav, video/ppmseq, or "
-        "fake_decode_media for plumbing tests"
+        "installed); use image/ppm, image/jpeg (baseline), audio/wav, "
+        "video/ppmseq, or fake_decode_media for plumbing tests"
     )
 
 

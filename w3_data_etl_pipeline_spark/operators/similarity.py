@@ -55,6 +55,50 @@ def ivf_directions(n_cells: int, dim: int, seed: int = 42) -> np.ndarray:
     return d / np.linalg.norm(d, axis=1, keepdims=True)
 
 
+def train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    iters: int = 3,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd-iterated IVF centroids as DataFrame aggregates: start
+    from the seeded random unit directions, then ``iters`` rounds of
+    assign (one BLAS matmul per Arrow batch) -> per-cell mean vector
+    (``posexplode`` + groupBy(cell, pos) avg — a map-side-combining
+    agg whose output is n_cells x dim rows, metadata-sized at any
+    corpus scale) -> renormalize -> broadcast back. Deterministic for
+    fixed (seed, iters): same data -> same centroids. Empty cells
+    keep their previous centroid (standard Lloyd convention). On a
+    clustered corpus this is what lifts probe recall from
+    random-projection levels to IVF levels — see
+    tests/test_ivf_training.py for the measured gap."""
+    first = df.select(vec_col).first()
+    if first is None:
+        return ivf_directions(n_cells, 1, seed)
+    dim = len(first[0])
+    dirs = ivf_directions(n_cells, dim, seed)
+    for _ in range(max(0, iters)):
+        means = (
+            assign_cells(df, vec_col, dirs)
+            .select(F.col("_cell"), F.posexplode(_as_double(F.col(vec_col))))
+            .groupBy("_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .collect()
+        )
+        nxt = dirs.copy()
+        seen = set()
+        for r in means:
+            nxt[r["_cell"], r["pos"]] = r["m"]
+            seen.add(r["_cell"])
+        for c in seen:
+            n = np.linalg.norm(nxt[c])
+            if n > 0:
+                nxt[c] = nxt[c] / n
+        dirs = nxt
+    return dirs
+
+
 def assign_cells(df: DataFrame, vec_col: str, dirs: np.ndarray, out_col: str = "_cell") -> DataFrame:
     """Nearest-centroid assignment: one Arrow batch -> one BLAS matmul."""
 
@@ -77,9 +121,17 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_iters: int = 0,
 ) -> DataFrame:
+    """``train_iters`` > 0 replaces the random directions with Lloyd-
+    trained centroids (train_centroids) — same probing, higher recall
+    on clustered data; at scale the centroids train once per corpus
+    and persist as a broadcast matrix."""
     dim = len(query_vec)
-    dirs = ivf_directions(n_cells, dim, seed)
+    if train_iters > 0:
+        dirs = train_centroids(df, vec_col, n_cells, iters=train_iters, seed=seed)
+    else:
+        dirs = ivf_directions(n_cells, dim, seed)
     qv = np.asarray(query_vec, dtype=float)
     qn = qv / (np.linalg.norm(qv) or 1.0)
     probe = [int(c) for c in np.argsort(-(dirs @ qn))[:n_probe]]

@@ -6075,6 +6075,16 @@ class LakeTable:
             "buckets_rewritten": len(rewritten),
         }
 
+    def export_iceberg_metadata(self, version: int | None = None) -> str:
+        """Write a read-only Iceberg-spec-v2-shaped export of this
+        table's snapshot under ``_meta/iceberg/`` and return the
+        ``v<N>.metadata.json`` path. See plans/iceberg_export.py for
+        the layout and the documented deviations (JSON manifests,
+        current-snapshot-only, untested against real readers)."""
+        from .iceberg_export import export_iceberg_metadata
+
+        return export_iceberg_metadata(self, version)
+
     def hydrate_patches(self, events: DataFrame) -> DataFrame:
         """Convert a microbatch containing PARTIAL-image change events
         (op='P': a NULL column means "keep the stored value" — the

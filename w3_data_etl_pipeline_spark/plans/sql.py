@@ -24,6 +24,8 @@ statement per ``sql()`` call:
   ALTER TABLE t ADD CONSTRAINT n CHECK (e) / DROP CONSTRAINT n
   ALTER TABLE t WRITE ORDERED BY a, b [TARGET n ROWS] / WRITE UNORDERED
   ALTER TABLE t SET PARTITION SPEC (days(ts), identity(lang)) / SPEC NONE
+  CREATE [OR REPLACE] [TEMP] VIEW v AS SELECT ... / DROP VIEW v
+  INSERT OVERWRITE t SELECT ...|VALUES      -> whole-table replace
   OPTIMIZE t [WHERE p] [ZORDER BY (a, b)]   -> compact
   VACUUM t [RETAIN n VERSIONS] [DRY RUN]    -> expire_snapshots
   ANALYZE TABLE t [FOR COLUMNS a, b]        -> analyze
@@ -128,14 +130,22 @@ class LakeCatalog:
     def __init__(self, spark: SparkSession, store: str | None = None):
         self.spark = spark
         self.tables: dict[str, LakeTable] = {}
+        self.views: dict[str, str] = {}  # name -> SELECT text (persisted)
+        self._temp_views: set[str] = set()  # session-only subset
+        self._expanding: set[str] = set()  # view-cycle guard
         self._store = store
         if store:
             os.makedirs(store, exist_ok=True)
             path = os.path.join(store, "catalog.json")
             if os.path.exists(path):
                 with open(path) as f:
-                    for name, root in json.load(f).items():
-                        self.tables[name] = LakeTable(spark, root)
+                    data = json.load(f)
+                # v1 store format was a flat {name: root} dict
+                tbls = data.get("tables", data) if isinstance(data, dict) else data
+                for name, root in tbls.items():
+                    self.tables[name] = LakeTable(spark, root)
+                for name, text in (data.get("views") or {}).items():
+                    self.views[name] = text
 
     def _persist(self) -> None:
         if not self._store:
@@ -143,12 +153,24 @@ class LakeCatalog:
         path = os.path.join(self._store, "catalog.json")
         tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({n: t.root for n, t in sorted(self.tables.items())}, f)
+            json.dump(
+                {
+                    "tables": {n: t.root for n, t in sorted(self.tables.items())},
+                    "views": {
+                        n: v
+                        for n, v in sorted(self.views.items())
+                        if n not in self._temp_views
+                    },
+                },
+                f,
+            )
         os.replace(tmp, path)
 
     def register(self, name: str, table: LakeTable) -> "LakeCatalog":
         if not re.fullmatch(_WORD, name):
             raise ValueError(f"invalid table name {name!r}")
+        if name in self.views:
+            raise ValueError(f"{name!r} is a registered view")
         self.tables[name] = table
         self._persist()
         return self
@@ -212,7 +234,41 @@ class LakeCatalog:
         or the Delta CLONE form:
 
         CREATE TABLE name [SHALLOW|DEEP] CLONE src
-        [VERSION AS OF n] LOCATION '<root>'"""
+        [VERSION AS OF n] LOCATION '<root>'
+
+        or the view form (a stored SELECT, re-evaluated against the
+        tables' CURRENT snapshots on every reference — SQL view
+        semantics, never a materialization; TEMP = session-only,
+        otherwise persisted with the catalog store):
+
+        CREATE [OR REPLACE] [TEMP] VIEW name AS SELECT ..."""
+        vm = re.match(
+            rf"CREATE\s+(OR\s+REPLACE\s+)?(TEMP(?:ORARY)?\s+)?VIEW\s+({_WORD})"
+            r"\s+AS\s+(.+)$",
+            stmt,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if vm:
+            name, body = vm.group(3), _strip(vm.group(4))
+            if name in self.tables:
+                raise ValueError(f"{name!r} is a registered table")
+            if name in self.views and not vm.group(1):
+                raise ValueError(
+                    f"view {name!r} exists (use CREATE OR REPLACE VIEW)"
+                )
+            head = body.split(None, 1)[0].upper() if body else ""
+            if head not in ("SELECT", "WITH"):
+                raise ValueError("view body must be a SELECT/WITH query")
+            self._select(body)  # validate the definition NOW, not on first use
+            self.views[name] = body
+            if vm.group(2):
+                self._temp_views.add(name)
+            else:
+                self._temp_views.discard(name)
+            self._persist()
+            return self._metrics_df(
+                {"operation": "create-view", "view": name, "temp": bool(vm.group(2))}
+            )
         cm = re.match(
             rf"CREATE\s+TABLE\s+({_WORD})\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+"
             rf"({_WORD})(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+"
@@ -361,11 +417,19 @@ class LakeCatalog:
     def _drop(self, stmt: str) -> DataFrame:
         """DROP TABLE name — unregisters from the catalog ONLY (the
         Iceberg external-table convention: data and snapshot history
-        stay on disk; delete the root yourself if you mean purge)."""
-        m = re.fullmatch(rf"DROP\s+TABLE\s+({_WORD})", stmt, re.IGNORECASE)
+        stay on disk; delete the root yourself if you mean purge).
+        DROP VIEW name — removes the stored definition."""
+        m = re.fullmatch(rf"DROP\s+(TABLE|VIEW)\s+({_WORD})", stmt, re.IGNORECASE)
         if not m:
-            raise ValueError("expected DROP TABLE <name>")
-        name = m.group(1)
+            raise ValueError("expected DROP TABLE|VIEW <name>")
+        name = m.group(2)
+        if m.group(1).upper() == "VIEW":
+            if name not in self.views:
+                raise ValueError(f"unknown view {name!r}")
+            del self.views[name]
+            self._temp_views.discard(name)
+            self._persist()
+            return self._metrics_df({"operation": "drop-view", "view": name})
         self._table(name)  # unknown-name error, same as every verb
         self.unregister(name)
         return self._metrics_df({"operation": "drop", "table": name})
@@ -374,21 +438,31 @@ class LakeCatalog:
         """INSERT INTO t SELECT ... | VALUES (...), (...) — an UPSERT
         on the table's keys (these are PK'd CDC tables: a re-inserted
         key resolves by max-LSN exactly like an arriving change event;
-        rows get lsn 0 unless the source carries an lsn column)."""
+        rows get lsn 0 unless the source carries an lsn column).
+
+        INSERT OVERWRITE t SELECT ...|VALUES — replace the WHOLE
+        table's contents in one snapshot commit (the Spark/Hive
+        INSERT OVERWRITE + Delta replace semantics); rows are stamped
+        at the next ledger id's LSN so they outrank everything a
+        concurrent stream applied before the overwrite, and time
+        travel to the pre-overwrite snapshot still works."""
         m = re.match(
-            rf"INSERT\s+INTO\s+({_WORD})\s*(?:\(([^)]*)\))?\s+(.+)$",
+            rf"INSERT\s+(INTO|OVERWRITE)\s+({_WORD})\s*(?:\(([^)]*)\))?\s+(.+)$",
             stmt,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
-            raise ValueError("expected INSERT INTO <table> [(cols)] SELECT ...|VALUES ...")
-        t = self._table(m.group(1))
-        body = m.group(3).strip()
+            raise ValueError(
+                "expected INSERT INTO|OVERWRITE <table> [(cols)] SELECT ...|VALUES ..."
+            )
+        overwrite = m.group(1).upper() == "OVERWRITE"
+        t = self._table(m.group(2))
+        body = m.group(4).strip()
         cols = None
-        if m.group(2):
+        if m.group(3):
             # explicit column list: omitted columns take their
             # write-default / generation at merge time
-            cols = [c.strip() for c in m.group(2).split(",")]
+            cols = [c.strip() for c in m.group(3).split(",")]
             known = set(t.schema().fieldNames())
             bad = [c for c in cols if c not in known]
             if bad:
@@ -415,14 +489,21 @@ class LakeCatalog:
                 src = src.toDF(*cols)
         from pyspark.sql import functions as F
 
-        if "op" not in src.columns:
-            src = src.withColumn("op", F.lit("U"))
-        if "lsn" not in src.columns and "_lsn" not in src.columns:
-            src = src.withColumn("lsn", F.lit(0).cast("long"))
         # next ledger id after everything the table has applied, so an
         # interactive INSERT coexists with (and never masks) a stream
         ledger = t.snapshot()["ledger"]
         nxt = max([ledger["hwm"]] + [int(k) for k in ledger.get("extra", {})]) + 1
+        if overwrite:
+            v = t.overwrite(
+                src.drop("op", "lsn", LSN_COL).withColumn(
+                    LSN_COL, F.lit(nxt).cast("long")
+                )
+            )
+            return self._metrics_df({"operation": "insert-overwrite", "version": v})
+        if "op" not in src.columns:
+            src = src.withColumn("op", F.lit("U"))
+        if "lsn" not in src.columns and "_lsn" not in src.columns:
+            src = src.withColumn("lsn", F.lit(0).cast("long"))
         stats = t.merge(src, batch_id=nxt)
         return self._metrics_df(
             {
@@ -550,6 +631,23 @@ class LakeCatalog:
         for name, t in self.tables.items():
             if re.search(rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_])", rewritten):
                 t.read().createOrReplaceTempView(name)
+        # catalog views: referenced names re-evaluate their stored
+        # SELECT against the tables' CURRENT snapshots (SQL view
+        # semantics — a view is a query, not a materialization).
+        # Recursion through _select gives view-over-view for free; the
+        # _expanding set breaks definition cycles with a clear error.
+        for name, text in self.views.items():
+            if not re.search(
+                rf"(?<![A-Za-z0-9_.]){re.escape(name)}(?![A-Za-z0-9_])", rewritten
+            ):
+                continue
+            if name in self._expanding:
+                raise ValueError(f"view definition cycle through {name!r}")
+            self._expanding.add(name)
+            try:
+                self._select(text).createOrReplaceTempView(name)
+            finally:
+                self._expanding.discard(name)
         return self.spark.sql(rewritten)
 
     # -- DML --------------------------------------------------------

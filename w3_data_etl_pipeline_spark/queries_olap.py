@@ -197,6 +197,74 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_feature_counts(media, decoder=decode_media)
 
 
+_JPEG_BUCKETS = ",\n           ".join(
+    f"CAST(64 * len(list_filter(cs, c -> c // 16 = {i})) AS BIGINT) AS b{i}"
+    for i in range(8)
+)
+
+
+@q(
+    "jpeg_media_features",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             list_transform(string_split(substr(text, 1, 32), ''), x -> ord(x)) AS cs
+      FROM documents
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(64 * len(cs) AS BIGINT) AS n_px,
+           {_JPEG_BUCKETS}
+    FROM c
+    """,
+)
+def jpeg_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL compressed codec on the value-hash gate: each document's
+    first 32 chars become flat 8x8 gray blocks (value = even-floored
+    codepoint), ENCODED to a genuine baseline-JPEG bitstream
+    (operators/jpeg.py — DCT, Annex-K quant, Huffman, byte stuffing)
+    and DECODED back through the multimodal codec boundary
+    (decode_media('image/jpeg')) inside an Arrow batch. Flat blocks
+    with even values survive q50 quantization exactly (DC = 8*(v-128)
+    is a multiple of the DC quant step 16), so the decoded pixel
+    bucket counts are DETERMINISTIC and DuckDB reproduces them from
+    the codepoints alone — a hash mismatch means the Huffman/DCT path
+    mis-decoded real compressed bytes. Lossy inputs stay pinned in
+    tests/test_jpeg.py; this entry isolates the exact-path contract."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators.jpeg import encode_jpeg
+    from .operators.multimodal import decode_media
+
+    d = t(spark, sf_dir, "documents")
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "n_px": [],
+                **{f"b{i}": [] for i in range(8)},
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = str(text)[:32]
+                vals = np.array([(ord(ch) // 2) * 2 for ch in s], dtype=np.uint8)
+                img = np.repeat(vals[None, :], 8, axis=0)
+                img = np.repeat(img, 8, axis=1)  # flat 8x8 block per char
+                dec = decode_media(encode_jpeg(img, quality=50), "image/jpeg")
+                hist = np.bincount(dec // 16, minlength=16)
+                out["media_id"].append(int(doc_id))
+                out["kind"].append("image")
+                out["n_px"].append(int(dec.size))
+                for i in range(8):
+                    out[f"b{i}"].append(int(hist[i]))
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        run,
+        "media_id long, kind string, n_px long, "
+        + ", ".join(f"b{i} long" for i in range(8)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # range join — events.value against a literal bands table (P14 as a JOIN;
 # the reference implements banding as a scalar chain, SURVEY.md §2.4 notes
@@ -360,6 +428,49 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tumbling-window aggregation — batch twin of streaming.aggs
 # (same plan minus the state store; oracle via epoch bucketing)
 # ---------------------------------------------------------------------------
+
+
+@q(
+    "session_windows_user",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION windows (F.session_window, gap-driven extents) — the
+    batch twin of streaming.aggs.sessionized_event_counts, oracle'd
+    by DuckDB's gaps-and-islands form (lag >= gap -> break, running
+    sum -> session id). Window end is last-event + gap, Spark's
+    session_window contract. The windowed group key combines map-side
+    like any other; on a stream the same plan runs with a watermarked
+    state store."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 @q(
