@@ -91,6 +91,11 @@ EXTENDED = [
     "cdc_clone",
     "cdc_join_view",
     "cdc_generated_col",
+    # round 5: partition-spec pruning, session windows (the real-JPEG
+    # gate jpeg_media_features stays registry/tail-gated but out of the
+    # bench list: its wall is per-doc Python codec work by design)
+    "cdc_partition_prune",
+    "session_windows_user",
 ]
 
 
@@ -173,9 +178,26 @@ def bench_cdc(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _capacity() -> "float | None":
+    """Pure-CPU host probe (Mmd5/s over 8 processes) — the same probe
+    the scaling harness brackets with. Run at START and END so any
+    reader can see whether the shared-host window drifted DURING the
+    run (the round-4 lesson: it regularly does)."""
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        )
+        from run_scaling_bracketed import host_capacity
+
+        return round(host_capacity(), 1)
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cap_pre = _capacity()
 
     from w3_data_etl_pipeline_spark.session import get_spark
 
@@ -211,27 +233,32 @@ def main() -> None:
         t0 = time.time()
         _ = fn(spark, sf_dir).count()
         timings_warm[name] = round(time.time() - t0, 3)
+    cdc_caps: dict = {}
     if os.environ.get("SPARK_GRAFT_SKIP_CDC"):
         # scale-escalation runs (BENCH/make_sfN.py) time the query set
         # only; the CDC microbench is sf-independent
         cdc_eps = cdc_eps_mor = cdc_eps_mor_hot = 0.0
     else:
+        # per-leg capacity brackets: the shared host drifts FASTER than
+        # a whole-run probe pair resolves (measured: both run-level
+        # probes >= 12 while the CDC legs ran in a <9 trough), so each
+        # north-metric leg records the window it actually saw
+        c0 = _capacity()
         cdc_eps = bench_cdc(spark, mode="cow")
+        c1 = _capacity()
         cdc_eps_mor = bench_cdc(spark, mode="mor")
+        c2 = _capacity()
         # skew datapoint: 50% of events on ONE (repo, path)
         cdc_eps_mor_hot = bench_cdc(spark, mode="mor", hot_key_frac=0.5)
+        c3 = _capacity()
+        cdc_caps = {"cow": [c0, c1], "mor": [c1, c2], "hot": [c2, c3]}
     total = round(sum(timings.values()), 3)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     # pure-CPU host probe (Mmd5/s across 8 processes, same probe the
     # scaling harness brackets with): lets any reader normalize this
     # run for the sandbox's shared-host capacity window (healthy >= 12;
     # see BENCH/BASELINE.md).
-    try:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"))
-        from run_scaling_bracketed import host_capacity
-        cap = round(host_capacity(), 1)
-    except Exception:
-        cap = None
+    cap = _capacity()
     print(
         json.dumps(
             {
@@ -244,6 +271,8 @@ def main() -> None:
                 "queries_warm": timings_warm,
                 "value_warm": round(sum(timings_warm.values()), 3),
                 "host_capacity_mmd5": cap,
+                "host_capacity_mmd5_pre": cap_pre,
+                "cdc_capacity_brackets": cdc_caps,
                 "sf": sf,
                 "cdc_events_per_sec": round(cdc_eps, 1),
                 "cdc_events_per_sec_mor": round(cdc_eps_mor, 1),

@@ -54,10 +54,15 @@ def test_ppmseq_split():
         assert np.array_equal(mm.decode_ppm(part), f)
 
 
-def test_compressed_codec_is_stubbed():
+def test_compressed_codec_boundary():
+    # unknown formats stay the documented NotImplementedError seam
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"\x00", "synthetic/v1")
     with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x00" * 8, "video/mp4")
+    # image/jpeg is now a REAL baseline decoder (operators/jpeg.py):
+    # truncated bytes are a PARSE error, not a missing codec
+    with pytest.raises(ValueError):
         mm.decode_media(b"\xff\xd8\xff", "image/jpeg")
 
 

@@ -258,3 +258,33 @@ def test_truncate_string_prefix(spark, tmp_path):
     assert all(f["pt"][0] == "ru" for f in kept)
     kept2 = t.prune_files(snap, "lang >= 'q'")
     assert all(f["pt"][0] == "ru" for f in kept2)
+
+
+def test_explain_skipping_partition_attribution(spark, tmp_path):
+    """Interleaved days in every file leave bounds useless; the
+    attribution field shows the tuple (not stats) did the skipping."""
+    t = LakeTable.create(spark, str(tmp_path / "at"), SCHEMA, ["event_id"], n_buckets=2)
+    t.alter_partition_spec(["days(ts)"])
+    t.merge(_events(spark, range(24), [i % 3 for i in range(24)]), 0)
+    info = t.explain_skipping(
+        "ts >= TIMESTAMP '2024-03-02 00:00:00' AND ts < TIMESTAMP '2024-03-03 00:00:00'"
+    )
+    assert info["files_skipped"] > 0
+    # per-file bounds ARE day-tight here (the write splits on days), so
+    # bounds alone also prune — attribution must then report zero
+    assert info["skipped_by_partition_only"] == 0
+    # strip the manifest stats to simulate an unclustered/pre-stats
+    # layout: now ONLY the tuple can prove exclusion
+    snap = t.snapshot()
+    stripped = [
+        {k: v for k, v in f.items() if k not in ("cmin", "cmax", "cnull")}
+        for f in snap["files"]
+    ]
+    v = snap["version"] + 1
+    ns = dict(snap, version=v, parent=snap["version"], files=stripped,
+              operation="strip-stats-test")
+    t._write_snapshot(ns)
+    info2 = t.explain_skipping(
+        "ts >= TIMESTAMP '2024-03-02 00:00:00' AND ts < TIMESTAMP '2024-03-03 00:00:00'"
+    )
+    assert info2["skipped_by_partition_only"] == info2["files_skipped"] > 0

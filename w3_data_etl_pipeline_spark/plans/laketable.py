@@ -2732,6 +2732,27 @@ class LakeTable:
                 1 for f in kept if f["bucket"] in delta_buckets
             ),
             "base_files_admitted_by_stats": len(kept_if_no_deltas),
+            # attribution: files ONLY the declared partition tuple could
+            # exclude (min/max bounds alone would have admitted them) —
+            # the operator's measure of what the partition spec buys
+            # over clustering on this predicate
+            "skipped_by_partition_only": (
+                len(
+                    self.prune_files(
+                        dict(
+                            snap,
+                            files=[
+                                {k: v for k, v in f.items() if k != "pt"}
+                                for f in data
+                            ],
+                        ),
+                        predicates,
+                    )
+                )
+                - len(kept)
+                if any(f.get("pt") is not None for f in data)
+                else 0
+            ),
             "paths_kept_sample": sorted(kept_paths)[:10],
         }
 

@@ -434,14 +434,14 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_windows_user",
     """
     WITH o AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS brk
       FROM events
     ), s AS (
-      SELECT user_id, ts, value,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, brk
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     )
