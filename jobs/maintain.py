@@ -28,6 +28,8 @@ same optimistic version-race commit the merge path uses):
               delta debt per bucket; read-only skew + compaction triage)
     analyze   ANALYZE TABLE: persist per-column NDV/nulls/min-max +
               equality-index / write-order recommendations
+    set-partition-spec declare Iceberg-style partition transforms
+                      (days/identity/truncate...) for later writes
     set-write-order   declare a standing write order (every base write
               clusters + range-splits; --clear removes)
     auto      maintenance autopilot: fsck gate, then fire exactly the
@@ -414,6 +416,18 @@ def main(argv: list[str] | None = None) -> int:
     swo.add_argument("--clear", action="store_true",
                      help="remove the declared write order")
 
+    sps = sub.add_parser("set-partition-spec",
+                         help="declare the partition spec (Iceberg "
+                              "transforms): later writes split files "
+                              "on the transform tuple and time/value "
+                              "windows prune at partition granularity")
+    sps.add_argument("fields", nargs="*",
+                     help="transform fields, e.g. 'days(ts)' "
+                          "'identity(lang)' 'truncate(repo,8)' "
+                          "(empty with --clear)")
+    sps.add_argument("--clear", action="store_true",
+                     help="revert to unpartitioned (spec 0)")
+
     args = p.parse_args(argv)
     spark = get_spark("lake_maintain", master=SparkConf().get("spark.master", None))
     try:
@@ -564,6 +578,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             out = {"verb": "set-write-order", "version": v,
                    "write_order": t.write_order()}
+        elif args.verb == "set-partition-spec":
+            if args.clear == bool(args.fields):
+                raise SystemExit("pass transform fields OR --clear")
+            v = t.alter_partition_spec(None if args.clear else args.fields)
+            snap = t.snapshot()
+            out = {"verb": "set-partition-spec", "version": v,
+                   "default_spec": int(snap.get("default_spec", 0) or 0),
+                   "fields": (snap.get("partition_specs") or {}).get(
+                       str(snap.get("default_spec", 0) or 0), [])}
         else:
             after = t.rebucket(args.n_buckets)
             out = {"verb": "rebucket", "n_buckets": args.n_buckets, "version": after}

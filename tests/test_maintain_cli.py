@@ -180,3 +180,30 @@ def test_ddl_verbs(spark, tmp_path):
     row = t.read().collect()[0]
     assert row.n == 7 and "level" not in t.read().columns
     assert dict(t.read().dtypes)["n"] == "bigint"
+
+
+def test_set_partition_spec_verb(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "pspec"), schema, ["event_id"], n_buckets=2)
+    out = _run("--table", t.root, "set-partition-spec", "days(ts)")
+    assert out["default_spec"] == 1 and out["fields"][0]["transform"] == "days"
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(days=i % 2), float(i), i + 1, "U")
+        for i in range(8)
+    ]
+    t.merge(spark.createDataFrame(rows, ["event_id", "ts", "value", "lsn", "op"]), 0)
+    assert all(f.get("pt") for f in t.snapshot()["files"])
+    out = _run("--table", t.root, "set-partition-spec", "--clear")
+    assert out["default_spec"] == 0
