@@ -288,3 +288,18 @@ def test_explain_skipping_partition_attribution(spark, tmp_path):
         "ts >= TIMESTAMP '2024-03-02 00:00:00' AND ts < TIMESTAMP '2024-03-03 00:00:00'"
     )
     assert info2["skipped_by_partition_only"] == info2["files_skipped"] > 0
+
+
+def test_files_table_and_describe_show_spec(spark, tmp_path):
+    from w3_data_etl_pipeline_spark.plans.sql import LakeCatalog
+
+    t = _mk_days(spark, tmp_path, "fd")
+    f = t.files().filter("spec_id IS NOT NULL").collect()
+    assert f and all(r["spec_id"] == 1 for r in f)
+    import json as _json
+
+    assert all(isinstance(_json.loads(r["partition"])[0], int) for r in f)
+    cat = LakeCatalog(spark).register("fd", t)
+    desc = {r["col_name"]: r["partitioning"] for r in cat.sql("DESCRIBE fd").collect()}
+    assert desc["ts"] == "days"
+    assert "bucket(4)" in desc["event_id"]

@@ -3010,6 +3010,10 @@ class LakeTable:
                 T.StructField("cmax", T.StringType()),
                 # per-column null counts (Iceberg null_value_counts)
                 T.StructField("cnull", T.StringType()),
+                # declared partition spec id + tuple (Iceberg files
+                # table's partition column); NULL for pre-spec files
+                T.StructField("spec_id", T.IntegerType()),
+                T.StructField("partition", T.StringType()),
             ]
         )
         rows = [
@@ -3024,6 +3028,8 @@ class LakeTable:
                 json.dumps(f["cmin"], sort_keys=True) if f.get("cmin") else None,
                 json.dumps(f["cmax"], sort_keys=True) if f.get("cmax") else None,
                 json.dumps(f["cnull"], sort_keys=True) if f.get("cnull") else None,
+                int(f["spec"]) if f.get("spec") is not None else None,
+                json.dumps(f["pt"]) if f.get("pt") is not None else None,
             )
             for f in snap["files"]
         ]

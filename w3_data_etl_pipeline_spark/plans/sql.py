@@ -521,12 +521,34 @@ class LakeCatalog:
             t = self._table(dm.group(1))
             snap = t.snapshot()
             keys = snap["key_cols"]
+            # declared partition-spec transforms surface in the
+            # partitioning column of their SOURCE rows (Spark's
+            # DESCRIBE partitioning convention)
+            cur_spec = (snap.get("partition_specs") or {}).get(
+                str(snap.get("default_spec", 0) or 0)
+            ) or []
+            names = {i: n for n, i in (snap.get("field_ids") or {}).items()}
+            by_src: dict[str, str] = {}
+            for fld in cur_spec:
+                src = names.get(fld["fid"])
+                if src:
+                    by_src[src] = fld["transform"] + (
+                        f"[{fld['param']}]" if fld.get("param") else ""
+                    )
             rows = [
                 (
                     f.name,
                     f.dataType.simpleString(),
                     f.name in keys,
-                    f"bucket({snap['n_buckets']})" if f.name in keys else None,
+                    ", ".join(
+                        x
+                        for x in (
+                            f"bucket({snap['n_buckets']})" if f.name in keys else None,
+                            by_src.get(f.name),
+                        )
+                        if x
+                    )
+                    or None,
                 )
                 for f in t.schema(snap).fields
                 if f.name != LSN_COL
