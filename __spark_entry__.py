@@ -233,6 +233,10 @@ _DEMOTED_TAIL = [
     # 1-row scalar percentile output (funnel_counts precedent);
     # full DuckDB oracle in the tail gate
     "median_order_value",
+    # rows-only by construction (a METADATA artifact, not SQL-queryable
+    # data): every contract claim is hard-asserted in-query and the
+    # export layout is pinned by tests/test_iceberg_export.py
+    "cdc_iceberg_export",
 ]
 
 

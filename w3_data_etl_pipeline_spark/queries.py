@@ -934,6 +934,101 @@ def cdc_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@q("cdc_iceberg_export", None)  # rows-only: the export is a METADATA
+# artifact (no SQL-queryable data output); every contract claim is
+# hard-asserted in-query and the field layout is pinned by
+# tests/test_iceberg_export.py
+def cdc_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata export on the gate: build a day-partitioned
+    LWW table from the events stream, export
+    (plans/iceberg_export.py), then REOPEN the exported JSON chain
+    (metadata -> manifest-list -> manifest) and hard-assert the
+    contract: every spec-v2 required field present, the manifest's
+    data-file set identical to the live snapshot's, record counts
+    summing to the table count, and partition tuples keyed by the
+    spec's field id. Returns a one-row summary whose values are
+    derived from the EXPORTED files (not the table), so any drift
+    between the two representations breaks the row."""
+    import json as _json
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from .plans.iceberg_export import REQUIRED_METADATA_FIELDS
+    from .plans.laketable import LakeTable
+
+    e = t(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="cdc_iceexp_q_")
+    try:
+        schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        table = LakeTable.create(spark, f"{work}/t", schema, ["user_id"], n_buckets=8)
+        table.alter_partition_spec(["days(ts)"])
+        table.merge(
+            e.select(
+                "user_id",
+                "ts",
+                "event_type",
+                "value",
+                F.col("event_id").alias("lsn"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+            ),
+            0,
+        )
+        meta = _json.load(open(table.export_iceberg_metadata()))
+        missing = [k for k in REQUIRED_METADATA_FIELDS if k not in meta]
+        assert not missing, f"export missing spec fields: {missing}"
+        mlist = _json.load(open(meta["snapshots"][0]["manifest-list"]))
+        man = _json.load(open(mlist[0]["manifest_path"]))
+        exported = {en["data_file"]["file_path"] for en in man["entries"]}
+        live = {
+            os.path.join(table.root, f_["path"])
+            for f_ in table.snapshot()["files"]
+        }
+        assert exported == live, "exported manifest != live snapshot file set"
+        n_rows = sum(en["data_file"]["record_count"] for en in man["entries"])
+        # physical parity: exported record counts == manifest row stats
+        # (includes any tombstone rows); and the LIVE row count is a
+        # lower bound of what the export describes
+        assert n_rows == sum(f_.get("rows") or 0 for f_ in table.snapshot()["files"])
+        assert n_rows >= table.read().count() > 0
+        spec = next(
+            s for s in meta["partition-specs"]
+            if s["spec-id"] == meta["default-spec-id"]
+        )
+        pid = str(spec["fields"][0]["field-id"])
+        days = sorted(
+            {en["data_file"]["partition"][pid] for en in man["entries"]}
+        )
+        assert days and all(isinstance(d, int) for d in days)
+        return spark.createDataFrame(
+            [
+                (
+                    int(meta["format-version"]),
+                    len(meta["schemas"][0]["fields"]),
+                    spec["fields"][0]["transform"],
+                    int(n_rows),
+                    int(days[0]),
+                    int(days[-1]),
+                )
+            ],
+            "format_version int, n_columns int, transform string, "
+            "exported_rows long, first_day int, last_day int",
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 @q(
     "cdc_rename_evolution",
     """
