@@ -161,3 +161,55 @@ def test_in_filter_pushdown(reg, spark, tmp_path):
     # value-clustered files: an IN over two value regions must still
     # skip the files whose bounds exclude every listed value
     assert int(admitted) < int(total), lines[-1]
+
+
+def test_partition_tuple_pruning_through_pushed_timestamp_filters(spark, tmp_path):
+    """A time-window filter pushed through the batch Python DataSource
+    reaches the manifest layer and prunes by PARTITION TUPLE: only the
+    in-window day's files are admitted — including the exact-boundary
+    day, which requires the tz-aware pushed literal and the naive
+    tuple range to share one encoding (_json_bound normalizes)."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from w3_data_etl_pipeline_spark.plans.laketable import LakeTable
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "ptb"), schema, ["event_id"], n_buckets=2)
+    t.alter_partition_spec(["days(ts)"])
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(days=i % 3), float(i), i + 1, "U")
+        for i in range(30)
+    ]
+    t.merge(spark.createDataFrame(rows, ["event_id", "ts", "value", "lsn", "op"]), 0)
+    # strip manifest stats so ONLY the partition tuple can prune, then
+    # delete the out-of-window files: the pushed-filter read can only
+    # answer if tuple pruning admitted exactly the in-window day
+    snap = t.snapshot()
+    stripped = [
+        {k: v for k, v in f.items() if k not in ("cmin", "cmax", "cnull")}
+        for f in snap["files"]
+    ]
+    ns = dict(snap, version=snap["version"] + 1, parent=snap["version"],
+              files=stripped, operation="strip-stats-test")
+    t._write_snapshot(ns)
+    keep_day = 19784  # 2024-03-02
+    for f in t.snapshot()["files"]:
+        if f["pt"][0] != keep_day:
+            os.remove(os.path.join(t.root, f["path"]))
+    df = (
+        spark.read.format("laketable")
+        .option("path", t.root)
+        .load()
+        .filter(
+            "ts >= TIMESTAMP '2024-03-02 00:00:00' AND ts < TIMESTAMP '2024-03-03 00:00:00'"
+        )
+    )
+    assert {r["event_id"] for r in df.collect()} == {i for i in range(30) if i % 3 == 1}

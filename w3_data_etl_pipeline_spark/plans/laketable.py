@@ -3843,6 +3843,14 @@ class LakeTable:
         if isinstance(v, str):
             return v if len(v) <= cls._MAX_STR_BOUND else None
         if isinstance(v, datetime.datetime):
+            # ONE encoding for every comparison surface: parquet stats
+            # (pyarrow returns tz-aware UTC for micros columns), pushed
+            # DataSource literals (tz-aware session values) and
+            # partition-tuple ranges (naive UTC) — a '+00:00' suffix
+            # on one side would make exact-boundary exclusions fail
+            # conservatively. Session TZ is pinned UTC.
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
             return v.isoformat(sep=" ", timespec="microseconds")
         if isinstance(v, datetime.date):
             return v.isoformat()
